@@ -1,0 +1,73 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesvectordbpattermatcher_spark.operators.gapfill import bucket_spine, gap_fill
+from timeseriesvectordbpattermatcher_spark.operators.rollup import derive_event_ts, rollup_1m
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+@pytest.fixture(scope="module")
+def tiny_rollup(spark):
+    # observed minutes: 0, 1, 4, 5 for source 'a' (gap at 2, 3); 2 only for 'b'
+    rows = [
+        ("a", _ts(0), 10.0),
+        ("a", _ts(1), 20.0),
+        ("a", _ts(4), 50.0),
+        ("a", _ts(5), 60.0),
+        ("b", _ts(2), 7.0),
+    ]
+    return spark.createDataFrame(rows, "source string, bucket_ts timestamp, avg_n_tok double")
+
+
+def test_spine_covers_min_to_max(tiny_rollup):
+    spine = bucket_spine(tiny_rollup, tier="1m")
+    got = {(r["source"], r["bucket_ts"].minute) for r in spine.collect()}
+    assert got == {("a", m) for m in range(6)} | {("b", 2)}
+
+
+def test_locf(tiny_rollup):
+    out = gap_fill(tiny_rollup, ["avg_n_tok"], tier="1m", method="locf")
+    a = {r["bucket_ts"].minute: r for r in out.filter("source='a'").collect()}
+    assert a[2]["avg_n_tok_filled"] == 20.0 and a[2]["is_filled"]
+    assert a[3]["avg_n_tok_filled"] == 20.0 and a[3]["is_filled"]
+    assert a[4]["avg_n_tok_filled"] == 50.0 and not a[4]["is_filled"]
+
+
+def test_linear(tiny_rollup):
+    out = gap_fill(tiny_rollup, ["avg_n_tok"], tier="1m", method="linear")
+    a = {r["bucket_ts"].minute: r for r in out.filter("source='a'").collect()}
+    # gap 2,3 between (1 -> 20.0) and (4 -> 50.0): slope 10/minute
+    assert a[2]["avg_n_tok_filled"] == pytest.approx(30.0)
+    assert a[3]["avg_n_tok_filled"] == pytest.approx(40.0)
+    assert a[0]["avg_n_tok_filled"] == 10.0  # observed rows untouched
+
+
+def test_linear_leading_trailing_gaps(spark):
+    rows = [("a", _ts(2), 5.0), ("a", _ts(4), 9.0)]
+    df = spark.createDataFrame(rows, "source string, bucket_ts timestamp, v double")
+    # null-valued rows at minutes 0 and 6 widen the spine -> leading/trailing gaps
+    spine_rows = [("a", _ts(m), None) for m in (0, 6)]
+    widened = df.unionByName(
+        spark.createDataFrame(spine_rows, "source string, bucket_ts timestamp, v double")
+    )
+    out = gap_fill(widened, ["v"], method="linear")
+    vals = {r["bucket_ts"].minute: r["v_filled"] for r in out.collect()}
+    assert vals[0] == 5.0 and vals[1] == 5.0  # leading -> bfill
+    assert vals[3] == pytest.approx(7.0)  # interior -> interpolate
+    assert vals[5] == 9.0 and vals[6] == 9.0  # trailing -> ffill
+
+
+def test_gapfill_on_synth(spark, seqs_2k):
+    """synth injects a 10-min hole every 400 rows -> filled rows must exist."""
+    r1m = rollup_1m(derive_event_ts(seqs_2k))
+    out = gap_fill(r1m, ["avg_n_tok", "cnt"], tier="1m", method="locf")
+    assert out.filter("is_filled").count() > 0
+    # every filled row carries the previous observed value
+    assert out.filter("is_filled and avg_n_tok_filled is null").count() == 0

@@ -1,0 +1,81 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_df_equal
+from timeseriesvectordbpattermatcher_spark.operators.rollup import (
+    cascade,
+    derive_event_ts,
+    rollup_1m,
+    rollup_all_tiers,
+)
+
+ORACLE_1M = """
+SELECT source,
+       date_trunc('minute', event_ts) AS bucket_ts,
+       count(*)   AS cnt,
+       sum(n_tok) AS sum_n_tok,
+       min(n_tok) AS min_n_tok,
+       max(n_tok) AS max_n_tok,
+       min(list_min(tokens)) AS tok_min,
+       max(list_max(tokens)) AS tok_max,
+       sum(list_sum(tokens)) AS tok_sum,
+       sum(n_tok) * 1.0 / count(*) AS avg_n_tok
+FROM seqs GROUP BY 1, 2
+"""
+
+
+@pytest.fixture(scope="module")
+def seqs_with_ts(seqs_2k):
+    df = derive_event_ts(seqs_2k).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_derive_event_ts_roundtrip(seqs_with_ts):
+    # the timestamp parsed back from doc_id must re-format to the same string
+    bad = seqs_with_ts.filter(
+        F.date_format("event_ts", "yyyyMMddHHmmss") != F.split("doc_id", "_").getItem(1)
+    ).count()
+    assert bad == 0
+
+
+def test_rollup_1m_vs_duckdb(spark, seqs_with_ts, duck):
+    pdf = seqs_with_ts.select("doc_id", "tokens", "n_tok", "source", "event_ts").toPandas()
+    duck.register("seqs", pdf)
+    got = rollup_1m(seqs_with_ts)
+    assert_df_equal(got, duck.sql(ORACLE_1M), ["source", "bucket_ts"])
+
+
+def test_salted_equals_unsalted(seqs_with_ts):
+    plain = rollup_1m(seqs_with_ts).orderBy("source", "bucket_ts").collect()
+    salted = rollup_1m(seqs_with_ts, salt_buckets=8).orderBy("source", "bucket_ts").collect()
+    assert plain == salted
+
+
+def test_tier_exactness(seqs_with_ts):
+    """north_rule: each tier must equal a direct rollup at that granularity."""
+    tiers = rollup_all_tiers(seqs_with_ts)
+    for tier, trunc in [("1h", "hour"), ("1d", "day")]:
+        direct = (
+            derive_event_ts(seqs_with_ts.drop("event_ts"))
+            .withColumn("event_ts", F.date_trunc(trunc, "event_ts"))
+            .transform(rollup_1m)
+            .withColumn("bucket_ts", F.date_trunc(trunc, "bucket_ts"))
+        )
+        got = tiers[tier].orderBy("source", "bucket_ts").collect()
+        want = direct.orderBy("source", "bucket_ts").collect()
+        assert got == want, f"tier {tier} mismatch"
+
+
+def test_cascade_preserves_totals(seqs_with_ts):
+    t1m = rollup_1m(seqs_with_ts)
+    t1h = cascade(t1m, "1h")
+    t1d = cascade(t1h, "1d")
+    totals = [
+        t.agg(F.sum("cnt"), F.sum("sum_n_tok"), F.sum("tok_sum")).collect()[0]
+        for t in (t1m, t1h, t1d)
+    ]
+    assert totals[0] == totals[1] == totals[2]

@@ -1,0 +1,150 @@
+"""Continuous aggregates: raw -> 1m -> 1h -> 1d cascading rollups.
+
+North-star core (BASELINE.json.north_rule). The reference's closest op is its
+OHLCV resample/downsample (consumers at
+/root/reference/extremaPatternUtil.py:186-188 and
+/root/reference/boxCandlePatternUtil.py:143-146 — first/max/min/last/sum per
+rule) and its stride-sampled expensive rolling op
+(/root/reference/patternTraderUtil.py:365-371) — both manual incremental
+computation. Here the same idea is the tier cascade: 1h re-aggregates the 1m
+table (never the raw data), 1d re-aggregates 1h. All stats are chosen to be
+**associative** (count/sum/min/max; avg derived as sum/cnt at read time), so
+partial -> final re-aggregation is exact — integer stats carry no float
+reduction-order hazard (SURVEY.md §4.3).
+
+Scale notes (100 TB / 10^12 rows):
+- one wide scan of raw data, one shuffle on (source, minute-bucket) — AQE
+  coalesces the tail; 1h/1d tiers shuffle only the (much smaller) 1m table.
+- token-level stats (tok_min/tok_max/tok_sum) are computed per-row with
+  ``array_min``/``array_max``/``aggregate`` *before* the shuffle, so token
+  arrays never move across the network — only 3 scalars per row do.
+- hot keys (``web`` is ~70% of rows): ``salt_buckets`` splits each
+  (source, bucket) group into B sub-groups for the first shuffle, then a
+  cheap second agg over B rows per key merges them (two-phase salted agg).
+  Spark's map-side partial aggregation already bounds skew for these
+  commutative stats, so salting is off by default and available for AQE-less
+  clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TIER_TRUNC = {"1m": "minute", "1h": "hour", "1d": "day"}
+TIER_ORDER = ["1m", "1h", "1d"]
+
+DOC_TS_PATTERN = "_([0-9]{14})_"
+
+
+def derive_event_ts(seqs: DataFrame, doc_id_col: str = "doc_id") -> DataFrame:
+    """Parse the time axis out of ``doc_id`` ('{source}_{yyyyMMddHHmmss}_{seq}').
+
+    Mirrors the reference's id parse-back
+    (/root/reference/opkatsPatternMatcherUtil.py:198-207: strip prefix, split
+    on '_', take the date field) as one codegen'd regexp.
+    """
+    return seqs.withColumn(
+        "event_ts",
+        F.to_timestamp(F.regexp_extract(F.col(doc_id_col), DOC_TS_PATTERN, 1), "yyyyMMddHHmmss"),
+    )
+
+
+def add_token_stats(seqs: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Per-row token scalars, JVM-side — arrays are pruned before any shuffle."""
+    t = F.col(tokens_col)
+    return (
+        seqs.withColumn("tok_min", F.array_min(t))
+        .withColumn("tok_max", F.array_max(t))
+        .withColumn(
+            "tok_sum",
+            F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")),
+        )
+    )
+
+
+def _partial_aggs():
+    return [
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_tok").alias("sum_n_tok"),
+        F.min("n_tok").alias("min_n_tok"),
+        F.max("n_tok").alias("max_n_tok"),
+        F.min("tok_min").alias("tok_min"),
+        F.max("tok_max").alias("tok_max"),
+        F.sum("tok_sum").alias("tok_sum"),
+    ]
+
+
+def _merge_aggs():
+    return [
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_n_tok").alias("sum_n_tok"),
+        F.min("min_n_tok").alias("min_n_tok"),
+        F.max("max_n_tok").alias("max_n_tok"),
+        F.min("tok_min").alias("tok_min"),
+        F.max("tok_max").alias("tok_max"),
+        F.sum("tok_sum").alias("tok_sum"),
+    ]
+
+
+def _with_avg(df: DataFrame) -> DataFrame:
+    return df.withColumn("avg_n_tok", F.col("sum_n_tok") / F.col("cnt"))
+
+
+def rollup_1m(
+    seqs: DataFrame,
+    ts_col: str = "event_ts",
+    key_col: str = "source",
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """raw -> rollup_1m(source, bucket_ts, cnt, sum/min/max/avg_n_tok, tok_*)."""
+    has_tokens = "tokens" in seqs.columns
+    if has_tokens and "tok_sum" not in seqs.columns:
+        seqs = add_token_stats(seqs)
+    if not has_tokens and "tok_sum" not in seqs.columns:
+        # degenerate corpus without token arrays: token stats fall back to n_tok
+        seqs = (
+            seqs.withColumn("tok_min", F.col("n_tok"))
+            .withColumn("tok_max", F.col("n_tok"))
+            .withColumn("tok_sum", F.col("n_tok").cast("long"))
+        )
+    bucketed = seqs.withColumn("bucket_ts", F.date_trunc(TIER_TRUNC["1m"], F.col(ts_col)))
+    if salt_buckets and salt_buckets > 1:
+        salted = bucketed.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt_buckets))
+        )
+        partial = salted.groupBy(key_col, "bucket_ts", "_salt").agg(*_partial_aggs())
+        out = partial.groupBy(key_col, "bucket_ts").agg(*_merge_aggs())
+    else:
+        out = bucketed.groupBy(key_col, "bucket_ts").agg(*_partial_aggs())
+    return _with_avg(out)
+
+
+def cascade(rollup: DataFrame, to_tier: str, key_col: str = "source") -> DataFrame:
+    """Re-aggregate a finer tier into ``to_tier`` (partial -> final, exact).
+
+    1h is computed FROM 1m and 1d FROM 1h — the raw table is scanned once per
+    refresh no matter how many tiers exist. This is the engine's answer to the
+    reference's skip-sampled rolling optimization
+    (/root/reference/patternTraderUtil.py:365-371).
+    """
+    out = (
+        rollup.withColumn("bucket_ts", F.date_trunc(TIER_TRUNC[to_tier], F.col("bucket_ts")))
+        .groupBy(key_col, "bucket_ts")
+        .agg(*_merge_aggs())
+    )
+    return _with_avg(out)
+
+
+def rollup_all_tiers(
+    seqs: DataFrame,
+    ts_col: str = "event_ts",
+    key_col: str = "source",
+    salt_buckets: int | None = None,
+) -> dict[str, DataFrame]:
+    """Full cascade raw->1m->1h->1d. Each tier derives from the previous one."""
+    tiers: dict[str, DataFrame] = {}
+    tiers["1m"] = rollup_1m(seqs, ts_col=ts_col, key_col=key_col, salt_buckets=salt_buckets)
+    tiers["1h"] = cascade(tiers["1m"], "1h", key_col=key_col)
+    tiers["1d"] = cascade(tiers["1h"], "1d", key_col=key_col)
+    return tiers
