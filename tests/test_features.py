@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from timeseriesvectordbpattermatcher_spark.functions.features import (
+    FEATURE_DIM,
+    cosine_topk_scores,
+    features_40,
+)
+
+
+def test_shape_and_determinism():
+    rng = np.random.default_rng(0)
+    mat = rng.normal(size=(5, 64))
+    a = features_40(mat)
+    b = features_40(mat)
+    assert a.shape == (5, FEATURE_DIM)
+    assert np.array_equal(a, b)
+    assert np.isfinite(a).all()
+
+
+def test_constant_window_skipped():
+    """Reference skips constant series (/root/reference/katslib/opkatsDataUtil.py:208-209)."""
+    mat = np.vstack([np.full(64, 3.0), np.arange(64.0)])
+    f = features_40(mat)
+    assert np.isnan(f[0]).all()
+    assert np.isfinite(f[1]).all()
+
+
+def test_nonfinite_window_rejected():
+    mat = np.vstack([np.arange(64.0), np.arange(64.0)])
+    mat[0, 10] = np.inf
+    f = features_40(mat)
+    assert np.isnan(f[0]).all()
+    assert np.isfinite(f[1]).all()
+
+
+def test_batch_equals_individual():
+    rng = np.random.default_rng(1)
+    mat = rng.normal(size=(7, 128))
+    batch = features_40(mat)
+    single = np.vstack([features_40(mat[i : i + 1]) for i in range(7)])
+    assert np.array_equal(batch, single)
+
+
+def test_known_values():
+    x = np.arange(10.0)[None, :]
+    f = features_40(x).astype(np.float64)[0]
+    assert f[0] == pytest.approx(4.5)  # mean
+    assert f[1] == pytest.approx(np.std(np.arange(10.0)))
+    assert f[2] == 0.0 and f[3] == 9.0
+    assert f[8] == 0.0 and f[9] == 9.0 and f[10] == 9.0
+    assert f[22] == pytest.approx(1.0)  # slope of the identity line
+    assert f[24] == pytest.approx(1.0)  # perfect correlation with time
+    slope, intercept = np.polyfit(np.arange(10), np.arange(10.0), 1)
+    assert f[23] == pytest.approx(intercept, abs=1e-6)
+
+
+def test_cosine_scores():
+    q = np.array([1.0, 0.0])
+    refs = np.array([[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [2.0, 0.0]])
+    s = cosine_topk_scores(q, refs)
+    assert s == pytest.approx([1.0, 0.0, -1.0, 1.0])

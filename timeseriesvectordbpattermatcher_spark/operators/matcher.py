@@ -1,0 +1,195 @@
+"""Vector pattern matcher: broadcast cosine top-k + reference post-filters.
+
+Replaces the reference's Pinecone round-trip
+(/root/reference/opkatsPatternMatcherUtil.py:221-253: ``kats_index.query(xq,
+top_k=20, include_values=True)`` then ``filter_results`` then sort/head-10)
+with two Spark strategies:
+
+- ``cosine_topk_join``  — declarative: broadcast nested-loop join of queries
+  × reference segments with the dot product as a ``zip_with``/``aggregate``
+  SQL expression, then windowed top-k. Catalyst keeps the whole score
+  expression in codegen; correct for any size, oracle-checkable in DuckDB.
+- ``cosine_topk_bcast`` — the scale path when |refs| fits an executor
+  (the reference corpus: ~8k tickers × ~150 windows ≈ 1.2M × 40 floats ≈
+  200 MB): one numpy matmul per Arrow batch of queries against a broadcast
+  ref matrix, emitting only k rows per query. Avoids materializing the
+  |Q|×|R| cross product entirely — at 10^6 queries × 10^6 refs the join
+  strategy would shuffle 10^12 rows; this shuffles 20×10^6.
+
+Post-filters reproduce the reference exactly:
+- keep-first-per-series over score-ordered results
+  (/root/reference/opkatsPatternMatcherUtil.py:182-195)  -> window rank = 1
+- historical-only: the trailing date parsed from the segment id must be
+  <= the query window's start date (:198-207)            -> regexp + filter
+- self-injection at score 1.0, sort desc, display top 10 (:250-252)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOP_K = 20
+DISPLAY_K = 10
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def cosine_score_col(qcol: str, rcol: str):
+    """Cosine similarity as a pure Spark SQL expression over two array cols."""
+    q, r = F.col(qcol), F.col(rcol)
+    dot = _dot(q, r)
+    qn = F.sqrt(_dot(q, q))
+    rn = F.sqrt(_dot(r, r))
+    return F.when((qn > 0) & (rn > 0), dot / (qn * rn)).otherwise(F.lit(0.0))
+
+
+def cosine_topk_join(
+    queries: DataFrame,
+    refs: DataFrame,
+    k: int = TOP_K,
+    query_id: str = "query_id",
+    query_vec: str = "q_features",
+    ref_id: str = "segment_id",
+    ref_vec: str = "features",
+) -> DataFrame:
+    """Declarative top-k: queries × broadcast(refs) -> score -> row_number<=k."""
+    scored = (
+        queries.select(query_id, query_vec)
+        .join(F.broadcast(refs.select(ref_id, ref_vec)))
+        .withColumn("score", cosine_score_col(query_vec, ref_vec))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(ref_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", ref_id, "score")
+    )
+
+
+def cosine_topk_bcast(
+    queries: DataFrame,
+    refs: DataFrame,
+    k: int = TOP_K,
+    query_id: str = "query_id",
+    query_vec: str = "q_features",
+    ref_id: str = "segment_id",
+    ref_vec: str = "features",
+) -> DataFrame:
+    """Scale path: broadcast the ref matrix, matmul per Arrow batch of queries.
+
+    Emits exactly k rows per query — the |Q|×|R| intermediate never exists.
+    Ties broken by ref id ascending (same order as ``cosine_topk_join``).
+    """
+    ref_rows = refs.select(ref_id, ref_vec).collect()
+    ids = np.array([r[0] for r in ref_rows])
+    mat = np.array([r[1] for r in ref_rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms = np.linalg.norm(mat, axis=1)
+    norms = np.where(norms > 0, norms, 1.0)
+    sc = queries.sparkSession.sparkContext
+    b = sc.broadcast((ids, mat, norms))
+
+    kk = k
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r_ids, r_mat, r_norms = b.value
+        n_refs = len(r_ids)
+        take = min(kk, n_refs)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.stack(pdf[query_vec].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn = np.where(qn > 0, qn, 1.0)
+            scores = (q @ r_mat.T) / (qn[:, None] * r_norms[None, :])
+            # top-k by (-score, ref_id): ids are pre-sorted so stable argsort
+            # on -score yields id-ascending tie order
+            part = np.argpartition(-scores, take - 1, axis=1)[:, :take]
+            out_frames = []
+            for i, qid in enumerate(pdf[query_id]):
+                cand = part[i]
+                cand = cand[np.lexsort((cand, -scores[i, cand]))]
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            query_id: qid,
+                            "rank": np.arange(1, take + 1),
+                            ref_id: r_ids[cand],
+                            "score": scores[i, cand],
+                        }
+                    )
+                )
+            yield pd.concat(out_frames, ignore_index=True)
+
+    schema = f"{query_id} string, rank int, {ref_id} string, score double"
+    return queries.select(query_id, query_vec).mapInPandas(op, schema=schema)
+
+
+def keep_first_per_series(
+    matches: DataFrame,
+    query_id: str = "query_id",
+    ref_id: str = "segment_id",
+) -> DataFrame:
+    """P4 dedupe (/root/reference/opkatsPatternMatcherUtil.py:182-195):
+    the reference walks score-ordered results and keeps the first row per
+    parsed series name — ids are '{prefix}_{series}_{d0}_{d1}' (4 parts) or
+    '{series}_{d0}_{d1}' (3 parts)."""
+    parts = F.split(F.col(ref_id), "_")
+    series = F.when(F.size(parts) == 3, parts.getItem(0)).otherwise(parts.getItem(1))
+    w = Window.partitionBy(query_id, series).orderBy(F.asc("rank"))
+    return (
+        matches.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def historical_only(
+    matches: DataFrame,
+    query_start: str | F.Column,
+    ref_id: str = "segment_id",
+) -> DataFrame:
+    """P5 filter (/root/reference/opkatsPatternMatcherUtil.py:198-207): parse
+    the trailing date out of each result id, keep results ending on or before
+    the query window's start date."""
+    final_date = F.to_date(F.element_at(F.split(F.col(ref_id), "_"), -1), "yyyyMMdd")
+    start = F.to_date(F.lit(query_start)) if isinstance(query_start, str) else query_start
+    return matches.filter(final_date <= start)
+
+
+def rerank(matches: DataFrame, query_id: str = "query_id") -> DataFrame:
+    """Recompute dense rank after filters (reference re-sorts at :251)."""
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc("segment_id"))
+    return matches.withColumn("rank", F.row_number().over(w))
+
+
+def match_pipeline(
+    queries: DataFrame,
+    refs: DataFrame,
+    k: int = TOP_K,
+    display_k: int = DISPLAY_K,
+    query_start_col: str = "query_start",
+    strategy: str = "join",
+) -> DataFrame:
+    """Full reference query path E2 (SURVEY.md §3): top-k search -> dedupe per
+    series -> historical-only -> re-rank -> head ``display_k`` per query.
+
+    ``queries`` must carry (query_id, q_features, query_start date col).
+    """
+    topk_fn = cosine_topk_join if strategy == "join" else cosine_topk_bcast
+    matches = topk_fn(queries, refs, k=k)
+    matches = matches.join(
+        queries.select("query_id", query_start_col), "query_id", "left"
+    )
+    matches = keep_first_per_series(matches)
+    matches = historical_only(matches, F.col(query_start_col))
+    matches = rerank(matches.drop(query_start_col))
+    return matches.filter(F.col("rank") <= display_k)

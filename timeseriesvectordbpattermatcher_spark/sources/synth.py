@@ -106,3 +106,59 @@ def synth_seqs(
     else:
         cols = ["doc_id", "n_tok", "source"]
     return df.select(*cols)
+
+
+def synth_ohlcv(
+    spark: SparkSession,
+    n_tickers: int = 8,
+    n_days: int = 1500,
+    seed: int = 42,
+) -> DataFrame:
+    """Reference-shaped OHLCV fixture (FIXTURES.md F2): seeded geometric
+    random walk per ticker, daily rows, high >= max(open, close) >=
+    min(open, close) >= low. Includes one constant-price ticker (must be
+    skipped by the feature kernel per
+    /root/reference/katslib/opkatsDataUtil.py:208-209) and one short ticker
+    (<64 rows -> zero windows per :96).
+
+    Driver-side generation is fine here: this fixture exists for
+    matcher-parity goldens, not for scale (the scale input is ``synth_seqs``).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    frames = []
+    for t in range(n_tickers):
+        name = f"TK{t:02d}"
+        if t == n_tickers - 1:  # short ticker
+            days = 40
+        else:
+            days = n_days
+        dates = pd.date_range("2018-01-02", periods=days, freq="B")
+        if t == n_tickers - 2:  # constant-price ticker
+            close = np.full(days, 50.0)
+            open_ = close.copy()
+            vol = np.full(days, 1e6)
+        else:
+            steps = rng.normal(loc=0.0003, scale=0.02, size=days)
+            close = 100.0 * np.exp(np.cumsum(steps))
+            open_ = close * (1 + rng.normal(0, 0.005, size=days))
+            vol = np.exp(rng.normal(13, 0.5, size=days))
+        hi = np.maximum(open_, close) * (1 + np.abs(rng.normal(0, 0.004, size=days)))
+        lo = np.minimum(open_, close) * (1 - np.abs(rng.normal(0, 0.004, size=days)))
+        frames.append(
+            pd.DataFrame(
+                {
+                    "series_id": name,
+                    "ts": dates,
+                    "open": open_,
+                    "high": hi,
+                    "low": lo,
+                    "close": close,
+                    "volume": vol,
+                }
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    return spark.createDataFrame(pdf)
