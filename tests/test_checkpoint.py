@@ -1,0 +1,102 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesvectordbpattermatcher_spark.operators.retention import expire_partitions, vacuum
+from timeseriesvectordbpattermatcher_spark.operators.rollup import derive_event_ts
+from timeseriesvectordbpattermatcher_spark.plans.checkpoint import RollupJob
+from timeseriesvectordbpattermatcher_spark.sources.snapshot_table import SnapshotTable
+from timeseriesvectordbpattermatcher_spark.sources.synth import synth_seqs
+
+
+def _tiers_as_sets(tiers):
+    out = {}
+    for t, df in tiers.items():
+        cols = ["source", "bucket_ts", "cnt", "sum_n_tok", "min_n_tok", "max_n_tok",
+                "tok_min", "tok_max", "tok_sum"]
+        out[t] = {tuple(r) for r in df.select(*cols).collect()}
+    return out
+
+
+def test_snapshot_table_atomic_overwrite(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    df1 = spark.createDataFrame([("a", "2024-01-01", 1), ("b", "2024-01-01", 2)],
+                                "source string, day string, v int")
+    tbl.overwrite_partitions(df1, ["source", "day"])
+    df2 = spark.createDataFrame([("a", "2024-01-01", 99)], "source string, day string, v int")
+    snap = tbl.overwrite_partitions(df2, ["source", "day"])
+    got = {(r["source"], r["v"]) for r in tbl.read(spark).collect()}
+    assert got == {("a", 99), ("b", 2)}  # only partition a/2024-01-01 replaced
+    assert snap.version == 2
+    assert snap.changed_partitions(1) == ["a/2024-01-01"]
+    assert snap.changed_partitions(0) == ["a/2024-01-01", "b/2024-01-01"]
+
+
+def test_rollup_job_end_to_end(spark, seqs_2k, tmp_path):
+    job = RollupJob(str(tmp_path / "job"))
+    tiers = job.run(spark, derive_event_ts(seqs_2k))
+    assert tiers["1m"].count() > tiers["1h"].count() > tiers["1d"].count() >= 1
+    # audit rows exist for all three stages
+    audit = job.audit.read(spark)
+    stages = {r[0] for r in audit.select("stage").distinct().collect()}
+    assert stages == {"rollup_1m", "rollup_1h", "rollup_1d"}
+    # second run with the same input is a no-op (watermark caught up)
+    v_before = job.tables["1m"].current_snapshot().version
+    job.run(spark, derive_event_ts(seqs_2k))
+    assert job.tables["1m"].current_snapshot().version == v_before
+
+
+def test_resume_after_injected_failure(spark, tmp_path):
+    """FIXTURES.md F5 invariant 5: kill after tier-1 commit, rerun ->
+    identical tables to a single clean run."""
+    seqs = derive_event_ts(synth_seqs(spark, 1500, seed=11))
+    clean = RollupJob(str(tmp_path / "clean"))
+    want = _tiers_as_sets(clean.run(spark, seqs))
+
+    crashed = RollupJob(str(tmp_path / "crashed"))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        crashed.run(spark, seqs, fail_after="1m")
+    assert crashed.tables["1h"].current_snapshot() is None  # crashed before 1h
+    got = _tiers_as_sets(crashed.run(spark, seqs))  # resume
+    assert got == want
+
+
+def test_incremental_run_appends_new_days(spark, tmp_path):
+    """New data for later days must flow through all tiers without
+    recomputing old partitions."""
+    all_seqs = derive_event_ts(synth_seqs(spark, 2000, seed=13))
+    cut = all_seqs.agg(F.percentile_approx(F.col("event_ts").cast("double"), 0.5)).collect()[0][0]
+    first_half = all_seqs.filter(F.col("event_ts").cast("double") <= cut)
+    job = RollupJob(str(tmp_path / "incr"))
+    job.run(spark, first_half)
+    tiers = job.run(spark, all_seqs)  # second run sees the full input
+    want = _tiers_as_sets(RollupJob(str(tmp_path / "oneshot")).run(spark, all_seqs))
+    assert _tiers_as_sets(tiers) == want
+
+
+def test_late_data_propagates_via_full_refresh(spark, tmp_path):
+    seqs = derive_event_ts(synth_seqs(spark, 1000, seed=17))
+    late = seqs.limit(100)
+    job = RollupJob(str(tmp_path / "late"))
+    job.run(spark, seqs.subtract(late))
+    tiers = job.run(spark, seqs, full_refresh=True)
+    want = _tiers_as_sets(RollupJob(str(tmp_path / "late2")).run(spark, seqs))
+    assert _tiers_as_sets(tiers) == want
+
+
+def test_retention_and_vacuum(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "ret"))
+    rows = [("web", f"2024-01-{d:02d}", d) for d in range(1, 11)]
+    df = spark.createDataFrame(rows, "source string, day string, v int")
+    tbl.overwrite_partitions(df, ["source", "day"])
+    dropped = expire_partitions(tbl, horizon_days=3, as_of=dt.date(2024, 1, 10))
+    assert dropped == [f"web/2024-01-{d:02d}" for d in range(1, 7)]
+    kept_days = {r["day"] for r in tbl.read(spark).collect()}
+    assert kept_days == {f"2024-01-{d:02d}" for d in range(7, 11)}
+    n_removed = vacuum(tbl)
+    assert n_removed >= len(dropped)
+    # table still readable after GC
+    assert tbl.read(spark).count() == 4

@@ -1,0 +1,234 @@
+"""Gorilla-style compression codecs: XOR floats + delta-of-delta timestamps.
+
+Implements the published Facebook Gorilla algorithms (Pelkonen et al.,
+VLDB'15, "Gorilla: A Fast, Scalable, In-Memory Time Series Database") —
+no analog exists in the reference repo; this is a north-star requirement
+(BASELINE.json: "Gorilla XOR float / delta-of-delta timestamp compression
+implemented inside pandas-batch UDFs").
+
+Layout
+------
+``encode_xor_floats(values: float64[]) -> bytes``
+    varint count, then first value as raw 64 bits, then per value:
+      '0'                         -> identical to previous (XOR == 0)
+      '10' + meaningful bits      -> fits previous (leading, length) window
+      '11' + 5b lead + 6b len + meaningful bits
+    NaN / ±0.0 / denormals are just bit patterns — roundtrip is bit-exact.
+
+``encode_dod_ints(ts: int64[]) -> bytes``
+    varint count, first ts raw 64 bits, second delta raw 64 bits, then per
+    value delta-of-delta D:
+      '0'            -> D == 0 (regular cadence compresses to 1 bit/point)
+      '10'  + 7b     -> D in [-63, 64]
+      '110' + 9b     -> D in [-255, 256]
+      '1110' + 12b   -> D in [-2047, 2048]
+      '1111' + 64b   -> anything else
+
+The per-segment loop is Python, but it runs *inside* an Arrow batch of a
+``pandas_udf`` (one call per thousands of segments), never per Spark row —
+the contract the input hint demands. The XOR/leading-zero prep is numpy-
+vectorized across the whole segment before the bit-packing walk.
+
+Spark surface: ``xor_encode_udf`` / ``dod_encode_udf`` (array -> binary) and
+the matching decode UDFs (binary -> array), registered in
+``operators/compression.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def getvalue(self) -> bytes:
+        if self.nbits:
+            return bytes(self.buf) + bytes([(self.acc << (8 - self.nbits)) & 0xFF])
+        return bytes(self.buf)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, bits: int) -> int:
+        out = 0
+        pos = self.pos
+        data = self.data
+        for _ in range(bits):
+            byte = data[pos >> 3]
+            out = (out << 1) | ((byte >> (7 - (pos & 7))) & 1)
+            pos += 1
+        self.pos = pos
+        return out
+
+
+def _write_varint(buf: bytearray, n: int) -> None:
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return
+
+
+def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return out, pos
+        shift += 7
+
+
+def encode_xor_floats(values: np.ndarray) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.float64).view(np.uint64)
+    header = bytearray()
+    _write_varint(header, len(v))
+    if len(v) == 0:
+        return bytes(header)
+    w = _BitWriter()
+    w.write(int(v[0]), 64)
+    if len(v) > 1:
+        # numpy prep: XORs and leading/trailing zero counts for the whole array
+        xors = v[1:] ^ v[:-1]
+        prev_lead, prev_len = -1, -1
+        for x in xors.tolist():
+            if x == 0:
+                w.write(0, 1)
+                continue
+            lead = 64 - x.bit_length()
+            if lead > 31:
+                lead = 31  # 5-bit field cap (Gorilla does the same)
+            trail = (x & -x).bit_length() - 1
+            mlen = 64 - lead - trail
+            if prev_lead >= 0 and lead >= prev_lead and (64 - prev_lead - prev_len) <= trail:
+                # fits the previous window: '10' + prev_len meaningful bits
+                w.write(0b10, 2)
+                w.write(x >> (64 - prev_lead - prev_len), prev_len)
+            else:
+                w.write(0b11, 2)
+                w.write(lead, 5)
+                w.write(mlen & 0x3F, 6)  # 64 encodes as 0 (full-width)
+                w.write(x >> trail, mlen)
+                prev_lead, prev_len = lead, mlen
+    return bytes(header) + w.getvalue()
+
+
+def decode_xor_floats(data: bytes) -> np.ndarray:
+    n, pos = _read_varint(data, 0)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out.view(np.float64)
+    r = _BitReader(data[pos:])
+    cur = r.read(64)
+    out[0] = cur
+    lead = length = 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            out[i] = cur
+            continue
+        if r.read(1) == 0:  # '10': reuse window
+            bits = r.read(length)
+            x = bits << (64 - lead - length)
+        else:  # '11': new window
+            lead = r.read(5)
+            length = r.read(6) or 64
+            bits = r.read(length)
+            x = bits << (64 - lead - length)
+        cur ^= x
+        out[i] = cur
+    return out.view(np.float64)
+
+
+# (bits, lo, hi) — two's-complement ranges so encode/decode agree exactly
+_DOD_RANGES = ((7, -64, 63), (9, -256, 255), (12, -2048, 2047))
+
+
+def encode_dod_ints(ts: np.ndarray) -> bytes:
+    t = np.ascontiguousarray(ts, dtype=np.int64)
+    header = bytearray()
+    _write_varint(header, len(t))
+    if len(t) == 0:
+        return bytes(header)
+    w = _BitWriter()
+    w.write(int(t[0]) & ((1 << 64) - 1), 64)
+    if len(t) > 1:
+        deltas = (t[1:].astype(object) - t[:-1].astype(object))  # exact, no overflow
+        w.write(int(deltas[0]) & ((1 << 64) - 1), 64)
+        for i in range(1, len(deltas)):
+            d = int(deltas[i]) - int(deltas[i - 1])
+            if d == 0:
+                w.write(0, 1)
+            elif _DOD_RANGES[0][1] <= d <= _DOD_RANGES[0][2]:
+                w.write(0b10, 2)
+                w.write(d & 0x7F, 7)
+            elif _DOD_RANGES[1][1] <= d <= _DOD_RANGES[1][2]:
+                w.write(0b110, 3)
+                w.write(d & 0x1FF, 9)
+            elif _DOD_RANGES[2][1] <= d <= _DOD_RANGES[2][2]:
+                w.write(0b1110, 4)
+                w.write(d & 0xFFF, 12)
+            else:
+                w.write(0b1111, 4)
+                w.write(d & ((1 << 64) - 1), 64)
+    return bytes(header) + w.getvalue()
+
+
+def _sext(value: int, bits: int) -> int:
+    if value & (1 << (bits - 1)):
+        return value - (1 << bits)
+    return value
+
+
+def decode_dod_ints(data: bytes) -> np.ndarray:
+    n, pos = _read_varint(data, 0)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    # all arithmetic mod 2^64 (encode masks on write): deltas between extreme
+    # int64 values can exceed int64 range, but wrap back to the right value
+    mask = (1 << 64) - 1
+    r = _BitReader(data[pos:])
+    cur = r.read(64)
+    out[0] = _sext(cur, 64)
+    if n > 1:
+        delta = r.read(64)
+        cur = (cur + delta) & mask
+        out[1] = _sext(cur, 64)
+        for i in range(2, n):
+            if r.read(1) == 0:
+                pass
+            elif r.read(1) == 0:
+                delta = (delta + _sext(r.read(7), 7)) & mask
+            elif r.read(1) == 0:
+                delta = (delta + _sext(r.read(9), 9)) & mask
+            elif r.read(1) == 0:
+                delta = (delta + _sext(r.read(12), 12)) & mask
+            else:
+                delta = (delta + r.read(64)) & mask
+            cur = (cur + delta) & mask
+            out[i] = _sext(cur, 64)
+    return out

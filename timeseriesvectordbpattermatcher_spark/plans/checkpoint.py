@@ -1,0 +1,149 @@
+"""Resumable, audited rollup job: snapshot-checkpointed tier cascade.
+
+Orchestrates raw -> 1m -> 1h -> 1d into three SnapshotTables with
+idempotent partition overwrites, per-tier checkpoints, and audit rows —
+the E1 lifecycle of SURVEY.md §3 restated for the north star:
+
+    scan seqs -> derive event_ts -> rollup affected (source, day)
+    partitions -> commit snapshot(1m) -> cascade 1h -> commit -> 1d -> commit
+    -> audit append per tier
+
+Resume + incrementality:
+- The 1m tier checkpoints a raw-input **watermark** (max event_ts fully
+  processed); a rerun recomputes only days carrying rows past it. Late rows
+  behind the watermark are handled by re-running with ``full_refresh=True``
+  (or feeding input through its own snapshot log — out of v1 scope).
+- The 1h/1d tiers are **snapshot-incremental**: each checkpoints the
+  upstream snapshot version it last consumed (``meta.upstream_version``) and
+  recomputes exactly the partitions the upstream rewrote since
+  (``Snapshot.changed_partitions``). This is the Iceberg
+  incremental-read pattern; late data that rewrites an old 1m partition
+  automatically propagates to 1h/1d on the next run.
+- Overwrites are partition-granular and deterministic, so a crash between
+  commits (test hook ``fail_after``) re-converges to the single-run state
+  on rerun (FIXTURES.md F5 invariant 5).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.rollup import cascade, rollup_1m
+from ..plans.audit import AuditLog
+from ..sources.snapshot_table import SnapshotTable
+
+TIERS = ("1m", "1h", "1d")
+
+
+class RollupJob:
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+        self.tables = {t: SnapshotTable(os.path.join(base_dir, f"rollup_{t}")) for t in TIERS}
+        self.audit = AuditLog(os.path.join(base_dir, "audit"))
+
+    def _commit_tier(
+        self,
+        spark: SparkSession,
+        tier: str,
+        df: DataFrame,
+        watermark: str | None,
+        run_id: str,
+        t0: float,
+        meta: dict | None = None,
+    ):
+        table = self.tables[tier]
+        snap = table.overwrite_partitions(
+            df.withColumn("bucket_day", F.to_date("bucket_ts")),
+            ["source", "bucket_day"],
+            run_id=run_id,
+            watermark=watermark,
+            meta=meta,
+        )
+        self.audit.append(
+            spark,
+            run_id=run_id,
+            stage=f"rollup_{tier}",
+            partition_rows={
+                pk: p.get("rows", 0)
+                for pk, p in snap.partitions.items()
+                if p.get("v") == snap.version  # only partitions THIS run wrote
+            },
+            partition_bytes={
+                pk: p.get("bytes", 0)
+                for pk, p in snap.partitions.items()
+                if p.get("v") == snap.version
+            },
+            wall_ms=(time.time() - t0) * 1000.0,
+            snapshot_version=snap.version,
+        )
+        return snap
+
+    def run(
+        self,
+        spark: SparkSession,
+        seqs_ts: DataFrame,
+        run_id: str | None = None,
+        fail_after: str | None = None,
+        full_refresh: bool = False,
+    ) -> dict[str, DataFrame | None]:
+        """Incremental run. ``seqs_ts`` must carry event_ts (derive_event_ts)."""
+        run_id = run_id or uuid.uuid4().hex[:12]
+        new_wm = seqs_ts.agg(F.max("event_ts")).collect()[0][0]
+        if new_wm is not None:
+            wm_str = new_wm.isoformat()
+
+            # ---- tier 1m: recompute affected (source, day) partitions from raw
+            t0 = time.time()
+            snap_1m = self.tables["1m"].current_snapshot()
+            wm_1m = None if (full_refresh or snap_1m is None) else snap_1m.watermark
+            if wm_1m is None or wm_str > wm_1m:
+                new_rows = seqs_ts
+                if wm_1m:
+                    new_rows = new_rows.filter(F.col("event_ts") > F.lit(wm_1m))
+                days = [
+                    r[0].isoformat()
+                    for r in new_rows.select(F.to_date("event_ts").alias("d")).distinct().collect()
+                ]
+                if days:
+                    affected_raw = seqs_ts.filter(F.to_date("event_ts").isin(days))
+                    self._commit_tier(
+                        spark, "1m", rollup_1m(affected_raw), wm_str, run_id, t0
+                    )
+                    if fail_after == "1m":
+                        raise RuntimeError("injected failure after 1m commit")
+
+        # ---- tiers 1h, 1d: snapshot-incremental cascade
+        for tier, src_tier in (("1h", "1m"), ("1d", "1h")):
+            t0 = time.time()
+            src_snap = self.tables[src_tier].current_snapshot()
+            if src_snap is None:
+                continue
+            snap = self.tables[tier].current_snapshot()
+            last_sync = 0 if (full_refresh or snap is None or not snap.meta) else int(
+                snap.meta.get("upstream_version", 0)
+            )
+            changed = src_snap.changed_partitions(last_sync)
+            if not changed:
+                continue
+            days = sorted({pk.split("/")[1] for pk in changed})
+            src_df = self.tables[src_tier].read(spark)
+            affected = src_df.filter(F.to_date("bucket_ts").isin(days)).drop("bucket_day")
+            out = cascade(affected, tier)
+            self._commit_tier(
+                spark,
+                tier,
+                out,
+                src_snap.watermark,
+                run_id,
+                t0,
+                meta={"upstream_version": src_snap.version},
+            )
+            if fail_after == tier:
+                raise RuntimeError(f"injected failure after {tier} commit")
+
+        return {t: self.tables[t].read(spark) for t in TIERS}

@@ -1,0 +1,177 @@
+"""Iceberg-style snapshot table: partitioned parquet + atomic commit log.
+
+The sandbox bundles no ``iceberg-spark-runtime`` jar (SURVEY.md §4.3), so
+this module emulates the three Iceberg behaviors the north star needs, on
+plain parquet:
+
+1. **Atomic snapshot commits** — data files are written to a per-commit
+   directory, then a manifest ``_commits/v{N}.json`` is published with
+   ``os.rename`` (atomic on POSIX). Readers resolve the highest committed
+   version; a crash mid-write leaves only unreferenced orphan files, never a
+   torn table. (Replaces the reference's file-existence memoization at
+   /root/reference/katslib/opkatsDataUtil.py:312-323.)
+2. **Partition-granular overwrite** — a commit replaces the file lists of
+   exactly the partitions it touches; re-running a job over the same input
+   buckets converges to the same table (idempotent resume,
+   BASELINE.json "resumes idempotently from the last committed snapshot
+   checkpoint").
+3. **Snapshot metadata** — each commit records a watermark and per-partition
+   row counts/bytes, which feed the audit table (plans/audit.py) and the
+   checkpoint resume filter (plans/checkpoint.py).
+
+On a real cluster this module swaps for Iceberg's catalog with the same call
+shape (``overwrite_partitions`` ≙ ``INSERT OVERWRITE`` /
+``replaceWhere``); nothing else in the engine knows the difference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_COMMITS = "_commits"
+
+
+@dataclass
+class Snapshot:
+    version: int
+    run_id: str
+    committed_at: float
+    # partition key -> {files, rows, bytes, v: version that last wrote it}
+    partitions: dict[str, dict]
+    watermark: str | None
+    meta: dict | None = None
+
+    def changed_partitions(self, since_version: int) -> list[str]:
+        """Partition keys (re)written by commits newer than ``since_version``
+        — the snapshot-incremental recompute set for downstream tiers."""
+        return sorted(
+            pk for pk, p in self.partitions.items() if p.get("v", self.version) > since_version
+        )
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, _COMMITS), exist_ok=True)
+
+    # ---- commit-log plumbing -------------------------------------------
+    def _versions(self) -> list[int]:
+        out = []
+        for f in os.listdir(os.path.join(self.root, _COMMITS)):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def current_snapshot(self) -> Snapshot | None:
+        vs = self._versions()
+        if not vs:
+            return None
+        with open(os.path.join(self.root, _COMMITS, f"v{vs[-1]}.json")) as fh:
+            d = json.load(fh)
+        return Snapshot(**d)
+
+    def _publish(self, snap: dict) -> None:
+        path = os.path.join(self.root, _COMMITS, f"v{snap['version']}.json")
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(snap, fh)
+        os.rename(tmp, path)  # atomic publish
+
+    # ---- write ----------------------------------------------------------
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        partition_cols: list[str],
+        run_id: str | None = None,
+        watermark: str | None = None,
+        meta: dict | None = None,
+    ) -> Snapshot:
+        """Write ``df`` and commit, replacing exactly the partitions present
+        in ``df``. Partition key = '/'-joined string values of the cols."""
+        run_id = run_id or uuid.uuid4().hex[:12]
+        commit_dir = f"data/c_{run_id}_{uuid.uuid4().hex[:8]}"
+        out_path = os.path.join(self.root, commit_dir)
+        (
+            df.withColumn("_pk", F.concat_ws("/", *[F.col(c).cast("string") for c in partition_cols]))
+            .write.partitionBy("_pk")
+            .parquet(out_path)
+        )
+        # inventory what was written, per partition
+        new_parts: dict[str, dict] = {}
+        for entry in os.listdir(out_path):
+            if not entry.startswith("_pk="):
+                continue
+            # Spark percent-escapes special chars ('/', ':') in partition dirs
+            from urllib.parse import unquote
+
+            pk = unquote(entry[len("_pk=") :])
+            pdir = os.path.join(out_path, entry)
+            files = [
+                os.path.join(commit_dir, entry, f)
+                for f in os.listdir(pdir)
+                if f.endswith(".parquet")
+            ]
+            nbytes = sum(os.path.getsize(os.path.join(self.root, f)) for f in files)
+            nrows = 0
+            for f in files:
+                import pyarrow.parquet as pq
+
+                nrows += pq.read_metadata(os.path.join(self.root, f)).num_rows
+            new_parts[pk] = {"files": files, "bytes": nbytes, "rows": nrows}
+        prev = self.current_snapshot()
+        version = (prev.version + 1) if prev else 1
+        for p in new_parts.values():
+            p["v"] = version
+        partitions = dict(prev.partitions) if prev else {}
+        partitions.update(new_parts)
+        snap = {
+            "version": version,
+            "run_id": run_id,
+            "committed_at": time.time(),
+            "partitions": partitions,
+            "watermark": watermark or (prev.watermark if prev else None),
+            "meta": meta or (prev.meta if prev else None),
+        }
+        self._publish(snap)
+        return Snapshot(**snap)
+
+    def drop_partitions(self, keys: list[str], run_id: str | None = None) -> Snapshot | None:
+        """Retention: publish a snapshot without the given partitions (data
+        files become unreferenced; physical deletion is a separate GC)."""
+        prev = self.current_snapshot()
+        if prev is None:
+            return None
+        partitions = {k: v for k, v in prev.partitions.items() if k not in set(keys)}
+        snap = {
+            "version": prev.version + 1,
+            "run_id": run_id or uuid.uuid4().hex[:12],
+            "committed_at": time.time(),
+            "partitions": partitions,
+            "watermark": prev.watermark,
+            "meta": prev.meta,
+        }
+        self._publish(snap)
+        return Snapshot(**snap)
+
+    # ---- read -----------------------------------------------------------
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        snap = self.current_snapshot()
+        if snap is None or not snap.partitions:
+            return None
+        files = [
+            os.path.join(self.root, f)
+            for p in snap.partitions.values()
+            for f in p["files"]
+        ]
+        return spark.read.parquet(*files).drop("_pk")
+
+    def partition_keys(self) -> list[str]:
+        snap = self.current_snapshot()
+        return sorted(snap.partitions) if snap else []
