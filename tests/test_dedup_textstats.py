@@ -1,0 +1,137 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesvectordbpattermatcher_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from timeseriesvectordbpattermatcher_spark.operators.textstats import (
+    add_fingerprint,
+    add_lang_id,
+    add_quality_score,
+    add_token_counts,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+NEAR = "the quick brown fox jumps over the lazy dog and runs far away today"  # 1 word差
+OTHER = "completely different content about spark query engines and shuffles everywhere"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("d1", BASE),
+        ("d2", BASE),          # exact dup of d1
+        ("d3", NEAR),          # near dup of d1
+        ("d4", OTHER),
+        ("d5", OTHER + " with a small suffix appended here"),
+        ("d6", "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {"d1", "d3", "d4", "d5", "d6"}  # d2 dropped, min-id d1 kept
+
+
+def test_ngram_jaccard_pairs(docs, duck):
+    got = ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert ("d1", "d2") in pairs  # identical -> jaccard 1.0
+    assert ("d1", "d3") in pairs and ("d2", "d3") in pairs  # near dup
+    assert all(p[0] != "d6" and p[1] != "d6" for p in pairs)
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in got}
+    assert j[("d1", "d2")] == 1.0
+    # DuckDB oracle: same relational query
+    duck.register("docs", docs.toPandas())
+    want = duck.sql("""
+      WITH w AS (SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') ws FROM docs),
+      g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] ng
+            FROM w, UNNEST(range(1, len(ws)-1)) t(i) WHERE len(ws) >= 3),
+      sz AS (SELECT doc_id, count(*) sz FROM g GROUP BY 1),
+      inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+                FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT doc_a, doc_b, inter * 1.0 / (sa.sz + sb.sz - inter) jaccard
+      FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.3
+    """).df()
+    want_pairs = {(r.doc_a, r.doc_b) for r in want.itertuples()}
+    assert pairs == want_pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert ("d1", "d2") in pairs
+    assert ("d1", "d3") in pairs or ("d2", "d3") in pairs
+    assert ("d1", "d4") not in pairs
+
+
+def test_minhash_lsh_dedup_transitive(docs):
+    out = minhash_lsh_dedup(docs, threshold=0.5)
+    ids = {r["doc_id"] for r in out.collect()}
+    # cluster {d1,d2,d3} -> survivor d1; d4/d5 may pair (suffix overlap) or not
+    assert "d1" in ids and "d2" not in ids and "d3" not in ids
+    assert "d6" in ids
+
+
+def test_simhash_pairs(docs):
+    # short docs flip more bits per word change: measured d1^d3 hamming = 9
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=12, bands=16).collect()}
+    assert pairs[("d1", "d2")] == 0  # identical text -> identical simhash
+    assert ("d1", "d3") in pairs and pairs[("d1", "d3")] <= 12
+    assert ("d1", "d4") not in pairs  # measured hamming 39
+
+
+def test_token_counts(docs, duck):
+    got = add_token_counts(docs).select("doc_id", "n_tokens_ws", "n_tokens_bpe").toPandas()
+    duck.register("docs", docs.toPandas())
+    want = duck.sql("""
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END n_tokens_ws,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) n_tokens_bpe
+      FROM docs
+    """).df()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    assert (g["n_tokens_ws"] == w["n_tokens_ws"]).all()
+    assert (g["n_tokens_bpe"] == w["n_tokens_bpe"]).all()
+
+
+def test_quality_score_bounds(docs):
+    out = add_quality_score(docs).select("doc_id", "quality", "alpha_ratio").toPandas()
+    assert ((out["quality"] >= 0) & (out["quality"] <= 1)).all()
+    # long clean prose scores above the 4-char fragment
+    q = dict(zip(out["doc_id"], out["quality"]))
+    assert q["d1"] > q["d6"]
+
+
+def test_lang_id(spark):
+    rows = [
+        ("e", "the cat and the dog went to the house that is red"),
+        ("g", "der hund und die katze sind nicht in der stadt mit den kindern"),
+        ("f", "le chat et les chiens sont pour la maison que nous avons"),
+        ("s", "el perro y la casa es una cosa que los gatos tienen por ahora"),
+        ("u", "zzz qqq xxx yyy www"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in add_lang_id(df).collect()}
+    assert got == {"e": "en", "g": "de", "f": "fr", "s": "es", "u": "und"}
+
+
+def test_fingerprint_identity(docs):
+    out = add_fingerprint(docs).select("doc_id", "fingerprint").toPandas()
+    fp = dict(zip(out["doc_id"], out["fingerprint"]))
+    assert fp["d1"] == fp["d2"]  # identical docs share fingerprints
+    assert fp["d1"] != fp["d4"]
+    assert out["fingerprint"].notna().all()

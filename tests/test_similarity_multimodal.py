@@ -1,0 +1,118 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesvectordbpattermatcher_spark.operators.multimodal import (
+    extract_media_features,
+    frame_sample_plan,
+    synth_media,
+)
+from timeseriesvectordbpattermatcher_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_dup_pairs,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def emb_queries(emb):
+    return (
+        emb.limit(5)
+        .select(
+            F.concat(F.lit("q"), F.col("vec_id").cast("string")).alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        .cache()
+    )
+
+
+def test_brute_force_topk_self_hit(emb, emb_queries):
+    out = brute_force_topk(
+        emb_queries, emb, k=3,
+        query_id="query_id", query_vec="q_embedding", ref_id="vec_id", ref_vec="embedding",
+    ).toPandas()
+    # rank-1 of each query is its own vector at score ~1
+    r1 = out[out["rank"] == 1]
+    assert (r1["query_id"].str.lstrip("q").astype(int).values == r1["vec_id"].values).all()
+    assert np.allclose(r1["score"], 1.0, atol=1e-6)
+
+
+def test_lsh_topk_recall(emb, emb_queries):
+    exact = brute_force_topk(
+        emb_queries, emb, k=5,
+        query_id="query_id", query_vec="q_embedding", ref_id="vec_id", ref_vec="embedding",
+    ).toPandas()
+    # random embeddings: top-5 neighbors sit near cos~0.3, so recall needs
+    # wide buckets (4 bits) and many tables — real clustered embeddings
+    # tolerate far tighter settings
+    approx = lsh_topk(
+        emb_queries, emb, k=5, n_bits=4, n_tables=16,
+        query_id="query_id", query_vec="q_embedding", ref_id="vec_id", ref_vec="embedding",
+    ).toPandas()
+    # recall@5 of the approximate search vs brute force
+    recall = 0.0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        recall += len(e & a) / len(e)
+    recall /= exact["query_id"].nunique()
+    assert recall >= 0.6, f"LSH recall@5 too low: {recall}"
+    # self-hit must survive (identical vector collides in every table)
+    r1 = approx[approx["rank"] == 1]
+    assert np.allclose(r1["score"], 1.0, atol=1e-6)
+
+
+def test_cosine_dup_pairs_exact_vs_lsh(spark):
+    rng = np.random.default_rng(4)
+    base = rng.normal(size=(20, 16))
+    rows = []
+    for i in range(20):
+        rows.append((i, base[i].tolist()))
+    # plant near-dups: 100,101 are tiny perturbations of 0,1
+    rows.append((100, (base[0] + rng.normal(0, 0.01, 16)).tolist()))
+    rows.append((101, (base[1] + rng.normal(0, 0.01, 16)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_dup_pairs(df, tau=0.99, exact=True).collect()}
+    assert (0, 100) in exact and (1, 101) in exact
+    approx = {(r["id_a"], r["id_b"]) for r in cosine_dup_pairs(df, tau=0.99, n_tables=8).collect()}
+    assert exact == approx  # near-identical vectors collide in every table
+
+
+def test_media_pipeline(spark):
+    media = synth_media(spark, 30)
+    feats = extract_media_features(media, fake=True).cache()
+    assert feats.count() == 30
+    assert feats.filter("decode_ok = false").count() == 0
+    assert feats.filter(F.size("feat") != 16).count() == 0
+    # determinism: same payload digest -> same features
+    a = feats.orderBy("media_id").collect()
+    b = extract_media_features(media, fake=True).orderBy("media_id").collect()
+    assert [r["feat"] for r in a] == [r["feat"] for r in b]
+    feats.unpersist()
+
+
+def test_media_decode_stub_surfaces(spark):
+    media = synth_media(spark, 6)
+    out = extract_media_features(media, fake=False).collect()
+    assert all(not r["decode_ok"] for r in out)  # stub: flagged, not crashed
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media(spark, 30)
+    plan = frame_sample_plan(media, every_n=5)
+    pdf = plan.toPandas()
+    vids = media.filter("modality='video'").select("media_id", "n_frames").toPandas()
+    for _, row in vids.iterrows():
+        want = list(range(0, row["n_frames"], 5))
+        got = sorted(pdf[pdf.media_id == row["media_id"]]["frame_idx"])
+        assert got == want

@@ -1,0 +1,316 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies over a ``documents(doc_id, text, ...)`` corpus, each chosen
+for a different scale/recall trade-off at 100 TB:
+
+- ``exact_dedup``           hash-groupBy; one shuffle on a 16-byte digest.
+- ``ngram_jaccard_pairs``   exact n-gram Jaccard via self-join on shingles —
+                            quadratic in the worst case, meant for verifying
+                            candidates or small corpora; fully SQL-expressible
+                            (the DuckDB oracle runs the same query).
+- ``minhash_lsh_pairs``     shingle -> k minhashes -> b bands -> bucket
+                            self-join: candidates only collide within a band
+                            bucket, so the join is linear-ish in practice.
+                            Collisions are then *verified* with exact Jaccard.
+- ``simhash_pairs``         64-bit SimHash + banded Hamming lookup.
+- (embedding near-dup lives in operators/similarity.py — cosine ≥ τ pairs.)
+
+All hashing is ``xxhash64`` (JVM-side, codegen'd): no Python in the row
+path; the minhash of a shingle set is ``array_min(transform(shingles,
+s -> xxhash64(s, seed_i)))`` — one expression per permutation.
+
+Dedup keeps the lexicographically smallest doc_id of each duplicate group —
+mirroring the reference's keep-first convention in its result dedupe
+(/root/reference/opkatsPatternMatcherUtil.py:182-195).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# tokenization / shingling (shared, pure Spark expressions)
+# --------------------------------------------------------------------------
+
+
+def words_col(text_col: str = "text"):
+    """Lowercased alphanumeric word array."""
+    cleaned = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    return F.when(cleaned == "", F.array().cast("array<string>")).otherwise(
+        F.split(cleaned, " ")
+    )
+
+
+def ngrams_col(words, n: int = 3):
+    """Word n-gram array from a words array column (JVM-side)."""
+    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id row of every exact-content group.
+
+    One shuffle on md5(text) (16 bytes/row regardless of document size —
+    never shuffle the text itself at scale; the survivor row is recovered
+    with a self-join on the digest).
+    """
+    digest = F.md5(F.col(text_col))
+    survivors = (
+        df.select(F.col(id_col), digest.alias("_h"))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(survivors, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard pairs (oracle-friendly)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All (doc_a < doc_b) pairs with Jaccard(ngram-set) >= threshold.
+
+    Classic shingle self-join: explode distinct n-grams, join on the n-gram,
+    count intersections, derive the union from per-doc set sizes. Every step
+    is relational — the DuckDB oracle runs the semantically identical SQL.
+    """
+    grams = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(ngrams_col(words_col(text_col), n))).alias("ng"))
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.ng") == F.col("b.ng")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signature(df: DataFrame, num_perm: int = 32, n: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      seed: int = 7) -> DataFrame:
+    """(doc_id, minhash array<long>) — one xxhash64 min per permutation."""
+    shingles = F.array_distinct(ngrams_col(words_col(text_col), n))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed + p))))
+            for p in range(num_perm)
+        ]
+    )
+    return df.select(F.col(id_col), F.size(shingles).alias("n_shingles"), sig.alias("minhash")).filter(
+        F.col("n_shingles") > 0
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    verify: bool = True,
+) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification.
+
+    b bands of r = num_perm/b rows; a pair collides if any band's slice of
+    the signatures hashes equal. With b=8, r=4 the collision curve crosses
+    ~(1/b)^(1/r) ≈ 0.59 — tune (bands, num_perm) to the target threshold.
+    At scale the band self-join shuffles only (band_id, band_hash, doc_id).
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sigs = minhash_signature(df, num_perm=num_perm, n=n, text_col=text_col,
+                             id_col=id_col, seed=seed)
+    band_rows = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col("minhash").getItem(bi * r + j) for j in range(r)]
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band", "b.bh")
+    a, b_ = band_rows.alias("a"), band_rows.alias("b")
+    cands = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    if not verify:
+        return cands
+    # exact verification via estimated jaccard from full signatures
+    sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("minhash").alias("mh_a"))
+    sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("minhash").alias("mh_b"))
+    est = (
+        F.size(F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(float(num_perm))
+    )
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("doc_a", "doc_b", "jaccard_est")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, threshold: float = 0.5, id_col: str = "doc_id", **kw
+) -> DataFrame:
+    """Drop near-duplicates: survivor = min doc_id reachable via pair edges.
+
+    Min-id label propagation to a fixpoint (near-dup clusters are tiny, so
+    2-3 iterations suffice; each is one shuffle over the pair edges)."""
+    pairs = minhash_lsh_pairs(df, threshold=threshold, id_col=id_col, **kw).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(3):
+        prop = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy(F.col("doc_a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(prop, "node", "left")
+            .select("node", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
+        )
+    survivors = labels.filter(F.col("node") == F.col("label")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(survivors, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash_col(words, bits: int = 64, seed: int = 11):
+    """64-bit SimHash of a words array as a Spark expression: for each bit,
+    sign of the sum over tokens of ±1 by that token-hash bit."""
+    tok_hash = F.transform(words, lambda w: F.xxhash64(w, F.lit(seed)))
+    bit_cols = []
+    for i in range(bits):
+        contrib = F.aggregate(
+            tok_hash,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(F.when(contrib > 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
+    out = F.lit(0).cast("long")
+    for i, b in enumerate(bit_cols):
+        out = out.bitwiseOR(F.shiftleft(b, i))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 64 bits into ``bands`` chunks; any pair
+    within distance < bands must agree on >= one whole chunk, so the
+    candidate join is an equi-join on (chunk_id, chunk_bits). Verified with
+    exact popcount. bands must be > max_hamming for completeness.
+    """
+    assert bands > max_hamming, "pigeonhole completeness requires bands > max_hamming"
+    width = 64 // bands
+    sh = df.select(F.col(id_col), simhash_col(words_col(text_col), seed=seed).alias("sh"))
+    chunks = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sh"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("cb"),
+                    )
+                    for c in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "sh", "c.chunk", "c.cb")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cb") == F.col("b.cb"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -87,6 +87,8 @@ def cosine_topk_bcast(
     Emits exactly k rows per query — the |Q|×|R| intermediate never exists.
     Ties broken by ref id ascending (same order as ``cosine_topk_join``).
     """
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    rid_type = refs.schema[ref_id].dataType.simpleString()
     ref_rows = refs.select(ref_id, ref_vec).collect()
     ids = np.array([r[0] for r in ref_rows])
     mat = np.array([r[1] for r in ref_rows], dtype=np.float64)
@@ -129,7 +131,7 @@ def cosine_topk_bcast(
                 )
             yield pd.concat(out_frames, ignore_index=True)
 
-    schema = f"{query_id} string, rank int, {ref_id} string, score double"
+    schema = f"{query_id} {qid_type}, rank int, {ref_id} {rid_type}, score double"
     return queries.select(query_id, query_vec).mapInPandas(op, schema=schema)
 
 

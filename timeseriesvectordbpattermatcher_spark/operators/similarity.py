@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, same output shape (query_id, rank, vec_id, score):
+
+- ``brute_force_topk``   exact cosine top-k — reuses the matcher's two
+                         strategies (SQL-expression join / broadcast matmul).
+- ``lsh_topk``           random-hyperplane LSH: bucket by sign-bit prefix,
+                         search only same-bucket candidates (multi-probe via
+                         several independent hash tables). Approximate; scale
+                         path when refs don't fit one executor.
+- ``cosine_dup_pairs``   embedding near-duplicate detection: all pairs with
+                         cosine >= tau via bucketed candidate join.
+
+Hyperplanes are seeded-deterministic (numpy RNG broadcast as literals), so
+results are stable across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .matcher import cosine_score_col, cosine_topk_bcast, cosine_topk_join
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    refs: DataFrame,
+    k: int = 10,
+    strategy: str = "join",
+    query_id: str = "query_id",
+    query_vec: str = "q_embedding",
+    ref_id: str = "vec_id",
+    ref_vec: str = "embedding",
+) -> DataFrame:
+    fn = cosine_topk_join if strategy == "join" else cosine_topk_bcast
+    return fn(queries, refs, k=k, query_id=query_id, query_vec=query_vec,
+              ref_id=ref_id, ref_vec=ref_vec)
+
+
+def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n_tables, n_bits, dim))
+
+
+def _bucket_udf(planes: np.ndarray):
+    """All hash tables' bucket ids in one Arrow-batched matmul.
+
+    planes: (n_tables, n_bits, dim). Returns a pandas_udf mapping an
+    array<float> column to array<long> of length n_tables — one
+    (batch × dim) @ (dim × n_tables·n_bits) product per Arrow batch instead
+    of thousands of codegen'd scalar ops.
+    """
+    n_tables, n_bits, dim = planes.shape
+    flat = planes.reshape(n_tables * n_bits, dim).T  # (dim, T*B)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (mat @ flat) > 0  # (n, T*B)
+        ids = bits.reshape(len(mat), n_tables, n_bits) @ weights  # (n, T)
+        return pd.Series(list(ids.astype(np.int64)))
+
+    return buckets
+
+
+def _with_table_buckets(df: DataFrame, vec_col: str, planes: np.ndarray) -> DataFrame:
+    """Explode to one row per (row, hash table) with its bucket id."""
+    buckets = _bucket_udf(planes)
+    return (
+        df.withColumn("_bkts", buckets(F.col(vec_col)))
+        .select(
+            "*",
+            F.posexplode("_bkts").alias("tbl", "bkt"),
+        )
+        .drop("_bkts")
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    refs: DataFrame,
+    k: int = 10,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 23,
+    query_id: str = "query_id",
+    query_vec: str = "q_embedding",
+    ref_id: str = "vec_id",
+    ref_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = refs sharing any table's bucket with
+    the query; exact cosine re-rank on candidates only.
+
+    Shuffle volume is |rows| × n_tables bucket keys, never |Q|×|R|. Recall
+    rises with n_tables (independent hash tables), precision of the bucket
+    with n_bits. For 100 TB refs this is the partition-pruned path: bucket
+    becomes a partition column and only matching partitions are scanned.
+    """
+    dim = len(refs.select(ref_vec).first()[0])
+    planes = _hyperplanes(dim, n_bits, n_tables, seed)
+    q_b = _with_table_buckets(queries.select(query_id, query_vec), query_vec, planes)
+    r_b = _with_table_buckets(refs.select(ref_id, ref_vec), ref_vec, planes)
+    cands = (
+        q_b.join(r_b, ["tbl", "bkt"])
+        .select(query_id, query_vec, ref_id, ref_vec)
+        .dropDuplicates([query_id, ref_id])
+    )
+    scored = cands.withColumn("score", cosine_score_col(query_vec, ref_vec))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(ref_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", ref_id, "score")
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    tau: float = 0.95,
+    n_bits: int = 8,
+    n_tables: int = 6,
+    seed: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= tau).
+
+    ``exact=True`` skips LSH and does the full self-join (oracle mode, for
+    tests and small corpora); default uses bucketed candidates.
+    """
+    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    if exact:
+        cands = left.join(right, F.col("id_a") < F.col("id_b"))
+    else:
+        dim = len(df.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, n_bits, n_tables, seed)
+        b = _with_table_buckets(df.select(id_col, vec_col), vec_col, planes)
+        ba = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "tbl", "bkt")
+        bb = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "tbl", "bkt")
+        cands = (
+            ba.join(bb, ["tbl", "bkt"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "v_a", "id_b", "v_b")
+        )
+    return (
+        cands.withColumn("score", cosine_score_col("v_a", "v_b"))
+        .filter(F.col("score") >= tau)
+        .select("id_a", "id_b", "score")
+    )
