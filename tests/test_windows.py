@@ -1,0 +1,223 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesvectordbpattermatcher_spark.operators import windows as W
+from timeseriesvectordbpattermatcher_spark.sources.synth import synth_ohlcv
+
+
+@pytest.fixture(scope="module")
+def ohlcv(spark):
+    df = synth_ohlcv(spark, n_tickers=4, n_days=400).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def one_pdf(ohlcv):
+    return ohlcv.filter("series_id='TK00'").orderBy("ts").toPandas()
+
+
+def _col(df, name, series="TK00"):
+    return (
+        df.filter(f"series_id='{series}'").orderBy("ts").select(name).toPandas()[name]
+    )
+
+
+def test_rolling_matches_pandas(ohlcv, one_pdf):
+    got = _col(W.rolling(ohlcv, "close", 20, "avg", out="x"), "x")
+    want = one_pdf["close"].rolling(20).mean()
+    pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-12)
+    got = _col(W.rolling(ohlcv, "high", 10, "max", out="x", shift=1), "x")
+    want = one_pdf["high"].rolling(10).max().shift(1)
+    pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-12)
+
+
+def test_rolling_quantile_exact(ohlcv, one_pdf):
+    got = _col(W.rolling_quantile_exact(ohlcv, "close", 15, 0.25, out="x"), "x")
+    want = one_pdf["close"].rolling(15).quantile(0.25, interpolation="linear")
+    pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-12)
+
+
+def test_pct_change_and_forward_return(ohlcv, one_pdf):
+    got = _col(W.pct_change(ohlcv, "close", 5, out="x"), "x")
+    want = one_pdf["close"].pct_change(5)
+    pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-12)
+    got = _col(W.forward_return(ohlcv, "close", 10, out="x"), "x")
+    want = one_pdf["close"].pct_change(10).shift(-10)
+    pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-12)
+
+
+def test_signal_cross(spark):
+    rows = [("s", i, float(v), 5.0) for i, v in enumerate([3, 4, 6, 7, 5, 4, 6])]
+    df = spark.createDataFrame(rows, "series_id string, ts long, a double, b double")
+    got = W.signal_cross(df, "a", "b").orderBy("ts").select("sig_cross").toPandas()["sig_cross"]
+    # d=[-2,-1,1,2,0,-1,1]: crossing onto exactly b (d=0) emits no signal,
+    # matching the reference's (d*d.shift(1) < 0) formula
+    assert got.tolist() == [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+
+
+def test_rolling_slope(ohlcv, one_pdf):
+    got = _col(W.rolling_slope(ohlcv, "close", 50, out="x"), "x")
+    want = one_pdf["close"].rolling(50).apply(
+        lambda x: np.polyfit(np.arange(len(x)), x, 1)[0]
+    )
+    pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-9)
+
+
+def test_local_extrema(ohlcv, one_pdf):
+    got = W.local_extrema(ohlcv, order=5)
+    gmax = set(
+        r["ts"] for r in got.filter("series_id='TK00' and minmax_type='max'").collect()
+    )
+    # numpy re-implementation of argrelextrema(greater_equal, order, mode='clip')
+    x = one_pdf["high"].to_numpy()
+    idx = [i for i in range(len(x))
+           if all(x[i] >= x[j] for j in range(max(0, i - 5), min(len(x), i + 6)))]
+    want = set(one_pdf["ts"].iloc[idx])
+    # our tag gives max precedence; scipy greater_equal on plateaus marks all
+    assert want == gmax
+
+
+def test_obv(ohlcv, one_pdf):
+    got = _col(W.obv(ohlcv), "obv")
+    sign = np.sign(one_pdf["close"].diff().fillna(0.0))
+    want = (sign * one_pdf["volume"]).cumsum()
+    pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-9)
+
+
+def test_ema_and_atr(ohlcv, one_pdf):
+    got = _col(W.ema(ohlcv, "close", 12, out="x"), "x")
+    want = one_pdf["close"].ewm(span=12, adjust=False).mean()
+    pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-12)
+    got = _col(W.atr(ohlcv, 14), "atr")
+    prev_c = one_pdf["close"].shift(1)
+    tr = pd.concat(
+        [one_pdf["high"] - one_pdf["low"], (one_pdf["high"] - prev_c).abs(), (one_pdf["low"] - prev_c).abs()],
+        axis=1,
+    ).max(axis=1)
+    tr.iloc[0] = one_pdf["high"].iloc[0] - one_pdf["low"].iloc[0]
+    want = tr.ewm(alpha=1 / 14, adjust=False).mean()
+    pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-12)
+
+
+def test_rank_across_keys(ohlcv):
+    ranked = W.rank_across_keys(ohlcv, "close")
+    one_date = ranked.filter(F.col("ts") == ohlcv.agg(F.max("ts")).collect()[0][0])
+    pdf = one_date.orderBy("rs_rank").toPandas()
+    assert pdf["close"].is_monotonic_increasing
+    assert pdf["rs_rank"].iloc[0] == 0.0 and pdf["rs_rank"].iloc[-1] == 1.0
+
+
+def test_resample_ohlcv(ohlcv, one_pdf):
+    out = (
+        W.resample_ohlcv(ohlcv, "7 days")
+        .filter("series_id='TK00'")
+        .orderBy("bucket_ts")
+        .toPandas()
+    )
+    want = (
+        one_pdf.set_index("ts")
+        .resample("7D", origin="epoch")
+        .agg({"open": "first", "high": "max", "low": "min", "close": "last", "volume": "sum"})
+        .dropna()
+    )
+    assert len(out) == len(want)
+    assert np.allclose(out["open"], want["open"]) and np.allclose(out["close"], want["close"])
+    assert np.allclose(out["high"], want["high"]) and np.allclose(out["volume"], want["volume"])
+
+
+def test_sessionize(spark):
+    import datetime as dt
+
+    rows = [("s", dt.datetime(2024, 1, d)) for d in [1, 2, 3, 20, 21, 25]]
+    df = spark.createDataFrame(rows, "series_id string, ts timestamp")
+    got = (
+        W.sessionize(df, gap="interval 10 days").orderBy("ts").select("session_id").toPandas()
+    )
+    assert got["session_id"].tolist() == [1, 1, 1, 2, 2, 2]  # 25th is 4d after 21st
+
+
+def test_remove_overlapping_intervals(spark):
+    import datetime as dt
+
+    rows = [
+        ("s", dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 10)),
+        ("s", dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 8)),   # overlaps -> drop
+        ("s", dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 20)), # starts at prev end -> keep
+        ("s", dt.datetime(2024, 1, 15), dt.datetime(2024, 1, 16)), # overlaps -> drop
+        ("s", dt.datetime(2024, 2, 1), dt.datetime(2024, 2, 5)),   # keep
+    ]
+    df = spark.createDataFrame(rows, "series_id string, start_ts timestamp, end_ts timestamp")
+    got = sorted(r["start_ts"].day for r in W.remove_overlapping_intervals(df).collect())
+    assert got == [1, 10, 1] or got == [1, 1, 10]
+
+
+def test_min_spacing_dedupe(spark):
+    import datetime as dt
+
+    rows = [("s", dt.datetime(2024, 1, d)) for d in [1, 3, 8, 10, 20]]
+    df = spark.createDataFrame(rows, "series_id string, ts timestamp")
+    got = sorted(r["ts"].day for r in W.min_spacing_dedupe(df, "interval 4 days").collect())
+    # vs previous ROW (reference quirk): 3 (gap2) drop; 8 (gap5 from 3) keep;
+    # 10 (gap2 from 8) drop; 20 keep
+    assert got == [1, 8, 20]
+
+
+def test_asof_match_exit(spark):
+    import datetime as dt
+
+    entries = spark.createDataFrame(
+        [("s", dt.datetime(2024, 1, 1)), ("s", dt.datetime(2024, 1, 7))],
+        "series_id string, entry_ts timestamp",
+    )
+    exits = spark.createDataFrame(
+        [("s", dt.datetime(2024, 1, 5)), ("s", dt.datetime(2024, 1, 9))],
+        "series_id string, exit_ts timestamp",
+    )
+    got = {
+        r["entry_ts"].day: (r["matched_exit_ts"].day if r["matched_exit_ts"] else None)
+        for r in W.asof_match_exit(entries, exits).collect()
+    }
+    assert got == {1: 5, 7: 9}
+
+
+def test_time_travel_last_n(ohlcv, one_pdf):
+    got = (
+        W.time_travel_last_n(ohlcv, "2019-01-01", n=64)
+        .filter("series_id='TK00'")
+        .orderBy("ts")
+        .toPandas()
+    )
+    want = one_pdf[one_pdf["ts"] <= "2019-01-01"].iloc[-64:]
+    assert list(got["ts"]) == list(want["ts"])
+
+
+def test_price_by_volume(ohlcv, one_pdf):
+    got = {r["series_id"]: r["snr_level"] for r in W.price_by_volume(ohlcv, 20).collect()}
+    lo, hi = one_pdf["close"].min(), one_pdf["close"].max()
+    bins = np.minimum(((one_pdf["close"] - lo) / ((hi - lo) / 20)).astype(int), 19)
+    vol_by_bin = one_pdf.groupby(bins)["volume"].sum()
+    px_by_bin = one_pdf.groupby(bins)["close"].mean()
+    assert got["TK00"] == pytest.approx(px_by_bin[vol_by_bin.idxmax()])
+
+
+def test_perf_by_year_rollup(spark, duck):
+    rows = [("sigA", y, r) for y, r in [(2020, 0.1), (2020, -0.05), (2021, 0.2), (2021, 0.3)]]
+    df = spark.createDataFrame(rows, "signame string, yr int, fw_ret double")
+    got = W.perf_by_year_rollup(df, year_col="yr", group_cols=["signame"]).toPandas()
+    duck.register("perf", df.toPandas())
+    want = duck.sql("""
+        SELECT signame, coalesce(cast(yr as varchar), 'all') AS "year", avg(fw_ret) ret,
+               count(fw_ret) tcnt, sum(fw_ret) total_ret,
+               avg(CASE WHEN fw_ret > 0 THEN 1.0 ELSE 0.0 END) winrate
+        FROM perf GROUP BY GROUPING SETS ((signame, yr), (signame))
+    """).df()
+    g = got.sort_values(["signame", "year"]).reset_index(drop=True)
+    w = want.sort_values(["signame", "year"]).reset_index(drop=True)
+    assert np.allclose(g["ret"], w["ret"]) and (g["tcnt"] == w["tcnt"]).all()
+    assert set(g["year"]) == {"2020", "2021", "all"}

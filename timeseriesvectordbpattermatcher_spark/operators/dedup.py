@@ -123,16 +123,29 @@ def ngram_jaccard_pairs(
 def minhash_signature(df: DataFrame, num_perm: int = 32, n: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
                       seed: int = 7) -> DataFrame:
-    """(doc_id, minhash array<long>) — one xxhash64 min per permutation."""
-    shingles = F.array_distinct(ngrams_col(words_col(text_col), n))
+    """(doc_id, minhash array<long>) — one xxhash64 min per permutation.
+
+    The shingle array is materialized ONCE (Catalyst does not CSE the
+    ngram subtree across the num_perm expressions — inlining it made this
+    32x more expensive), and each shingle is pre-hashed once; permutations
+    re-mix the single base hash instead of re-hashing the string."""
+    base = df.select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(ngrams_col(words_col(text_col), n)),
+            lambda s: F.xxhash64(s, F.lit(seed)),
+        ).alias("_h"),
+    )
     sig = F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed + p))))
+            F.array_min(F.transform(F.col("_h"), lambda h: F.xxhash64(h, F.lit(seed + p))))
             for p in range(num_perm)
         ]
     )
-    return df.select(F.col(id_col), F.size(shingles).alias("n_shingles"), sig.alias("minhash")).filter(
-        F.col("n_shingles") > 0
+    return (
+        base.withColumn("n_shingles", F.size("_h"))
+        .filter(F.col("n_shingles") > 0)
+        .select(id_col, "n_shingles", sig.alias("minhash"))
     )
 
 

@@ -42,8 +42,12 @@ def _dot(a, b):
 
 
 def cosine_score_col(qcol: str, rcol: str):
-    """Cosine similarity as a pure Spark SQL expression over two array cols."""
-    q, r = F.col(qcol), F.col(rcol)
+    """Cosine similarity as a pure Spark SQL expression over two array cols.
+
+    Arrays are cast to double first: float32 intermediate products would
+    diverge from any double-precision oracle at ~1e-7."""
+    q = F.transform(F.col(qcol), lambda x: x.cast("double"))
+    r = F.transform(F.col(rcol), lambda x: x.cast("double"))
     dot = _dot(q, r)
     qn = F.sqrt(_dot(q, q))
     rn = F.sqrt(_dot(r, r))

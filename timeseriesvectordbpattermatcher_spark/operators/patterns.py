@@ -1,0 +1,229 @@
+"""Pattern state machines over extrema tables (SURVEY.md §2.8).
+
+The reference scans an ordered extrema table with fixed lookback tuples and
+boolean predicates, emitting (pattern, start_ts, end_ts) intervals
+(/root/reference/datalib/extremaPatternLooper.py). Each becomes one Window
+pass: ``lag(value, k)`` / ``lag(minmax_type, k)`` columns + a single boolean
+expression + a time-span guard ``ts - lag(ts, k-1) <= interval`` — one
+shuffle on the series key for the whole pattern family, no Python.
+
+Value column convention: patterns read the extrema price ``px``; callers
+build it to match each reference family's column choice (ihs/hs and the
+high-patterns read Close, the low-patterns read Low — e.g.
+``px = when(minmax_type == 'max', close).otherwise(low)`` for mixed scans).
+
+Documented deviation: the reference's loop ``for i in range(k, len)`` never
+evaluates the window ending at the final extremum (its windows end at
+``i-1`` <= len-2). We include that last window — strictly more complete;
+fixtures pin our semantics and note the reference quirk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# X11 bull/bear label map (/root/reference/datalib/extremaPatternUtil.py:324-337)
+BULL_BEAR = {
+    "ihs": 1, "higher_high_low": 1, "higher_low": 1, "higher_high": 1, "vcp_up": 1,
+    "hs": -1, "lower_high": -1, "lower_low": -1,
+}
+
+
+def _lags(k: int, px: str = "px", type_col: str = "minmax_type",
+          series_col: str = "series_id", ts_col: str = "ts"):
+    """Columns a..(k letters) = px lagged k-1..0 (a oldest), same for types/ts."""
+    w = Window.partitionBy(series_col).orderBy(ts_col)
+    vals = [F.lag(px, k - 1 - i).over(w) for i in range(k)]
+    typs = [F.lag(type_col, k - 1 - i).over(w) for i in range(k)]
+    t0 = F.lag(ts_col, k - 1).over(w)
+    return vals, typs, t0
+
+
+def _emit(df: DataFrame, k: int, name: str, cond: Column, span_days: int,
+          series_col: str = "series_id", ts_col: str = "ts") -> DataFrame:
+    vals, typs, t0 = _lags(k, series_col=series_col, ts_col=ts_col)
+    span_ok = F.col(ts_col) <= t0 + F.expr(f"interval {span_days} days")
+    # materialize the window exprs BEFORE filtering — a select after the
+    # filter would re-evaluate lag() over the matched rows only
+    return (
+        df.withColumn("_start", t0)
+        .withColumn("_c", cond & span_ok & t0.isNotNull())
+        .filter(F.col("_c"))
+        .select(
+            F.col(series_col),
+            F.lit(name).alias("pattern"),
+            F.col("_start").alias("start_ts"),
+            F.col(ts_col).alias("end_ts"),
+            F.lit(BULL_BEAR.get(name, 0)).alias("bullbear"),
+        )
+    )
+
+
+def _pct_close(a: Column, b: Column, tol: float) -> Column:
+    return F.abs(a - b) <= tol * (a + b) / 2
+
+
+def find_ihs_patterns(df: DataFrame, tol_shoulder: float = 0.02,
+                      min_depth: float = 0.03, span_days: int = 150,
+                      series_col: str = "series_id", ts_col: str = "ts") -> DataFrame:
+    """X1 inverse head & shoulders, 5-tuple a,b,c,d,e
+    (/root/reference/datalib/extremaPatternLooper.py:137-165):
+    a<b, c<a, c<e, c<d, e<d, |b-d| <= 2%·mean(b,d), |b-c| >= 3%, type(c)='min'."""
+    (a, b, c, d, e), typs, t0 = _lags(5, series_col=series_col, ts_col=ts_col)
+    cond = (
+        (a < b) & (c < a) & (c < e) & (c < d) & (e < d)
+        & _pct_close(b, d, tol_shoulder)
+        & (F.abs(b - c) >= min_depth * (b + c) / 2)
+        & (typs[2] == "min")
+    )
+    return _emit(df, 5, "ihs", cond, span_days, series_col, ts_col)
+
+
+def find_hs_patterns(df: DataFrame, tol_shoulder: float = 0.02,
+                     min_depth: float = 0.03, span_days: int = 150,
+                     series_col: str = "series_id", ts_col: str = "ts") -> DataFrame:
+    """X2 head & shoulders (/root/reference/datalib/extremaPatternLooper.py:169-201):
+    a>b, c>a, c>e, c>d, e>d, d<b, type(c)='max', |b-c| >= 3%, with anti-flat
+    guards rejecting |a-b| <= 2%·mean(b,d) and |d-e| <= 2%·mean(e,e)."""
+    (a, b, c, d, e), typs, t0 = _lags(5, series_col=series_col, ts_col=ts_col)
+    cond = (
+        (a > b) & (c > a) & (c > e) & (c > d) & (e > d) & (d < b)
+        & (typs[2] == "max")
+        & (F.abs(b - c) >= min_depth * (b + c) / 2)
+        & ~(F.abs(a - b) <= tol_shoulder * (b + d) / 2)  # anti-flat guard 1
+        & ~(F.abs(d - e) <= tol_shoulder * e)  # guard 2 (mean(e,e) == e in ref)
+    )
+    return _emit(df, 5, "hs", cond, span_days, series_col, ts_col)
+
+
+def _monotone_up(vals: list[Column], max_step: float = 0.10) -> Column:
+    cond = F.lit(True)
+    for lo, hi in zip(vals, vals[1:]):
+        cond = cond & (lo < hi) & (hi <= lo * (1 + max_step))
+    return cond
+
+
+def _monotone_down(vals: list[Column], tol_mid: float | None = None) -> Column:
+    cond = F.lit(True)
+    for hi, lo in zip(vals, vals[1:]):
+        cond = cond & (hi > lo)
+    return cond
+
+
+def find_higher_low_patterns(df: DataFrame, span_days: int = 100,
+                             series_col: str = "series_id", ts_col: str = "ts") -> DataFrame:
+    """X4: 4 successive minima strictly ascending
+    (/root/reference/datalib/extremaPatternLooper.py:65-79)."""
+    vals, typs, t0 = _lags(4, series_col=series_col, ts_col=ts_col)
+    all_min = F.lit(True)
+    for t in typs:
+        all_min = all_min & (t == "min")
+    cond = all_min & (vals[0] < vals[1]) & (vals[1] < vals[2]) & (vals[2] < vals[3])
+    return _emit(df.filter(F.col("minmax_type") == "min"), 4, "higher_low",
+                 cond, span_days, series_col, ts_col)
+
+
+def find_higher_high_patterns(df: DataFrame, span_days: int = 100,
+                              series_col: str = "series_id", ts_col: str = "ts") -> DataFrame:
+    """X5: 4 successive maxima strictly ascending (:81-97)."""
+    vals, typs, t0 = _lags(4, series_col=series_col, ts_col=ts_col)
+    all_max = F.lit(True)
+    for t in typs:
+        all_max = all_max & (t == "max")
+    cond = all_max & (vals[0] < vals[1]) & (vals[1] < vals[2]) & (vals[2] < vals[3])
+    return _emit(df.filter(F.col("minmax_type") == "max"), 4, "higher_high",
+                 cond, span_days, series_col, ts_col)
+
+
+def find_lower_high_patterns(df: DataFrame, tol: float = 0.02, span_days: int = 100,
+                             series_col: str = "series_id", ts_col: str = "ts") -> DataFrame:
+    """X6: 4 maxima strictly descending with |b-c| <= 2% (:99-115)."""
+    (a, b, c, d), typs, t0 = _lags(4, series_col=series_col, ts_col=ts_col)
+    all_max = F.lit(True)
+    for t in typs:
+        all_max = all_max & (t == "max")
+    cond = all_max & (a > b) & (b > c) & (c > d) & _pct_close(b, c, tol)
+    return _emit(df.filter(F.col("minmax_type") == "max"), 4, "lower_high",
+                 cond, span_days, series_col, ts_col)
+
+
+def find_lower_low_patterns(df: DataFrame, tol: float = 0.02, span_days: int = 100,
+                            series_col: str = "series_id", ts_col: str = "ts") -> DataFrame:
+    """X7: 4 minima strictly descending with |b-c| <= 2% (:118-134)."""
+    (a, b, c, d), typs, t0 = _lags(4, series_col=series_col, ts_col=ts_col)
+    all_min = F.lit(True)
+    for t in typs:
+        all_min = all_min & (t == "min")
+    cond = all_min & (a > b) & (b > c) & (c > d) & _pct_close(b, c, tol)
+    return _emit(df.filter(F.col("minmax_type") == "min"), 4, "lower_low",
+                 cond, span_days, series_col, ts_col)
+
+
+def find_higher_high_low_patterns(df: DataFrame, max_step: float = 0.10,
+                                  span_days: int = 100,
+                                  series_col: str = "series_id", ts_col: str = "ts") -> DataFrame:
+    """X3: 7-window split by type — highs strictly ascending (step <= +10%),
+    lows strictly ascending (step <= +10%), |#hi - #lo| <= 2, last is 'min'
+    (/root/reference/datalib/extremaPatternLooper.py:9-62). The per-type
+    split inside a positional window needs collect -> filter, done with
+    window collect_lists (arrays stay tiny: 7 elements)."""
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy(ts_col)
+        .rowsBetween(-6, 0)
+    )
+    vals = F.collect_list(F.struct(F.col("minmax_type").alias("t"), F.col("px").alias("v"))).over(w)
+    t0 = F.min(ts_col).over(w)
+    cnt = F.count("*").over(w)
+    highs = F.filter(vals, lambda s: s.getField("t") == F.lit("max"))
+    lows = F.filter(vals, lambda s: s.getField("t") == F.lit("min"))
+    hv = F.transform(highs, lambda s: s.getField("v"))
+    lv = F.transform(lows, lambda s: s.getField("v"))
+
+    def _arr_ascending(arr):
+        pairs = F.zip_with(arr, F.slice(F.concat(arr, F.array(F.lit(None).cast("double"))), 2, 100),
+                           lambda x, y: F.when(y.isNull(), True)
+                           .otherwise((x < y) & (y <= x * (1 + max_step))))
+        return F.forall(pairs, lambda b: b)
+
+    cond = (
+        (cnt == 7)
+        & (F.size(hv) >= 3) & (F.size(lv) >= 3)
+        & (F.abs(F.size(hv) - F.size(lv)) <= 2)
+        & _arr_ascending(hv)
+        & _arr_ascending(lv)
+        & (F.col("minmax_type") == "min")
+        & (F.col(ts_col) <= t0 + F.expr(f"interval {span_days} days"))
+    )
+    return (
+        df.withColumn("_t0", t0).withColumn("_c", cond)
+        .filter("_c")
+        .select(
+            F.col(series_col),
+            F.lit("higher_high_low").alias("pattern"),
+            F.col("_t0").alias("start_ts"),
+            F.col(ts_col).alias("end_ts"),
+            F.lit(BULL_BEAR["higher_high_low"]).alias("bullbear"),
+        )
+    )
+
+
+def all_patterns(extrema: DataFrame, series_col: str = "series_id",
+                 ts_col: str = "ts") -> DataFrame:
+    """X12 screener core: union of every pattern family over one extrema
+    table (/root/reference/datalib/extremaPatternUtil.py:171-322 loops the
+    same families per ticker; here one plan covers all series)."""
+    parts = [
+        find_ihs_patterns(extrema, series_col=series_col, ts_col=ts_col),
+        find_hs_patterns(extrema, series_col=series_col, ts_col=ts_col),
+        find_higher_low_patterns(extrema, series_col=series_col, ts_col=ts_col),
+        find_higher_high_patterns(extrema, series_col=series_col, ts_col=ts_col),
+        find_lower_high_patterns(extrema, series_col=series_col, ts_col=ts_col),
+        find_lower_low_patterns(extrema, series_col=series_col, ts_col=ts_col),
+        find_higher_high_low_patterns(extrema, series_col=series_col, ts_col=ts_col),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
