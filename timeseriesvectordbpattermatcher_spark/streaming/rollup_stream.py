@@ -1,0 +1,114 @@
+"""Structured Streaming variants of the rollup (SURVEY.md §2.10).
+
+The reference has no streaming engine — its incrementality is a shell
+respawn loop (/root/reference/loop_daemon.sh:7-20) plus a RabbitMQ pump
+(/root/reference/bot/rqSessionService.py:30-110). The north star's primary
+mode is batch-incremental (plans/checkpoint.py); this module provides the
+true-streaming equivalents for pipelines that want them:
+
+- ``stream_rollup_1m``    event-time tumbling window + watermark (late rows
+                          beyond the watermark are dropped by the engine;
+                          within it, state updates incrementally).
+- ``stream_running_stats`` ``applyInPandasWithState`` custom stateful
+                          operator: running per-source totals across
+                          micro-batches (the state-store path).
+
+Both read any streaming source; tests use a file source with
+``trigger(availableNow=True)`` so they run bounded and deterministic.
+Checkpointing: pass ``checkpoint`` to ``writeStream`` callers — resume is
+the engine's own offset/state tracking (the streaming analog of our
+snapshot checkpoints).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.rollup import DOC_TS_PATTERN
+
+
+def stream_derive_event_ts(stream: DataFrame, doc_id_col: str = "doc_id") -> DataFrame:
+    return stream.withColumn(
+        "event_ts",
+        F.to_timestamp(F.regexp_extract(F.col(doc_id_col), DOC_TS_PATTERN, 1), "yyyyMMddHHmmss"),
+    )
+
+
+def stream_rollup_1m(
+    stream: DataFrame,
+    watermark: str = "10 minutes",
+    key_col: str = "source",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Windowed continuous aggregate with late-data watermark.
+
+    Same associative stats as the batch tier, so downstream cascading
+    (1h from 1m) re-aggregates streaming output exactly like batch output.
+    """
+    has_tokens = "tokens" in stream.columns
+    aggs = [
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_tok").alias("sum_n_tok"),
+        F.min("n_tok").alias("min_n_tok"),
+        F.max("n_tok").alias("max_n_tok"),
+    ]
+    if has_tokens:
+        stream = (
+            stream.withColumn("tok_min", F.array_min("tokens"))
+            .withColumn("tok_max", F.array_max("tokens"))
+            .withColumn(
+                "tok_sum",
+                F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")),
+            )
+        )
+        aggs += [
+            F.min("tok_min").alias("tok_min"),
+            F.max("tok_max").alias("tok_max"),
+            F.sum("tok_sum").alias("tok_sum"),
+        ]
+    out = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col, F.window(ts_col, "1 minute").getField("start").alias("bucket_ts"))
+        .agg(*aggs)
+    )
+    return out.withColumn("avg_n_tok", F.col("sum_n_tok") / F.col("cnt"))
+
+
+_STATE_SCHEMA = "cnt long, sum_n_tok long"
+_OUT_SCHEMA = "source string, cnt long, sum_n_tok long, avg_n_tok double"
+
+
+def _update_running(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (source,) = key
+    cnt, sum_n = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        cnt += len(pdf)
+        sum_n += int(pdf["n_tok"].sum())
+    state.update((cnt, sum_n))
+    yield pd.DataFrame(
+        {"source": [source], "cnt": [cnt], "sum_n_tok": [sum_n],
+         "avg_n_tok": [sum_n / cnt if cnt else 0.0]}
+    )
+
+
+def stream_running_stats(stream: DataFrame, key_col: str = "source") -> DataFrame:
+    """Custom stateful operator: running totals per source across
+    micro-batches via the state store (applyInPandasWithState)."""
+    return (
+        stream.select(key_col, "n_tok")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _update_running,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
