@@ -660,6 +660,163 @@ def q_codec_roundtrip(spark, sf_dir):
     )
 
 
+def _event_bars(spark, sf_dir):
+    """Hourly OHLC bars per event_type derived from events.value — gives the
+    candle/pattern operators an oracle-checkable input."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("series_id"),
+            F.date_trunc("hour", "ts").alias("ts"),
+        )
+        .agg(
+            F.min_by("value", F.struct("ts", "event_id")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("close"),
+        )
+    )
+
+
+_SQL_BARS = """
+  WITH _o AS (
+    SELECT event_type AS series_id, date_trunc('hour', ts) AS h, value,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM events)
+  SELECT series_id, h AS ts,
+         max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         max(value) AS high, min(value) AS low,
+         max(CASE WHEN rn_d = 1 THEN value END) AS close
+  FROM _o GROUP BY 1, 2
+"""
+
+
+def q_candle_kernels(spark, sf_dir):
+    """W18: doji/engulfing/marubozu kernel scores over event-derived bars."""
+    from timeseriesvectordbpattermatcher_spark.operators.candles import candle_patterns
+
+    bars = _event_bars(spark, sf_dir)
+    out = candle_patterns(bars.withColumn("volume", F.lit(0.0)))
+    return out.select("series_id", "ts", "CDLDOJI", "CDLENGULFING", "CDLMARUBOZU")
+
+
+SQL_CANDLE_KERNELS = f"""
+WITH bars AS ({_SQL_BARS}),
+l AS (
+  SELECT series_id, ts, open, high, low, close,
+         lag(open) OVER w AS o1, lag(close) OVER w AS c1
+  FROM bars WINDOW w AS (PARTITION BY series_id ORDER BY ts))
+SELECT series_id, ts,
+       CASE WHEN (high - low) > 0 AND abs(close - open) <= 0.1 * (high - low)
+            THEN 100 ELSE 0 END AS CDLDOJI,
+       CASE WHEN close > open AND c1 < o1 AND close >= o1 AND open <= c1
+                 AND abs(close - open) > abs(c1 - o1) THEN 100
+            WHEN close < open AND c1 > o1 AND open >= c1 AND close <= o1
+                 AND abs(close - open) > abs(c1 - o1) THEN -100
+            ELSE 0 END AS CDLENGULFING,
+       CASE WHEN close > open AND (high - low) > 0
+                 AND abs(close - open) >= 0.95 * (high - low) THEN 100
+            WHEN close < open AND (high - low) > 0
+                 AND abs(close - open) >= 0.95 * (high - low) THEN -100
+            ELSE 0 END AS CDLMARUBOZU
+FROM l
+"""
+
+
+def q_pattern_higher_low(spark, sf_dir):
+    """X4 lag-tuple pattern over minima of event-derived bars: 4 strictly
+    ascending local minima within 10 days."""
+    from pyspark.sql import Window
+
+    bars = _event_bars(spark, sf_dir)
+    w5 = Window.partitionBy("series_id").orderBy("ts").rowsBetween(-2, 2)
+    minima = (
+        bars.withColumn("is_min", F.col("low") == F.min("low").over(w5))
+        .filter("is_min")
+        .select("series_id", "ts", F.col("low").alias("px"))
+    )
+    w = Window.partitionBy("series_id").orderBy("ts")
+    a, b, c = F.lag("px", 3).over(w), F.lag("px", 2).over(w), F.lag("px", 1).over(w)
+    t0 = F.lag("ts", 3).over(w)
+    out = (
+        minima.withColumn("start_ts", t0)
+        .withColumn(
+            "_c",
+            (a < b) & (b < c) & (c < F.col("px"))
+            & t0.isNotNull()
+            & (F.col("ts") <= t0 + F.expr("interval 10 days")),
+        )
+        .filter("_c")
+    )
+    return out.select(
+        "series_id", "start_ts", F.col("ts").alias("end_ts"), F.round("px", _R).alias("px")
+    )
+
+
+SQL_PATTERN_HIGHER_LOW = f"""
+WITH bars AS ({_SQL_BARS}),
+m AS (
+  SELECT series_id, ts, low AS px,
+         low = min(low) OVER (PARTITION BY series_id ORDER BY ts
+                              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS is_min
+  FROM bars),
+mm AS (SELECT series_id, ts, px FROM m WHERE is_min),
+lagged AS (
+  SELECT series_id, ts, px,
+         lag(px, 3) OVER w AS a, lag(px, 2) OVER w AS b, lag(px, 1) OVER w AS c,
+         lag(ts, 3) OVER w AS t0
+  FROM mm WINDOW w AS (PARTITION BY series_id ORDER BY ts))
+SELECT series_id, t0 AS start_ts, ts AS end_ts, round(px, {_R}) AS px
+FROM lagged
+WHERE a < b AND b < c AND c < px AND t0 IS NOT NULL
+  AND ts <= t0 + INTERVAL 10 days
+"""
+
+
+def q_ivf_ann(spark, sf_dir):
+    """Similarity: IVF coarse-quantizer ANN top-3 (rows-only: quantizer
+    training is iterative numpy, not SQL)."""
+    from timeseriesvectordbpattermatcher_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return ivf_topk(q, emb, k=3, n_lists=8, nprobe=4,
+                    query_id="query_id", query_vec="q_embedding",
+                    ref_id="vec_id", ref_vec="embedding")
+
+
+def q_box_detection(spark, sf_dir):
+    """X13 boxes + X8 VCP over the deterministic OHLCV fixture (rows-only:
+    ATR is a recursive kernel)."""
+    from timeseriesvectordbpattermatcher_spark.operators.boxes import detect_boxes
+    from timeseriesvectordbpattermatcher_spark.sources.synth import synth_ohlcv
+
+    ohlcv = synth_ohlcv(spark, n_tickers=4, n_days=700)
+    return detect_boxes(ohlcv)
+
+
+def q_trend_range(spark, sf_dir):
+    """X15 trend-range search over the OHLCV fixture (rows-only)."""
+    import datetime as dt
+
+    from timeseriesvectordbpattermatcher_spark.operators.trends import (
+        find_trend_range_extended,
+    )
+    from timeseriesvectordbpattermatcher_spark.sources.synth import synth_ohlcv
+
+    ohlcv = synth_ohlcv(spark, n_tickers=3, n_days=600)
+    anchors = spark.createDataFrame(
+        [("TK00", dt.datetime(2019, 6, 3)), ("TK01", dt.datetime(2019, 9, 2))],
+        "series_id string, anchor_ts timestamp",
+    )
+    return find_trend_range_extended(ohlcv, anchors)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -686,12 +843,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "candle_kernels": q_candle_kernels,
+        "pattern_higher_low": q_pattern_higher_low,
         # non-SQL-expressible (rows-only checks)
         "token_segmentation": q_token_segmentation,
         "matcher_pipeline": q_matcher_pipeline,
         "minhash_lsh": q_minhash_lsh,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "codec_roundtrip": q_codec_roundtrip,
+        "box_detection": q_box_detection,
+        "trend_range": q_trend_range,
     }
 
 
@@ -716,4 +878,6 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": SQL_FINGERPRINT,
         "cosine_topk": SQL_COSINE_TOPK,
         "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
+        "candle_kernels": SQL_CANDLE_KERNELS,
+        "pattern_higher_low": SQL_PATTERN_HIGHER_LOW,
     }

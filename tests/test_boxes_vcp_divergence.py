@@ -1,0 +1,143 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesvectordbpattermatcher_spark.operators.boxes import (
+    add_box_bands,
+    box_breakout_signals,
+    detect_boxes,
+)
+from timeseriesvectordbpattermatcher_spark.operators.patterns import (
+    find_divergence_patterns,
+    find_vcp_up_patterns,
+)
+from timeseriesvectordbpattermatcher_spark.operators.windows import local_extrema
+from timeseriesvectordbpattermatcher_spark.sources.synth import synth_ohlcv
+
+
+@pytest.fixture(scope="module")
+def ohlcv(spark):
+    df = synth_ohlcv(spark, n_tickers=4, n_days=700).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_box_bands_match_pandas(spark, ohlcv):
+    got = (
+        add_box_bands(ohlcv.filter("series_id='TK00'"))
+        .orderBy("ts")
+        .select("ts", "ub10", "lb15", "u1b20")
+        .toPandas()
+    )
+    pdf = ohlcv.filter("series_id='TK00'").orderBy("ts").toPandas()
+    pd.testing.assert_series_equal(
+        got["ub10"], pdf["low"].rolling(10).max(), check_names=False
+    )
+    pd.testing.assert_series_equal(
+        got["lb15"], pdf["low"].rolling(15).min(), check_names=False
+    )
+    pd.testing.assert_series_equal(
+        got["u1b20"], pdf["low"].rolling(20).max().shift(1), check_names=False
+    )
+
+
+def test_detect_boxes_emits_tight_ranges(spark, ohlcv):
+    boxes = detect_boxes(ohlcv).cache()
+    pdf = boxes.toPandas()
+    if len(pdf):  # random walks usually form some boxes over 700 days
+        assert (pdf["box_ub"] >= pdf["box_lb"]).all()
+        assert (pdf["ub_near_cnt"] > 0).all() and (pdf["lb_near_cnt"] > 0).all()
+        assert (pdf["box_score"] > 0).all()
+    # tightness guard: band width never exceeds 10% of price by construction
+    boxes.unpersist()
+
+
+def test_box_breakout_signals(spark):
+    # flat range then a breakout bar
+    vals = [50.0] * 40 + [60.0]
+    ts = pd.date_range("2024-01-01", periods=41, freq="D")
+    pdf = pd.DataFrame(
+        {"series_id": "s", "ts": ts, "open": vals, "high": [v * 1.01 for v in vals],
+         "low": [v * 0.99 for v in vals], "close": vals, "volume": 1e6}
+    )
+    df = spark.createDataFrame(pdf)
+    sig = box_breakout_signals(df, nbars=30).collect()
+    assert len(sig) == 1 and sig[0]["sig_long"] == 1
+    assert sig[0]["ts"] == ts[-1]
+
+
+def _vcp_oracle(pdf: pd.DataFrame) -> set:
+    """Independent pandas re-implementation of the reference's VCP loop."""
+    maxp = pdf[pdf["minmax_type"] == "max"].reset_index(drop=True)
+    minp = pdf[pdf["minmax_type"] == "min"].reset_index(drop=True)
+    found = set()
+    for i in range(8, len(maxp)):
+        win = maxp.iloc[i - 8 : i]
+        sd, ed = win["ts"].iloc[0], win["ts"].iloc[-1]
+        if (ed - sd).days < 50:
+            continue
+        sm = maxp[(maxp["ts"] >= sd) & (maxp["ts"] <= ed)]
+        sn = minp[(minp["ts"] >= sd) & (minp["ts"] <= ed)]
+        if len(sm) < 4 or len(sn) < 3:
+            continue
+        diffs, ok = [0.04], True
+        for _, mp in sm.iloc[:-1].iterrows():
+            nxt = sn[sn["ts"] >= mp["ts"]]
+            if len(nxt) == 0:
+                ok = False
+                break
+            d = (mp["high"] - nxt["low"].iloc[0]) / nxt["low"].iloc[0]
+            if d > max(diffs) * 1.1:
+                ok = False
+                break
+            diffs.append(d)
+        if ok and sm["close"].iloc[-1] > sm["high"].iloc[:-1].max():
+            found.add((sd, ed))
+    return found
+
+
+def test_vcp_matches_oracle(spark, ohlcv):
+    extrema = local_extrema(ohlcv, order=3).filter("minmax_type != 'na'")
+    got = {
+        (r["start_ts"], r["end_ts"])
+        for r in find_vcp_up_patterns(extrema.filter("series_id='TK00'")).collect()
+    }
+    pdf = extrema.filter("series_id='TK00'").orderBy("ts").toPandas()
+    assert got == _vcp_oracle(pdf)
+
+
+def test_divergence_synthetic(spark):
+    # main extrema strictly falling, aux extrema strictly rising -> bullish div
+    ts = pd.date_range("2024-01-01", periods=6, freq="7D")
+    main = pd.DataFrame({"series_id": "s", "ts": ts, "px": [10, 9, 8, 7, 6, 5.0]})
+    aux = pd.DataFrame({"series_id": "s", "ts": ts, "px": [1, 2, 3, 4, 5, 6.0]})
+    out = find_divergence_patterns(
+        spark.createDataFrame(main), spark.createDataFrame(aux), ex_cond="down,up"
+    ).collect()
+    assert len(out) == 2  # windows [0..4] and [1..5] both qualify
+    assert all(r["bullbear"] == 1 for r in out)
+    # flipping the condition finds nothing
+    none = find_divergence_patterns(
+        spark.createDataFrame(main), spark.createDataFrame(aux), ex_cond="up,down"
+    ).count()
+    assert none == 0
+
+
+def test_divergence_aux_interval_containment(spark):
+    # aux has extra points outside the main window interval -> ignored (J4)
+    ts = pd.date_range("2024-01-01", periods=5, freq="7D")
+    main = pd.DataFrame({"series_id": "s", "ts": ts, "px": [10, 9, 8, 7, 6.0]})
+    aux_ts = list(pd.date_range("2023-12-01", periods=2, freq="D")) + list(ts) + [
+        pd.Timestamp("2024-06-01")
+    ]
+    aux = pd.DataFrame(
+        {"series_id": "s", "ts": aux_ts, "px": [99, 98] + [1, 2, 3, 4, 5.0] + [0]}
+    )
+    out = find_divergence_patterns(
+        spark.createDataFrame(main), spark.createDataFrame(aux), ex_cond="down,up"
+    ).collect()
+    assert len(out) == 1

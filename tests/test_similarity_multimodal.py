@@ -116,3 +116,38 @@ def test_frame_sample_plan(spark):
         want = list(range(0, row["n_frames"], 5))
         got = sorted(pdf[pdf.media_id == row["media_id"]]["frame_idx"])
         assert got == want
+
+
+def test_ivf_topk_recall(spark, emb, emb_queries):
+    from timeseriesvectordbpattermatcher_spark.operators.similarity import ivf_topk
+
+    exact = brute_force_topk(
+        emb_queries, emb, k=5,
+        query_id="query_id", query_vec="q_embedding", ref_id="vec_id", ref_vec="embedding",
+    ).toPandas()
+    approx = ivf_topk(
+        emb_queries, emb, k=5, n_lists=8, nprobe=4,
+        query_id="query_id", query_vec="q_embedding", ref_id="vec_id", ref_vec="embedding",
+    ).toPandas()
+    recall = 0.0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        recall += len(e & a) / len(e)
+    recall /= exact["query_id"].nunique()
+    # probing half the lists on random data should recover well over half
+    assert recall >= 0.5, f"IVF recall@5 too low: {recall}"
+    # self-hit survives: the query's own vector lands in its top-1 probe list
+    r1 = approx[approx["rank"] == 1]
+    import numpy as np
+    assert np.allclose(r1["score"], 1.0, atol=1e-6)
+
+
+def test_ivf_determinism(spark, emb, emb_queries):
+    from timeseriesvectordbpattermatcher_spark.operators.similarity import ivf_topk
+
+    a = ivf_topk(emb_queries, emb, k=3, query_id="query_id", query_vec="q_embedding",
+                 ref_id="vec_id", ref_vec="embedding").orderBy("query_id", "rank").collect()
+    b = ivf_topk(emb_queries, emb, k=3, query_id="query_id", query_vec="q_embedding",
+                 ref_id="vec_id", ref_vec="embedding").orderBy("query_id", "rank").collect()
+    assert a == b

@@ -1,0 +1,66 @@
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from timeseriesvectordbpattermatcher_spark.operators.trends import (
+    find_trend_range,
+    find_trend_range_extended,
+)
+from timeseriesvectordbpattermatcher_spark.sources.synth import synth_ohlcv
+
+
+def _pandas_trend_range(pdf, anchor, span_days, trend="up"):
+    """Oracle mirroring the reference's slice + idxmin/idxmax logic."""
+    ts = pd.Timestamp(anchor)
+    td = pd.Timedelta(days=span_days)
+    sub = pdf[(pdf["ts"] >= ts - td) & (pdf["ts"] <= ts + td)]
+    pre = sub[sub["ts"] <= ts]
+    post = sub[sub["ts"] >= ts]
+    if trend == "up":
+        idmin = pre.loc[pre["close"].idxmin(), "ts"]
+        idmax = post.loc[post["close"].idxmax(), "ts"]
+    else:
+        idmax = pre.loc[pre["close"].idxmax(), "ts"]
+        idmin = post.loc[post["close"].idxmin(), "ts"]
+    pmin = float(pdf.loc[pdf["ts"] == idmin, "close"].iloc[0])
+    pmax = float(pdf.loc[pdf["ts"] == idmax, "close"].iloc[0])
+    if idmax > idmin:
+        return ("up", idmin, idmax, pmax / pmin - 1)
+    return ("down", idmax, idmin, pmin / pmax - 1)
+
+
+@pytest.fixture(scope="module")
+def ohlcv(spark):
+    df = synth_ohlcv(spark, n_tickers=3, n_days=600).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_trend_range_matches_oracle(spark, ohlcv):
+    anchors = spark.createDataFrame(
+        [("TK00", pd.Timestamp("2019-06-03").to_pydatetime()), ("TK01", pd.Timestamp("2019-09-02").to_pydatetime())],
+        "series_id string, anchor_ts timestamp",
+    )
+    got = {r["series_id"]: r for r in find_trend_range(ohlcv, anchors, span_days=120).collect()}
+    for sid, anchor in [("TK00", "2019-06-03"), ("TK01", "2019-09-02")]:
+        pdf = ohlcv.filter(f"series_id='{sid}'").orderBy("ts").toPandas()
+        trend, start, end, pct = _pandas_trend_range(pdf, anchor, 120)
+        g = got[sid]
+        assert g["trend"] == trend
+        assert g["trendstart"] == start and g["trendend"] == end
+        assert g["pct_chg"] == pytest.approx(pct)
+
+
+def test_trend_range_extended_improves_or_stops(spark, ohlcv):
+    anchors = spark.createDataFrame(
+        [("TK00", pd.Timestamp("2019-06-03").to_pydatetime())], "series_id string, anchor_ts timestamp"
+    )
+    best = find_trend_range_extended(ohlcv, anchors).collect()
+    assert len(best) == 1
+    b = best[0]
+    # the chosen span must beat the starting span (or be it)
+    base = find_trend_range(ohlcv, anchors, span_days=20).collect()[0]
+    if b["span_days"] > 20 and b["trend"] == base["trend"] == "up":
+        assert b["pct_chg"] >= base["pct_chg"]

@@ -1,0 +1,163 @@
+"""X13 box detection + breakout signals (reference: datalib/extremaPlotter.py).
+
+Faithful Spark restatement of the reference's multi-horizon band-agreement
+box detector:
+
+- bands (/root/reference/datalib/extremaPlotter.py:560-574): for n in the
+  day list, ``ub{n} = Low.rolling(n).max()``, ``lb{n} = Low.rolling(n).min()``
+  and 1-shifted variants ``u1b{n}/l1b{n}``; ``atr = ATR(25)``.
+- detection (:10-120): at a date x, count (n2, n1>n2) combos where the short
+  band sits at/beyond the shifted long band within 3%; box_score adds 0.1001
+  per upper hit and 0.1000001 per lower hit; tightness guard rejects
+  ``atr > band_width`` or ``band_width/price > 10%``.
+- reference quirk preserved: ``ub_near_cnt``/``lb_near_cnt`` are RESET at
+  each outer n2 iteration (:36,:59), so the final counts only reflect the
+  last n2 (=15); ``recent_max``/``recent_min`` are the band values of the
+  last matching combo in loop order.
+- breakout signal (:576-604): Close crossing yesterday's nbars-high (long)
+  / nbars-low (short).
+
+Everything is pure window expressions — one pass, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .tradesim import psar  # noqa: F401  (re-export convenience)
+from .windows import _frame, _w, true_range
+
+DAY_LIST = [10, 15, 20, 25, 30]
+UB_N2 = [10, 15]
+UB_N1 = [15, 20, 25, 30]
+LB_N1 = [10, 15, 20, 25, 30]
+DELTA_TH = 0.03
+
+
+def add_box_bands(
+    df: DataFrame,
+    day_list: list[int] = DAY_LIST,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    out = df
+    for n in day_list:
+        w0 = _frame(series_col, ts_col, n)
+        w1 = _frame(series_col, ts_col, n, shift=1)
+        # pandas min_periods semantics: null until the window is full
+        full0 = F.count("low").over(w0) >= n
+        full1 = F.count("low").over(w1) >= n
+        out = (
+            out.withColumn(f"ub{n}", F.when(full0, F.max("low").over(w0)))
+            .withColumn(f"lb{n}", F.when(full0, F.min("low").over(w0)))
+            .withColumn(f"u1b{n}", F.when(full1, F.max("low").over(w1)))
+            .withColumn(f"l1b{n}", F.when(full1, F.min("low").over(w1)))
+        )
+    # ATR(25), RMA — reuse the grouped-map kernel
+    from .windows import atr as _atr
+
+    out = _atr(out, 25, out="atr", series_col=series_col, ts_col=ts_col)
+    return out
+
+
+def detect_boxes(
+    df: DataFrame,
+    delta_th: float = DELTA_TH,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row per (series, ts) where a tight box is detected."""
+    banded = add_box_bands(df, series_col=series_col, ts_col=ts_col)
+
+    ub_combos = [(n2, n1) for n2 in UB_N2 for n1 in UB_N1 if n1 > n2]
+    lb_combos = [(n2, n1) for n2 in UB_N2 for n1 in LB_N1 if n1 > n2]
+
+    def near(cond_col, short_b, long_b):
+        return cond_col & (F.abs(short_b - long_b) / long_b < delta_th)
+
+    # score accumulates over ALL combos; near counts only over the last n2
+    score = F.lit(0.0)
+    for n2, n1 in ub_combos:
+        hit = banded[f"ub{n2}"] >= banded[f"u1b{n1}"]
+        score = score + F.when(near(hit, banded[f"ub{n2}"], banded[f"u1b{n1}"]), 0.1001).otherwise(0.0)
+    for n2, n1 in lb_combos:
+        hit = banded[f"lb{n2}"] <= banded[f"l1b{n1}"]
+        score = score + F.when(near(hit, banded[f"lb{n2}"], banded[f"l1b{n1}"]), 0.1000001).otherwise(0.0)
+
+    last_n2 = UB_N2[-1]
+    ub_near = sum(
+        (
+            F.when(
+                near(banded[f"ub{last_n2}"] >= banded[f"u1b{n1}"], banded[f"ub{last_n2}"], banded[f"u1b{n1}"]),
+                1,
+            ).otherwise(0)
+            for n1 in UB_N1
+            if n1 > last_n2
+        ),
+        F.lit(0),
+    )
+    lb_near = sum(
+        (
+            F.when(
+                near(banded[f"lb{last_n2}"] <= banded[f"l1b{n1}"], banded[f"lb{last_n2}"], banded[f"l1b{n1}"]),
+                1,
+            ).otherwise(0)
+            for n1 in LB_N1
+            if n1 > last_n2
+        ),
+        F.lit(0),
+    )
+
+    # recent_max/min: band value of the LAST matching combo in loop order
+    recent_max = F.lit(None).cast("double")
+    for n2, n1 in ub_combos:  # later combos override -> build forward
+        recent_max = F.when(
+            banded[f"ub{n2}"] >= banded[f"u1b{n1}"], banded[f"ub{n2}"]
+        ).otherwise(recent_max)
+    recent_min = F.lit(None).cast("double")
+    for n2, n1 in lb_combos:
+        recent_min = F.when(
+            banded[f"lb{n2}"] <= banded[f"l1b{n1}"], banded[f"lb{n2}"]
+        ).otherwise(recent_min)
+
+    band_width = recent_max - recent_min
+    tight = (F.col("atr") <= band_width) & (band_width / F.col("close") <= 0.1)
+
+    out = (
+        banded.withColumn("box_score", score)
+        .withColumn("ub_near_cnt", ub_near)
+        .withColumn("lb_near_cnt", lb_near)
+        .withColumn("box_ub", recent_max)
+        .withColumn("box_lb", recent_min)
+        .withColumn(
+            "is_box",
+            (F.col("ub_near_cnt") > 0)
+            & (F.col("lb_near_cnt") > 0)
+            & recent_max.isNotNull()
+            & recent_min.isNotNull()
+            & tight,
+        )
+    )
+    return out.filter("is_box").select(
+        series_col, ts_col, "box_ub", "box_lb", "box_score", "ub_near_cnt", "lb_near_cnt", "atr"
+    )
+
+
+def box_breakout_signals(
+    df: DataFrame,
+    nbars: int = 30,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Breakout entries (/root/reference/datalib/extremaPlotter.py:576-593):
+    long when Close > yesterday's nbars-high, short when Close < yesterday's
+    nbars-low."""
+    ub = F.max("high").over(_frame(series_col, ts_col, nbars, shift=1))
+    lb = F.min("low").over(_frame(series_col, ts_col, nbars, shift=1))
+    return (
+        df.withColumn("sig_long", (F.col("close") > ub).cast("int"))
+        .withColumn("sig_short", (F.col("close") < lb).cast("int"))
+        .filter((F.col("sig_long") == 1) | (F.col("sig_short") == 1))
+        .select(series_col, ts_col, "close", "sig_long", "sig_short")
+    )

@@ -227,3 +227,147 @@ def all_patterns(extrema: DataFrame, series_col: str = "series_id",
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# X8: VCP (volatility-contraction) breakout — sequential running-max check
+# ---------------------------------------------------------------------------
+
+VCP_SCHEMA = "series_id string, pattern string, start_ts timestamp, end_ts timestamp, bullbear int"
+
+
+def find_vcp_up_patterns(
+    extrema: "DataFrame",
+    span_min_days: int = 50,
+    max_cap: int | None = None,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+) -> "DataFrame":
+    """X8 (/root/reference/datalib/extremaPatternLooper.py:247-272 +
+    check_low_vol_breakup :205-245): scan 8-windows of maxima; within
+    [start, end] need >=4 maxima and >=3 minima; walking max->next-min
+    ranges (high-low)/low must never exceed 1.1x the running max range
+    (seeded 0.04); the final maximum's close must break above all previous
+    maxima's highs.
+
+    Sequential running-max per window -> grouped-map per series (extrema
+    tables are ~5% of raw rows; parallel across series). ``max_cap``
+    reproduces the reference's early-exit after >5 patterns (T4,
+    order-dependent — off by default, fixtures pin the uncapped set)."""
+    import pandas as pd
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        sid = pdf[series_col].iloc[0]
+        maxp = pdf[pdf["minmax_type"] == "max"].reset_index(drop=True)
+        minp = pdf[pdf["minmax_type"] == "min"].reset_index(drop=True)
+        rows = []
+        size = 8
+        for i in range(size, len(maxp)):
+            win = maxp.iloc[i - size : i]
+            sd, ed = win[ts_col].iloc[0], win[ts_col].iloc[-1]
+            if (ed - sd).days < span_min_days:
+                continue
+            sub_max = maxp[(maxp[ts_col] >= sd) & (maxp[ts_col] <= ed)]
+            sub_min = minp[(minp[ts_col] >= sd) & (minp[ts_col] <= ed)]
+            if len(sub_max) < 4 or len(sub_min) < 3:
+                continue
+            diffs = [0.04]
+            ok = True
+            for _, mp in sub_max.iloc[:-1].iterrows():
+                nxt = sub_min[sub_min[ts_col] >= mp[ts_col]]
+                if len(nxt) == 0:
+                    ok = False
+                    break
+                d = (mp["high"] - nxt["low"].iloc[0]) / nxt["low"].iloc[0]
+                if d > max(diffs) * 1.1:
+                    ok = False
+                    break
+                diffs.append(d)
+            if not ok:
+                continue
+            if sub_max["close"].iloc[-1] > sub_max["high"].iloc[:-1].max():
+                rows.append((sid, "vcp_up", sd, ed, 1))
+                if max_cap is not None and len(rows) > max_cap:
+                    break
+        return pd.DataFrame(rows, columns=["series_id", "pattern", "start_ts", "end_ts", "bullbear"])
+
+    return extrema.groupBy(series_col).applyInPandas(per_series, schema=VCP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# X9/X10: divergence — main extrema monotone one way, aux indicator extrema
+# inside the same interval monotone the other way (cogrouped map, J4 join)
+# ---------------------------------------------------------------------------
+
+DIV_SCHEMA = (
+    "series_id string, pattern string, start_ts timestamp, end_ts timestamp, bullbear int"
+)
+
+
+def find_divergence_patterns(
+    main_extrema: "DataFrame",
+    aux_extrema: "DataFrame",
+    main_col: str = "px",
+    aux_col: str = "px",
+    ex_cond: str = "down,up",
+    main_size: int = 5,
+    span_days: int = 100,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+) -> "DataFrame":
+    """X9 (/root/reference/datalib/extremaPatternLooper.py:275-355): slide
+    ``main_size`` windows over the main extrema; the main values must be
+    strictly monotone per ``ex_cond[0]`` and the aux extrema falling inside
+    [start, end] (interval-containment join J4) strictly monotone per
+    ``ex_cond[1]``; both windows need >=3 points; span <= span_days. The
+    reference's loop here runs ``range(size, len+1)`` — the final window IS
+    included (:280), unlike its other pattern loops.
+
+    Cogrouped map: main and aux extrema are co-partitioned by series and
+    processed together — the Spark-native form of the reference's
+    ``aux_max_min.loc[w0:w1]`` lookup."""
+    import pandas as pd
+
+    up_ex, down_ex = ex_cond.split(",")
+    bull = 1 if ex_cond == "down,up" else -1
+    name = f"divergence_{ex_cond.replace(',', '_')}"
+
+    def _monotone(vals, direction: str) -> bool:
+        prev = vals[0]
+        for v in vals[1:]:
+            if direction == "up":
+                if v <= prev:
+                    return False
+            else:
+                if v >= prev:
+                    return False
+            prev = v
+        return True
+
+    def per_series(main_pdf: pd.DataFrame, aux_pdf: pd.DataFrame) -> pd.DataFrame:
+        if main_pdf.empty or aux_pdf.empty:
+            return pd.DataFrame(columns=["series_id", "pattern", "start_ts", "end_ts", "bullbear"])
+        main_pdf = main_pdf.sort_values(ts_col).reset_index(drop=True)
+        aux_pdf = aux_pdf.sort_values(ts_col).reset_index(drop=True)
+        sid = main_pdf[series_col].iloc[0]
+        rows = []
+        for i in range(main_size, len(main_pdf) + 1):  # includes final window
+            win = main_pdf.iloc[i - main_size : i]
+            sd, ed = win[ts_col].iloc[0], win[ts_col].iloc[-1]
+            if (ed - sd).days > span_days:
+                continue
+            main_vals = win[main_col].tolist()
+            aux_win = aux_pdf[(aux_pdf[ts_col] >= sd) & (aux_pdf[ts_col] <= ed)]
+            aux_vals = aux_win[aux_col].tolist()
+            if len(main_vals) < 3 or len(aux_vals) < 3:
+                continue
+            if _monotone(main_vals, up_ex) and _monotone(aux_vals, down_ex):
+                rows.append((sid, name, sd, ed, bull))
+        return pd.DataFrame(rows, columns=["series_id", "pattern", "start_ts", "end_ts", "bullbear"])
+
+    return (
+        main_extrema.groupBy(series_col)
+        .cogroup(aux_extrema.groupBy(series_col))
+        .applyInPandas(lambda m, a: per_series(m, a), schema=DIV_SCHEMA)
+    )

@@ -157,3 +157,90 @@ def cosine_dup_pairs(
         .filter(F.col("score") >= tau)
         .select("id_a", "id_b", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + nprobe search
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    refs: DataFrame,
+    n_lists: int = 16,
+    iters: int = 10,
+    sample: int = 10_000,
+    seed: int = 37,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic coarse quantizer: Lloyd iterations on a driver-side
+    sample (seeded, orderBy id -> stable), centroids L2-normalized so
+    nearest-centroid under dot product == cosine assignment.
+
+    At 100 TB the sample stays O(n_lists * 1k) rows — training is always
+    driver-cheap; only assignment scans the corpus (one Arrow matmul pass).
+    """
+    id_col = [c for c in refs.columns if c != vec_col][0]
+    rows = refs.orderBy(id_col).limit(sample).select(vec_col).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for k in range(len(cents)):
+            members = x[assign == k]
+            if len(members):
+                c = members.mean(axis=0)
+                cents[k] = c / max(np.linalg.norm(c), 1e-12)
+    return cents
+
+
+def ivf_topk(
+    queries: DataFrame,
+    refs: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    seed: int = 37,
+    query_id: str = "query_id",
+    query_vec: str = "q_embedding",
+    ref_id: str = "vec_id",
+    ref_vec: str = "embedding",
+) -> DataFrame:
+    """IVF search: refs are assigned to their nearest centroid list (one
+    partition-prunable int column); each query probes its ``nprobe`` nearest
+    lists and exact-cosine re-ranks only those candidates.
+
+    Scale path: ``list_id`` becomes a partition column of the ref table, so
+    a probe scans nprobe/n_lists of the corpus — with the equi-join below
+    Catalyst shuffles candidates only.
+    """
+    cents = train_ivf_centroids(refs, n_lists=n_lists, seed=seed, vec_col=ref_vec)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_list(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cents.T, axis=1).astype(np.int32))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ cents.T), axis=1)[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    r_assigned = refs.select(ref_id, ref_vec, assign_list(F.col(ref_vec)).alias("list_id"))
+    q_probed = queries.select(
+        query_id, query_vec, F.explode(probe_lists(F.col(query_vec))).alias("list_id")
+    )
+    cands = q_probed.join(r_assigned, "list_id").dropDuplicates([query_id, ref_id])
+    scored = cands.withColumn("score", cosine_score_col(query_vec, ref_vec))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(ref_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", ref_id, "score")
+    )
