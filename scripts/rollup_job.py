@@ -1,0 +1,75 @@
+"""spark-submit entrypoint for the resumable rollup job (north rule:
+"runs via spark-submit --py-files on a multi-executor cluster").
+
+Cluster:
+    scripts/make_pyfiles_zip.sh
+    spark-submit --py-files engine.zip scripts/rollup_job.py \
+        --input /data/seqs --output /tables/rollups [--salt 16] [--expire]
+
+Local smoke (what the sandbox runs):
+    python scripts/rollup_job.py --synthetic-rows 50000 --output /tmp/rollups
+
+Behavior: derive event_ts from doc_id, run the raw->1m->1h->1d cascade into
+snapshot tables under --output with audit rows, resuming from each tier's
+last committed checkpoint (idempotent partition overwrite — see
+plans/checkpoint.py). Exit code 0 on a committed run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet/snapshot dir of seqs(doc_id,tokens,n_tok,source)")
+    ap.add_argument("--synthetic-rows", type=int, default=0,
+                    help="generate a deterministic corpus instead of reading --input")
+    ap.add_argument("--output", required=True, help="base dir for rollup_{1m,1h,1d} + audit")
+    ap.add_argument("--salt", type=int, default=0, help="salt buckets for hot-key two-phase agg")
+    ap.add_argument("--full-refresh", action="store_true")
+    ap.add_argument("--expire", action="store_true", help="apply retention horizons after commit")
+    ap.add_argument("--cpus", type=int, default=None, help="local-mode cores (ignored under spark-submit)")
+    args = ap.parse_args()
+
+    from timeseriesvectordbpattermatcher_spark.operators.retention import (
+        DEFAULT_HORIZON_DAYS,
+        expire_partitions,
+    )
+    from timeseriesvectordbpattermatcher_spark.operators.rollup import derive_event_ts
+    from timeseriesvectordbpattermatcher_spark.plans.checkpoint import RollupJob
+    from timeseriesvectordbpattermatcher_spark.session import get_spark
+    from timeseriesvectordbpattermatcher_spark.sources.synth import synth_seqs
+
+    spark = get_spark(app_name="rollup_job", cpus=args.cpus)
+    if args.synthetic_rows:
+        seqs = synth_seqs(spark, args.synthetic_rows, seed=42)
+    elif args.input:
+        seqs = spark.read.parquet(args.input)
+    else:
+        print("need --input or --synthetic-rows", file=sys.stderr)
+        return 2
+
+    job = RollupJob(args.output)
+    tiers = job.run(spark, derive_event_ts(seqs), full_refresh=args.full_refresh)
+    counts = {t: (df.count() if df is not None else 0) for t, df in tiers.items()}
+
+    expired = {}
+    if args.expire:
+        today = dt.date.today()
+        for tier, horizon in DEFAULT_HORIZON_DAYS.items():
+            expired[tier] = len(
+                expire_partitions(job.tables[tier], horizon, as_of=today)
+            )
+
+    print(json.dumps({"tiers": counts, "expired": expired,
+                      "snapshots": {t: job.tables[t].current_snapshot().version
+                                    for t in counts if job.tables[t].current_snapshot()}}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

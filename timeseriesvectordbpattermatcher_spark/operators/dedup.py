@@ -93,8 +93,18 @@ def ngram_jaccard_pairs(
     count intersections, derive the union from per-doc set sizes. Every step
     is relational — the DuckDB oracle runs the semantically identical SQL.
     """
-    grams = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(ngrams_col(words_col(text_col), n))).alias("ng"))
+    # join on a 64-bit shingle hash, not the string: shuffle rows shrink to
+    # (hash, doc_id) and the join key compare is a long compare. Collisions
+    # would need two distinct shingles in the corpus sharing an xxhash64
+    # (~n^2/2^65 — immaterial); the per-doc set size uses the same hashed
+    # space so intersection/union stay consistent.
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(ngrams_col(words_col(text_col), n), lambda g: F.xxhash64(g))
+            )
+        ).alias("ng"),
     )
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = grams.alias("a")
