@@ -214,8 +214,8 @@ WITH d AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
   SELECT user_id, ts,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_id
+         (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
   FROM d)
 SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events
@@ -674,6 +674,7 @@ def _event_bars(spark, sf_dir):
             F.max("value").alias("high"),
             F.min("value").alias("low"),
             F.max_by("value", F.struct("ts", "event_id")).alias("close"),
+            F.sum(F.abs("value")).alias("volume"),
         )
     )
 
@@ -689,7 +690,8 @@ _SQL_BARS = """
   SELECT series_id, h AS ts,
          max(CASE WHEN rn_a = 1 THEN value END) AS open,
          max(value) AS high, min(value) AS low,
-         max(CASE WHEN rn_d = 1 THEN value END) AS close
+         max(CASE WHEN rn_d = 1 THEN value END) AS close,
+         sum(abs(value)) AS volume
   FROM _o GROUP BY 1, 2
 """
 
@@ -699,7 +701,7 @@ def q_candle_kernels(spark, sf_dir):
     from timeseriesvectordbpattermatcher_spark.operators.candles import candle_patterns
 
     bars = _event_bars(spark, sf_dir)
-    out = candle_patterns(bars.withColumn("volume", F.lit(0.0)))
+    out = candle_patterns(bars)
     return out.select("series_id", "ts", "CDLDOJI", "CDLENGULFING", "CDLMARUBOZU")
 
 
@@ -818,6 +820,527 @@ def q_trend_range(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# extended coverage: full tier chain, linear gap-fill, json, W3/W6/W7/W9,
+# U4/U5, W16/W17, array stats, quality scoring, time travel, A4 cohorts
+# --------------------------------------------------------------------------
+
+
+def q_rollup_1d_cascade(spark, sf_dir):
+    """A9 full chain: 1d tier computed FROM 1h FROM 1m (partial->final twice);
+    the oracle aggregates raw directly — equality proves both cascade hops."""
+    ev = _events(spark, sf_dir)
+    r1m = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("minute", "ts").alias("bucket_ts"),
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    r1h = r1m.groupBy("source", F.date_trunc("hour", "bucket_ts").alias("bucket_ts")).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    return (
+        r1h.groupBy("source", F.date_trunc("day", "bucket_ts").alias("bucket_ts"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.round(F.sum("sum_value"), _R).alias("sum_value"),
+            F.round(F.min("min_value"), _R).alias("min_value"),
+            F.round(F.max("max_value"), _R).alias("max_value"),
+        )
+    )
+
+
+SQL_ROLLUP_1D = f"""
+SELECT event_type AS source, date_trunc('day', ts) AS bucket_ts,
+       count(*) AS cnt, round(sum(value), {_R}) AS sum_value,
+       round(min(value), {_R}) AS min_value, round(max(value), {_R}) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_gapfill_linear(spark, sf_dir):
+    """W20 linear interpolation: minute spine + time-weighted blend between
+    the previous and next observed buckets (locf/bfill at the edges)."""
+    from timeseriesvectordbpattermatcher_spark.operators.gapfill import gap_fill
+
+    ev = _events(spark, sf_dir)
+    r1m = (
+        ev.groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("minute", "ts").alias("bucket_ts"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("cnt", F.col("cnt").cast("double"))
+    )
+    out = gap_fill(r1m, ["cnt"], tier="1m", key_col="source", method="linear")
+    return out.select(
+        "source", "bucket_ts", "is_filled", F.round("cnt_filled", _R).alias("cnt_filled")
+    )
+
+
+SQL_GAPFILL_LINEAR = f"""
+WITH r AS (
+  SELECT event_type AS source, date_trunc('minute', ts) AS b, count(*)::DOUBLE AS cnt
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT source, min(b) lo, max(b) hi FROM r GROUP BY 1),
+spine AS (SELECT source, unnest(generate_series(lo, hi, INTERVAL 1 minute)) AS b FROM bounds),
+j AS (SELECT s.source, s.b, r.cnt FROM spine s LEFT JOIN r ON r.source = s.source AND r.b = s.b),
+f AS (SELECT source, b, cnt,
+        last_value(cnt IGNORE NULLS) OVER wp AS pv,
+        last_value(CASE WHEN cnt IS NOT NULL THEN epoch(b) END IGNORE NULLS) OVER wp AS pt,
+        first_value(cnt IGNORE NULLS) OVER wn AS nv,
+        first_value(CASE WHEN cnt IS NOT NULL THEN epoch(b) END IGNORE NULLS) OVER wn AS nt
+      FROM j
+      WINDOW wp AS (PARTITION BY source ORDER BY b ROWS UNBOUNDED PRECEDING),
+             wn AS (PARTITION BY source ORDER BY b
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT source, b AS bucket_ts, cnt IS NULL AS is_filled,
+       round(CASE WHEN cnt IS NOT NULL THEN cnt
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * ((epoch(b) - pt) / (nt - pt)) END, {_R}) AS cnt_filled
+FROM f
+"""
+
+
+def q_json_props(spark, sf_dir):
+    """S10/D11 json doc columns: extract props.$.k per event, aggregate per
+    type (Spark get_json_object ~ the reference's sqlite json_extract
+    generated columns, /root/reference/datalib/sqliteDocStoreUtil.py:5-17)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), _R).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(k).alias("n_k"),
+    )
+
+
+SQL_JSON_PROPS = f"""
+SELECT event_type,
+       round(avg(json_extract_string(props, '$.k')::INT), {_R}) AS avg_k,
+       min(json_extract_string(props, '$.k')::INT) AS min_k,
+       max(json_extract_string(props, '$.k')::INT) AS max_k,
+       count(json_extract_string(props, '$.k')::INT) AS n_k
+FROM events GROUP BY 1
+"""
+
+
+def q_signal_cross(spark, sf_dir):
+    """W6: value crossing its own 10-row rolling mean, +1 up / -1 down
+    (/root/reference/datalib/patternTraderUtil.py:16-23 semantics)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ma = F.avg("value").over(w.rowsBetween(-9, 0))
+    d = F.col("value") - ma
+    ev2 = ev.withColumn("_d", d).withColumn("_dp", F.lag("_d").over(w))
+    sig = F.when(F.col("_d") * F.col("_dp") < 0, F.signum("_d")).otherwise(F.lit(0.0))
+    return ev2.select("event_id", "event_type", sig.alias("sig_cross"))
+
+
+SQL_SIGNAL_CROSS = """
+WITH d AS (
+  SELECT event_id, event_type, ts,
+         value - avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS d
+  FROM events),
+l AS (SELECT event_id, event_type, d,
+             lag(d) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dp
+      FROM d)
+SELECT event_id, event_type,
+       CASE WHEN d * dp < 0 THEN sign(d)::DOUBLE ELSE 0.0 END AS sig_cross
+FROM l
+"""
+
+
+def q_rolling_slope(spark, sf_dir):
+    """W7 closed-form rolling regression slope (n=20) over event-derived
+    bars — window sums replace rolling.apply(linregress)
+    (/root/reference/datalib/patternTraderUtil.py:214-218)."""
+    from timeseriesvectordbpattermatcher_spark.operators.windows import rolling_slope
+
+    bars = _event_bars(spark, sf_dir)
+    out = rolling_slope(bars, "close", 20)
+    return out.select(
+        "series_id", "ts", F.round("close_slope20", _R).alias("slope20")
+    )
+
+
+SQL_ROLLING_SLOPE = f"""
+WITH bars AS ({_SQL_BARS}),
+s AS (
+  SELECT series_id, ts,
+         row_number() OVER wo AS rn, close
+  FROM bars WINDOW wo AS (PARTITION BY series_id ORDER BY ts)),
+agg AS (
+  SELECT series_id, ts,
+         count(close) OVER w AS cnt,
+         sum(close) OVER w AS sy, sum(rn) OVER w AS si,
+         sum(rn * close) OVER w AS siy, sum(rn * rn) OVER w AS si2
+  FROM s WINDOW w AS (PARTITION BY series_id ORDER BY ts
+                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT series_id, ts,
+       CASE WHEN cnt >= 20
+            THEN round((cnt * siy - si * sy) / (cnt * si2 - si * si), {_R}) END AS slope20
+FROM agg
+"""
+
+
+def q_local_extrema(spark, sf_dir):
+    """W9/W10: argrelextrema(greater_equal, order=5) analog — tag each bar
+    max/min/na by equality with the +-5-row extreme
+    (/root/reference/datalib/extremaPatternUtil.py:14-68)."""
+    from timeseriesvectordbpattermatcher_spark.operators.windows import local_extrema
+
+    bars = _event_bars(spark, sf_dir)
+    return local_extrema(bars, order=5).select("series_id", "ts", "minmax_type")
+
+
+SQL_LOCAL_EXTREMA = f"""
+WITH bars AS ({_SQL_BARS})
+SELECT series_id, ts,
+       CASE WHEN high = max(high) OVER w THEN 'max'
+            WHEN low = min(low) OVER w THEN 'min'
+            ELSE 'na' END AS minmax_type
+FROM bars WINDOW w AS (PARTITION BY series_id ORDER BY ts
+                       ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+"""
+
+
+def q_interval_overlap(spark, sf_dir):
+    """U4: overlap-prune the higher-low pattern intervals — keep intervals
+    starting at/after the running max end of all preceding ones
+    (/root/reference/datalib/extremaPatternUtil.py:340-366)."""
+    from timeseriesvectordbpattermatcher_spark.operators.windows import (
+        remove_overlapping_intervals,
+    )
+
+    pats = q_pattern_higher_low(spark, sf_dir).drop("px")
+    return remove_overlapping_intervals(pats)
+
+
+SQL_INTERVAL_OVERLAP = f"""
+WITH pats AS (SELECT series_id, start_ts, end_ts FROM ({SQL_PATTERN_HIGHER_LOW}))
+SELECT series_id, start_ts, end_ts FROM (
+  SELECT series_id, start_ts, end_ts,
+         max(end_ts) OVER (PARTITION BY series_id ORDER BY start_ts, end_ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM pats)
+WHERE prev_max IS NULL OR start_ts >= prev_max
+"""
+
+
+def q_min_spacing(spark, sf_dir):
+    """U5: drop local minima closer than 6h to the PREVIOUS ROW (the
+    reference's previous-row quirk, /root/reference/datalib/extremaPlotter.py:523-531)."""
+    from timeseriesvectordbpattermatcher_spark.operators.windows import min_spacing_dedupe
+
+    bars = _event_bars(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w5 = Window.partitionBy("series_id").orderBy("ts").rowsBetween(-2, 2)
+    minima = (
+        bars.withColumn("is_min", F.col("low") == F.min("low").over(w5))
+        .filter("is_min")
+        .select("series_id", "ts")
+    )
+    return min_spacing_dedupe(minima, min_gap="interval 6 hours")
+
+
+SQL_MIN_SPACING = f"""
+WITH bars AS ({_SQL_BARS}),
+m AS (
+  SELECT series_id, ts,
+         low = min(low) OVER (PARTITION BY series_id ORDER BY ts
+                              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS is_min
+  FROM bars),
+mm AS (SELECT series_id, ts FROM m WHERE is_min),
+l AS (SELECT series_id, ts,
+             lag(ts) OVER (PARTITION BY series_id ORDER BY ts) AS pts
+      FROM mm)
+SELECT series_id, ts FROM l WHERE pts IS NULL OR ts >= pts + INTERVAL 6 hours
+"""
+
+
+def q_resample_3d(spark, sf_dir):
+    """W16 downsample: hourly bars -> 3-day OHLCV (first/max/min/last/sum) —
+    the missing vcplib resample_df semantics
+    (/root/reference/datalib/extremaPatternUtil.py:186-188 consumers)."""
+    from timeseriesvectordbpattermatcher_spark.operators.windows import resample_ohlcv
+
+    bars = _event_bars(spark, sf_dir)
+    out = resample_ohlcv(bars, rule="3 days")
+    return out.select(
+        "series_id", "bucket_ts",
+        F.round("open", _R).alias("open"), F.round("high", _R).alias("high"),
+        F.round("low", _R).alias("low"), F.round("close", _R).alias("close"),
+        F.round("volume", 3).alias("volume"),
+    )
+
+
+SQL_RESAMPLE_3D = f"""
+WITH bars AS ({_SQL_BARS}),
+b3 AS (SELECT *, time_bucket(INTERVAL 3 days, ts, TIMESTAMP '1970-01-01') AS bucket_ts
+       FROM bars),
+r AS (SELECT series_id, bucket_ts, ts, open, high, low, close, volume,
+             row_number() OVER (PARTITION BY series_id, bucket_ts ORDER BY ts) AS rn_a,
+             row_number() OVER (PARTITION BY series_id, bucket_ts ORDER BY ts DESC) AS rn_d
+      FROM b3)
+SELECT series_id, bucket_ts,
+       round(max(CASE WHEN rn_a = 1 THEN open END), {_R}) AS open,
+       round(max(high), {_R}) AS high, round(min(low), {_R}) AS low,
+       round(max(CASE WHEN rn_d = 1 THEN close END), {_R}) AS close,
+       round(sum(volume), 3) AS volume
+FROM r GROUP BY 1, 2
+"""
+
+
+def q_obv(spark, sf_dir):
+    """W17 OBV as a pure window expr: running sum of sign(delta close) *
+    volume — no UDF (/root/reference pandas_ta ta.obv consumers,
+    datalib/extremaPatternUtil.py:403-423)."""
+    from timeseriesvectordbpattermatcher_spark.operators.windows import obv
+
+    bars = _event_bars(spark, sf_dir)
+    return obv(bars).select("series_id", "ts", F.round("obv", 3).alias("obv"))
+
+
+SQL_OBV = f"""
+WITH bars AS ({_SQL_BARS}),
+d AS (SELECT series_id, ts,
+             coalesce(sign(close - lag(close) OVER w) * volume, 0) AS step
+      FROM bars WINDOW w AS (PARTITION BY series_id ORDER BY ts))
+SELECT series_id, ts,
+       round(sum(step) OVER (PARTITION BY series_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING), 3) AS obv
+FROM d
+"""
+
+
+def q_bollinger(spark, sf_dir):
+    """W17 Bollinger bands (n=20, k=2) — window mean/stddev exprs."""
+    from timeseriesvectordbpattermatcher_spark.operators.windows import bollinger
+
+    bars = _event_bars(spark, sf_dir)
+    out = bollinger(bars, n=20, k=2.0)
+    return out.select(
+        "series_id", "ts",
+        F.round("bb_mid", _R).alias("bb_mid"),
+        F.round("bb_up", _R).alias("bb_up"),
+        F.round("bb_dn", _R).alias("bb_dn"),
+    )
+
+
+SQL_BOLLINGER = f"""
+WITH bars AS ({_SQL_BARS}),
+b AS (SELECT series_id, ts,
+             count(close) OVER w AS cnt,
+             avg(close) OVER w AS mid, stddev_samp(close) OVER w AS sd
+      FROM bars WINDOW w AS (PARTITION BY series_id ORDER BY ts
+                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT series_id, ts,
+       CASE WHEN cnt >= 20 THEN round(mid, {_R}) END AS bb_mid,
+       CASE WHEN cnt >= 20 THEN round(mid + 2 * sd, {_R}) END AS bb_up,
+       CASE WHEN cnt >= 20 THEN round(mid - 2 * sd, {_R}) END AS bb_dn
+FROM b
+"""
+
+
+def q_rolling_quantile(spark, sf_dir):
+    """W3 exact rolling quantile (n=15, q=0.25, linear interpolation) as a
+    sorted-array window expr — JVM-side, no Python, byte-exact vs
+    quantile_cont (/root/reference/datalib/patternTraderUtil.py:54,59)."""
+    from pyspark.sql import Window
+
+    bars = _event_bars(spark, sf_dir)
+    w = Window.partitionBy("series_id").orderBy("ts").rowsBetween(-14, 0)
+    arr = F.sort_array(F.collect_list("close").over(w))
+    # pos = (15-1)*0.25 = 3.5 -> x[3] + 0.5*(x[4]-x[3]) (0-based)
+    q25 = F.element_at(arr, 4) + 0.5 * (F.element_at(arr, 5) - F.element_at(arr, 4))
+    full = F.count("close").over(w) >= 15
+    return bars.select(
+        "series_id", "ts", F.when(full, F.round(q25, _R)).alias("q25_15")
+    )
+
+
+SQL_ROLLING_QUANTILE = f"""
+WITH bars AS ({_SQL_BARS})
+SELECT series_id, ts,
+       CASE WHEN count(close) OVER w >= 15
+            THEN round(quantile_cont(close, 0.25) OVER w, {_R}) END AS q25_15
+FROM bars WINDOW w AS (PARTITION BY series_id ORDER BY ts
+                       ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_array_stats(spark, sf_dir):
+    """Token-level array stats (A9 analog on the driver's array table):
+    min/max/sum over each embedding array via JVM higher-order functions
+    (F.array_min/array_max/F.aggregate — no UDF)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    s = F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_min("embedding").cast("double"), _R).alias("arr_min"),
+        F.round(F.array_max("embedding").cast("double"), _R).alias("arr_max"),
+        F.round(s, 4).alias("arr_sum"),
+    )
+
+
+SQL_ARRAY_STATS = f"""
+SELECT vec_id, len(embedding) AS dim,
+       round(list_min(embedding)::DOUBLE, {_R}) AS arr_min,
+       round(list_max(embedding)::DOUBLE, {_R}) AS arr_max,
+       round(list_aggregate(embedding::DOUBLE[], 'sum'), 4) AS arr_sum
+FROM embeddings
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Text quality scoring: length band, alpha/punct ratios, mean word
+    length -> composite score in [0,1] (deterministic arithmetic)."""
+    from timeseriesvectordbpattermatcher_spark.operators.textstats import add_quality_score
+
+    docs = _docs_str(spark, sf_dir)
+    out = add_quality_score(docs)
+    return out.select(
+        "doc_id", "n_words",
+        F.round("alpha_ratio", _R).alias("alpha_ratio"),
+        F.round("mean_word_len", _R).alias("mean_word_len"),
+        F.round("quality", _R).alias("quality"),
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+WITH w AS (
+  SELECT cast(doc_id as varchar) AS doc_id, text, len(text) AS n_chars,
+         CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN [] ELSE string_split_regex(
+                trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+         END AS ws
+  FROM documents),
+m AS (
+  SELECT doc_id, n_chars, len(ws) AS n_words,
+         len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+           / greatest(n_chars, 1) AS alpha_ratio,
+         len(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) * 1.0
+           / greatest(n_chars, 1) AS punct_ratio,
+         CASE WHEN len(ws) > 0
+              THEN list_sum(list_transform(ws, x -> len(x))) * 1.0 / len(ws)
+              ELSE 0.0 END AS mean_word_len
+  FROM w),
+s AS (
+  SELECT doc_id, n_words, alpha_ratio, mean_word_len,
+         least(n_chars / 500.0, 1.0) AS len_score,
+         CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 1.0 ELSE 0.5 END AS wl,
+         CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.5 END AS ps,
+         CASE WHEN n_words < 5 THEN 0.5 ELSE 1.0 END AS sp
+  FROM m)
+SELECT doc_id, n_words, round(alpha_ratio, {_R}) AS alpha_ratio,
+       round(mean_word_len, {_R}) AS mean_word_len,
+       round(sp * (len_score + alpha_ratio + wl + ps) / 4.0, {_R}) AS quality
+FROM s
+"""
+
+
+def q_time_travel(spark, sf_dir):
+    """P3 time travel: rows <= as-of date, last 3 per user — the reference's
+    df.loc[:end].iloc[-64:] (/root/reference/opkatsPatternMatcherUtil.py:29-30)."""
+    from timeseriesvectordbpattermatcher_spark.operators.windows import time_travel_last_n
+
+    ev = _events(spark, sf_dir)
+    out = time_travel_last_n(
+        ev, "2024-01-15 00:00:00", n=3, series_col="user_id", ts_col="ts"
+    )
+    return out.select("user_id", "event_id", "ts")
+
+
+SQL_TIME_TRAVEL = """
+SELECT user_id, event_id, ts FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+WHERE rn <= 3
+"""
+
+
+def q_ttest_cohorts(spark, sf_dir):
+    """A4 flag-cohort comparison: mean/std/count of value per parity cohort
+    + Welch t-stat per event_type
+    (/root/reference/datalib/patternTraderUtil.py:717-735)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "flag", (F.col("user_id") % 2 == 0).cast("int")
+    )
+    g = ev.groupBy("event_type", "flag").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("m"),
+        F.stddev_samp("value").alias("s"),
+    )
+    g1 = g.filter("flag = 1").select(
+        "event_type", F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("s").alias("s1")
+    )
+    g0 = g.filter("flag = 0").select(
+        "event_type", F.col("n").alias("n0"), F.col("m").alias("m0"), F.col("s").alias("s0")
+    )
+    j = g1.join(g0, "event_type")
+    t = (F.col("m1") - F.col("m0")) / F.sqrt(
+        F.col("s1") ** 2 / F.col("n1") + F.col("s0") ** 2 / F.col("n0")
+    )
+    return j.select(
+        "event_type", "n1", "n0",
+        F.round("m1", _R).alias("m1"), F.round("m0", _R).alias("m0"),
+        F.round(t, 4).alias("t_stat"),
+    )
+
+
+SQL_TTEST_COHORTS = f"""
+WITH g AS (
+  SELECT event_type,
+         count(*) FILTER (user_id % 2 = 0) AS n1,
+         count(*) FILTER (user_id % 2 <> 0) AS n0,
+         avg(value) FILTER (user_id % 2 = 0) AS m1,
+         avg(value) FILTER (user_id % 2 <> 0) AS m0,
+         stddev_samp(value) FILTER (user_id % 2 = 0) AS s1,
+         stddev_samp(value) FILTER (user_id % 2 <> 0) AS s0
+  FROM events GROUP BY 1)
+SELECT event_type, n1, n0, round(m1, {_R}) AS m1, round(m0, {_R}) AS m0,
+       round((m1 - m0) / sqrt(s1 * s1 / n1 + s0 * s0 / n0), 4) AS t_stat
+FROM g
+"""
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Dedup: SimHash near-dup pairs, Hamming <= 3, pigeonhole-banded
+    equi-join candidates (rows-only: xxhash64 bit math isn't portable SQL)."""
+    from timeseriesvectordbpattermatcher_spark.operators.dedup import simhash_pairs
+
+    docs = _docs_str(spark, sf_dir)
+    return simhash_pairs(docs, max_hamming=3, bands=4)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> mapInPandas feature extraction
+    (decode stubbed behind a deterministic fake; schema/batching real)."""
+    from timeseriesvectordbpattermatcher_spark.operators.multimodal import (
+        extract_media_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n_rows=64, seed=42)
+    out = extract_media_features(media, fake=True)
+    return out.select("media_id", "modality", F.size("feat").alias("feat_dim"), "decode_ok")
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -845,7 +1368,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "candle_kernels": q_candle_kernels,
         "pattern_higher_low": q_pattern_higher_low,
+        "rollup_1d_cascade": q_rollup_1d_cascade,
+        "gapfill_linear": q_gapfill_linear,
+        "json_props": q_json_props,
+        "signal_cross": q_signal_cross,
+        "rolling_slope": q_rolling_slope,
+        "local_extrema": q_local_extrema,
+        "interval_overlap": q_interval_overlap,
+        "min_spacing": q_min_spacing,
+        "resample_3d": q_resample_3d,
+        "obv": q_obv,
+        "bollinger": q_bollinger,
+        "rolling_quantile": q_rolling_quantile,
+        "array_stats": q_array_stats,
+        "quality_score": q_quality_score,
+        "time_travel": q_time_travel,
+        "ttest_cohorts": q_ttest_cohorts,
         # non-SQL-expressible (rows-only checks)
+        "simhash_pairs": q_simhash_pairs,
+        "media_features": q_media_features,
         "token_segmentation": q_token_segmentation,
         "matcher_pipeline": q_matcher_pipeline,
         "minhash_lsh": q_minhash_lsh,
@@ -880,4 +1421,20 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
         "candle_kernels": SQL_CANDLE_KERNELS,
         "pattern_higher_low": SQL_PATTERN_HIGHER_LOW,
+        "rollup_1d_cascade": SQL_ROLLUP_1D,
+        "gapfill_linear": SQL_GAPFILL_LINEAR,
+        "json_props": SQL_JSON_PROPS,
+        "signal_cross": SQL_SIGNAL_CROSS,
+        "rolling_slope": SQL_ROLLING_SLOPE,
+        "local_extrema": SQL_LOCAL_EXTREMA,
+        "interval_overlap": SQL_INTERVAL_OVERLAP,
+        "min_spacing": SQL_MIN_SPACING,
+        "resample_3d": SQL_RESAMPLE_3D,
+        "obv": SQL_OBV,
+        "bollinger": SQL_BOLLINGER,
+        "rolling_quantile": SQL_ROLLING_QUANTILE,
+        "array_stats": SQL_ARRAY_STATS,
+        "quality_score": SQL_QUALITY_SCORE,
+        "time_travel": SQL_TIME_TRAVEL,
+        "ttest_cohorts": SQL_TTEST_COHORTS,
     }

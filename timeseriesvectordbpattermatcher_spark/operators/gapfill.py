@@ -70,22 +70,27 @@ def gap_fill(
         .orderBy("bucket_ts")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # "next observed" via a reverse-ordered RUNNING frame: Spark evaluates
+    # (currentRow, unboundedFollowing) frames by rescanning the remainder per
+    # row — O(n^2) per partition — while a running unbounded-preceding frame
+    # is a single O(n) pass. last(...) over desc order == first(...) over
+    # the following frame.
     w_next = (
         Window.partitionBy(key_col)
-        .orderBy("bucket_ts")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("bucket_ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
     out = joined
     ts_obs = F.when(~F.col("is_filled"), F.col("bucket_ts").cast("double"))
     prev_ts = F.last(ts_obs, ignorenulls=True).over(w_prev)
-    next_ts = F.first(ts_obs, ignorenulls=True).over(w_next)
+    next_ts = F.last(ts_obs, ignorenulls=True).over(w_next)
     for c in value_cols:
         prev_v = F.last(c, ignorenulls=True).over(w_prev)
         if method == "locf":
             out = out.withColumn(f"{c}_filled", prev_v)
         elif method == "linear":
-            next_v = F.first(c, ignorenulls=True).over(w_next)
+            next_v = F.last(c, ignorenulls=True).over(w_next)
             frac = (F.col("bucket_ts").cast("double") - prev_ts) / (next_ts - prev_ts)
             interp = prev_v + (next_v - prev_v) * frac
             out = out.withColumn(

@@ -309,7 +309,7 @@ def remove_overlapping_intervals(
     position (kept ends are monotone under the keep rule)."""
     w = (
         Window.partitionBy(series_col)
-        .orderBy(start_col)
+        .orderBy(start_col, end_col)  # end_col tiebreak -> deterministic on start ties
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prev_max_end = F.max(end_col).over(w)
