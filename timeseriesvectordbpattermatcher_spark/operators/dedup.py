@@ -86,12 +86,25 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """All (doc_a < doc_b) pairs with Jaccard(ngram-set) >= threshold.
+    """All (doc_a < doc_b) pairs with Jaccard(ngram-set) >= threshold. Exact.
 
-    Classic shingle self-join: explode distinct n-grams, join on the n-gram,
-    count intersections, derive the union from per-doc set sizes. Every step
-    is relational — the DuckDB oracle runs the semantically identical SQL.
+    ``prefix_filter=False`` is the classic shingle self-join: explode
+    distinct n-grams, join on the n-gram, count intersections. Its join
+    output is sum over grams of d_g^2/2 (d_g = docs containing gram g) —
+    quadratic in the hottest gram's document frequency, which is exactly
+    what blows up on near-natural-language corpora.
+
+    ``prefix_filter=True`` (default) is the AllPairs/PPJoin prefix filter
+    (Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06): order grams by
+    global (doc-frequency, hash) ascending and keep only each doc's first
+    ``sz - ceil(t*sz) + 1`` grams for candidate generation. Any pair with
+    Jaccard >= t MUST share a prefix gram under a common total order, so the
+    candidate set is a superset of the answer (lossless); candidates are
+    verified exactly with ``array_intersect`` on the full gram sets. Hot
+    grams are by construction high-frequency, i.e. LAST in the order — they
+    drop out of the candidate join, killing the d_g^2 term.
     """
     # join on a 64-bit shingle hash, not the string: shuffle rows shrink to
     # (hash, doc_id) and the join key compare is a long compare. Collisions
@@ -106,20 +119,55 @@ def ngram_jaccard_pairs(
             )
         ).alias("ng"),
     )
-    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = grams.alias("a")
-    b = grams.alias("b")
-    inter = (
-        a.join(b, (F.col("a.ng") == F.col("b.ng")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+    if not prefix_filter:
+        sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+        a = grams.alias("a")
+        b = grams.alias("b")
+        inter = (
+            a.join(b, (F.col("a.ng") == F.col("b.ng")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+        sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+        return (
+            inter.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+
+    from pyspark.sql import Window
+
+    dfreq = grams.groupBy("ng").agg(F.count("*").alias("_dfg"))
+    w_doc = Window.partitionBy(id_col).orderBy("_dfg", "ng")
+    ranked = (
+        grams.join(dfreq, "ng")
+        .withColumn("_pos", F.row_number().over(w_doc))
+        .withColumn("_sz", F.count("*").over(Window.partitionBy(id_col)))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    prefix = ranked.filter(
+        F.col("_pos") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    ).select(id_col, "ng")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(b, (F.col("a.ng") == F.col("b.ng")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # exact verification: sorted gram arrays per doc, JVM-side intersect
+    arrs = grams.groupBy(id_col).agg(F.sort_array(F.collect_list("ng")).alias("arr"))
+    va = arrs.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a"))
+    vb = arrs.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b"))
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    union = F.size("arr_a") + F.size("arr_b") - inter
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        cands.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -49,7 +49,10 @@ def synth_media(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
                 16000 if modality == "audio" else None,
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # few synthetic rows: cap partitions so we don't spin up one Python
+    # worker per core for a handful of payloads (real tables keep their
+    # native partitioning)
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 
 def _decode_one(payload: bytes, modality: str, fake: bool) -> np.ndarray:

@@ -91,9 +91,11 @@ def find_trend_range_extended(
     best range — the whole grid in one plan."""
     spans = list(range(start_days, max_days, step))
     spark = ohlcv.sparkSession
-    grid = anchors.crossJoin(
-        spark.createDataFrame([(s,) for s in spans], "span_days int")
-    )
+    # broadcast the tiny span list: otherwise the cartesian product runs
+    # |anchors.partitions| x |spans.partitions| tasks (32x32 = 1024 on the
+    # default parallelism) for a few dozen rows
+    spans_df = spark.createDataFrame([(s,) for s in spans], "span_days int").coalesce(1)
+    grid = anchors.crossJoin(F.broadcast(spans_df))
     ranges = find_trend_range(ohlcv, grid, trend=trend,
                               series_col=series_col, ts_col=ts_col)
     w = Window.partitionBy(series_col, "anchor_ts").orderBy("span_days")
