@@ -1318,6 +1318,62 @@ FROM g
 """
 
 
+def q_hs_patterns(spark, sf_dir):
+    """X1/X2 lag-tuple state machines over event-bar extrema: inverse
+    head-and-shoulders + head-and-shoulders, 5-point predicates with span
+    guard (/root/reference/datalib/extremaPatternLooper.py:137-201)."""
+    from timeseriesvectordbpattermatcher_spark.operators.patterns import (
+        find_hs_patterns,
+        find_ihs_patterns,
+    )
+    from timeseriesvectordbpattermatcher_spark.operators.windows import local_extrema
+
+    bars = _event_bars(spark, sf_dir)
+    ex = (
+        local_extrema(bars, order=5)
+        .filter("minmax_type != 'na'")
+        .withColumn(
+            "px",
+            F.when(F.col("minmax_type") == "max", F.col("high")).otherwise(F.col("low")),
+        )
+    )
+    return find_ihs_patterns(ex).unionByName(find_hs_patterns(ex))
+
+
+SQL_HS_PATTERNS = f"""
+WITH bars AS ({_SQL_BARS}),
+e AS (
+  SELECT series_id, ts, high, low,
+         CASE WHEN high = max(high) OVER w THEN 'max'
+              WHEN low = min(low) OVER w THEN 'min' ELSE 'na' END AS mt
+  FROM bars WINDOW w AS (PARTITION BY series_id ORDER BY ts
+                         ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)),
+x AS (SELECT series_id, ts, mt,
+             CASE WHEN mt = 'max' THEN high ELSE low END AS px
+      FROM e WHERE mt <> 'na'),
+l AS (SELECT series_id, ts, px,
+             lag(px, 4) OVER w AS a, lag(px, 3) OVER w AS b,
+             lag(px, 2) OVER w AS c, lag(px, 1) OVER w AS d, px AS e2,
+             lag(mt, 2) OVER w AS tc, lag(ts, 4) OVER w AS t0
+      FROM x WINDOW w AS (PARTITION BY series_id ORDER BY ts))
+SELECT series_id, 'ihs' AS pattern, t0 AS start_ts, ts AS end_ts, 1 AS bullbear
+FROM l
+WHERE a < b AND c < a AND c < e2 AND c < d AND e2 < d
+  AND abs(b - d) <= 0.02 * (b + d) / 2
+  AND abs(b - c) >= 0.03 * (b + c) / 2
+  AND tc = 'min' AND t0 IS NOT NULL AND ts <= t0 + INTERVAL 150 days
+UNION ALL
+SELECT series_id, 'hs' AS pattern, t0 AS start_ts, ts AS end_ts, -1 AS bullbear
+FROM l
+WHERE a > b AND c > a AND c > e2 AND c > d AND e2 > d AND d < b
+  AND tc = 'max'
+  AND abs(b - c) >= 0.03 * (b + c) / 2
+  AND NOT (abs(a - b) <= 0.02 * (b + d) / 2)
+  AND NOT (abs(d - e2) <= 0.02 * e2)
+  AND t0 IS NOT NULL AND ts <= t0 + INTERVAL 150 days
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Dedup: SimHash near-dup pairs, Hamming <= 3, pigeonhole-banded
     equi-join candidates (rows-only: xxhash64 bit math isn't portable SQL)."""
@@ -1384,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "time_travel": q_time_travel,
         "ttest_cohorts": q_ttest_cohorts,
+        "hs_patterns": q_hs_patterns,
         # non-SQL-expressible (rows-only checks)
         "simhash_pairs": q_simhash_pairs,
         "media_features": q_media_features,
@@ -1437,4 +1494,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": SQL_QUALITY_SCORE,
         "time_travel": SQL_TIME_TRAVEL,
         "ttest_cohorts": SQL_TTEST_COHORTS,
+        "hs_patterns": SQL_HS_PATTERNS,
     }

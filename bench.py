@@ -52,15 +52,19 @@ def main() -> None:
     headline = [
         "rollup_1m",
         "rollup_1h_cascade",
+        "rollup_1d_cascade",
         "gapfill_locf",
+        "gapfill_linear",
         "sessionize",
         "pricing_summary",
         "asof_join",
         "ngram_jaccard",
+        "minhash_lsh",
         "cosine_topk",
         "token_segmentation",
         "matcher_pipeline",
         "codec_roundtrip",
+        "hs_patterns",
     ]
     for name in headline:
         t0 = time.time()

@@ -69,3 +69,31 @@ def test_salted_rollup_two_phase(spark, seqs_2k):
     plan = _plan(rollup_1m(derive_event_ts(seqs_2k), salt_buckets=8))
     # salted: partial agg on (key, bucket, salt), exchange, merge agg on (key, bucket)
     assert plan.count("HashAggregate") >= 3
+
+
+def test_gapfill_linear_uses_running_frames_only(spark, seqs_2k):
+    """Regression: unbounded-FOLLOWING frames are O(n^2) per partition in
+    Spark's WindowExec (the remainder is rescanned per row); the linear
+    gap-fill must express 'next observed' as a reverse-ordered RUNNING
+    frame instead."""
+    from timeseriesvectordbpattermatcher_spark.operators.gapfill import gap_fill
+    from timeseriesvectordbpattermatcher_spark.operators.rollup import (
+        derive_event_ts,
+        rollup_1m,
+    )
+
+    r1m = rollup_1m(derive_event_ts(seqs_2k))
+    plan = _plan(gap_fill(r1m, ["cnt"], tier="1m", method="linear"))
+    assert "unboundedfollowing" not in plan.lower().replace(" ", ""), plan[:2000]
+
+
+def test_jaccard_prefix_filter_no_cartesian(spark):
+    from timeseriesvectordbpattermatcher_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "a b c d e f"), ("d2", "a b c d e g")], "doc_id string, text string"
+    )
+    plan = _plan(ngram_jaccard_pairs(docs, threshold=0.3))
+    assert "CartesianProduct" not in plan
