@@ -28,6 +28,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RUN_TEMPLATE = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
 from timeseriesvectordbpattermatcher_spark.session import get_spark
 from timeseriesvectordbpattermatcher_spark.operators.rollup import (
     derive_event_ts, rollup_all_tiers)
@@ -36,8 +37,13 @@ spark = get_spark(app_name="scalebench", cpus={cpus})
 seqs = spark.read.parquet({data!r})
 
 def once():
+    # pull token-level stats in the final agg: otherwise Catalyst prunes
+    # the tok_* aggregates and the scan never decodes the token arrays
     tiers = rollup_all_tiers(derive_event_ts(seqs))
-    return tiers["1d"].agg({{"sum_n_tok": "sum"}}).collect()[0][0]
+    row = tiers["1d"].agg(
+        F.sum("sum_n_tok"), F.sum("tok_sum"), F.min("tok_min"), F.max("tok_max")
+    ).collect()[0]
+    return row[0]
 
 total_tokens = once()  # untimed warm-up: JIT + codegen + page cache
 best = None
@@ -121,16 +127,25 @@ two parallelism levels, fresh JVM each, best of {args.runs} runs.
 - corpus: {args.rows:,} rows / {small['tokens']:,} tokens (seed 42, synth_seqs)
 - **scaling efficiency (thr_4N / thr_N) / 4 = {efficiency:.3f}**
 
+### Job honesty note
+
+The final aggregate requests the token-level stats (tok_sum/tok_min/
+tok_max), forcing the parquet reader to decode every token array —
+without it Catalyst prunes the tok_* aggregates and "tokens/sec" would
+measure a job that never touches tokens (pinned by
+tests/test_plans.py::test_token_scan_present_when_stats_requested).
+
 ### Single-node ceiling note
 
-This box (32 cores, one memory domain) saturates at ~1.0-1.25 B tokens/s on
-this scan+aggregate workload: CPU-pinned local[8] and local[32] tie
-(measured 3.89 s vs 3.96 s on the same corpus), so the compute-scaled
-N->4N window on ONE node is N=2->8. The plan itself has no serial stage
-(one shuffle on (source, bucket), map-side partials, AQE-coalesced tails);
-on a real cluster each executor node contributes its own memory bandwidth,
-which is exactly what N->4N *executors* adds — the single-node tie is a
-hardware ceiling, not a plan bottleneck.
+local[32] ties local[8] on this job. The ceiling is the sandbox VM, not
+the plan: a pure-Python busy-loop benchmark with no JVM/Spark involved
+also stops scaling past ~8-16 processes on this box (~2x total for 4x
+procs), i.e. the VM does not deliver 32 cores of sustained compute. The
+plan itself has no serial stage: 64 independent scan+decode partitions,
+map-side partial aggregation, one small shuffle on (source, bucket),
+AQE-coalesced tails. On a real cluster each added executor brings its
+own cores and memory bandwidth — which is what the N->4N executor rule
+scales — so the compute-honest window on this box is N=2->8.
 
 ## Headline throughput
 

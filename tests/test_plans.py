@@ -97,3 +97,67 @@ def test_jaccard_prefix_filter_no_cartesian(spark):
     )
     plan = _plan(ngram_jaccard_pairs(docs, threshold=0.3))
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, seqs_2k, tmp_path_factory):
+    """Co-located join evidence: two tables bucketed on the same key with
+    the same bucket count must sort-merge-join with NO Exchange on either
+    side (the bucketing contract that co-locates repeated 100 TB joins)."""
+    from timeseriesvectordbpattermatcher_spark.sources.tables import write_bucketed
+
+    left = seqs_2k.select("doc_id", "n_tok")
+    right = seqs_2k.select("doc_id", "source")
+    write_bucketed(left, "bkt_left", ["doc_id"], n_buckets=8)
+    write_bucketed(right, "bkt_right", ["doc_id"], n_buckets=8)
+    try:
+        # force sort-merge (broadcast would win on tiny test tables and
+        # proves nothing about bucketing)
+        j = spark.table("bkt_left").hint("merge").join(spark.table("bkt_right"), "doc_id")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert j.count() == 2000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+@pytest.fixture(scope="module")
+def seqs_parquet(spark, seqs_2k, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("seqs_pq") / "seqs")
+    seqs_2k.write.mode("overwrite").parquet(path)
+    yield path
+
+
+def _read_schema_cols(plan: str) -> set[str]:
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:1000]
+    return {c.split(":")[0] for c in m.group(1).split(",") if c}
+
+
+def test_token_scan_pruned_when_stats_unused(spark, seqs_parquet):
+    """When a consumer only wants n_tok rollups, Catalyst must prune the
+    tok_* aggregates down to the scan so token arrays are never decoded."""
+    from timeseriesvectordbpattermatcher_spark.operators.rollup import (
+        derive_event_ts,
+        rollup_all_tiers,
+    )
+
+    seqs = spark.read.parquet(seqs_parquet)
+    tiers = rollup_all_tiers(derive_event_ts(seqs))
+    plan = _plan(tiers["1d"].agg({"sum_n_tok": "sum"}))
+    assert "tokens" not in _read_schema_cols(plan), plan[:1000]
+
+
+def test_token_scan_present_when_stats_requested(spark, seqs_parquet):
+    """...and when token-level stats ARE requested, the scan must read the
+    arrays (the bench job depends on this — tokens/sec must scan tokens)."""
+    from timeseriesvectordbpattermatcher_spark.operators.rollup import (
+        derive_event_ts,
+        rollup_all_tiers,
+    )
+
+    seqs = spark.read.parquet(seqs_parquet)
+    tiers = rollup_all_tiers(derive_event_ts(seqs))
+    plan = _plan(tiers["1d"].agg(F.sum("tok_sum"), F.min("tok_min")))
+    assert "tokens" in _read_schema_cols(plan), plan[:1000]

@@ -52,6 +52,25 @@ def ngrams_col(words, n: int = 3):
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition the INPUT to cluster parallelism BEFORE an expensive
+    per-row parse — a single-file input (one partition) would otherwise run
+    the regexp/shingle/hash work on one task regardless of cores (measured
+    ~6x on the sf0.1 documents table)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """localCheckpoint (eager): Catalyst does NOT share subtrees across
+    self-join branches, so the expensive text-parse would re-run once per
+    branch (up to ~6x in the prefix-filtered jaccard plan). Checkpointing
+    computes the partitions once and truncates lineage so every downstream
+    branch reads the materialized blocks (memory, spilling to disk). At
+    warehouse scale, persist the intermediate to a table instead — same
+    idea, durable."""
+    return df.localCheckpoint(eager=True)
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -87,6 +106,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     prefix_filter: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """All (doc_a < doc_b) pairs with Jaccard(ngram-set) >= threshold. Exact.
 
@@ -111,6 +131,8 @@ def ngram_jaccard_pairs(
     # would need two distinct shingles in the corpus sharing an xxhash64
     # (~n^2/2^65 — immaterial); the per-doc set size uses the same hashed
     # space so intersection/union stay consistent.
+    if materialize:
+        df = _spread(df)
     grams = df.select(
         F.col(id_col),
         F.explode(
@@ -119,6 +141,8 @@ def ngram_jaccard_pairs(
             )
         ).alias("ng"),
     )
+    if materialize:
+        grams = _materialize(grams)
     if not prefix_filter:
         sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
         a = grams.alias("a")
@@ -157,6 +181,12 @@ def ngram_jaccard_pairs(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # candidate rows are tiny in bytes but heavy in downstream compute
+    # (array_intersect per pair) — AQE would coalesce them to a handful of
+    # tasks on byte size alone; spread them across the cluster explicitly
+    cands = cands.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "doc_a"
     )
     # exact verification: sorted gram arrays per doc, JVM-side intersect
     arrs = grams.groupBy(id_col).agg(F.sort_array(F.collect_list("ng")).alias("arr"))
@@ -227,8 +257,10 @@ def minhash_lsh_pairs(
     """
     assert num_perm % bands == 0
     r = num_perm // bands
-    sigs = minhash_signature(df, num_perm=num_perm, n=n, text_col=text_col,
-                             id_col=id_col, seed=seed)
+    sigs = _materialize(
+        minhash_signature(_spread(df), num_perm=num_perm, n=n, text_col=text_col,
+                          id_col=id_col, seed=seed)
+    )
     band_rows = sigs.select(
         id_col,
         F.explode(
@@ -345,7 +377,14 @@ def simhash_pairs(
     """
     assert bands > max_hamming, "pigeonhole completeness requires bands > max_hamming"
     width = 64 // bands
-    sh = df.select(F.col(id_col), simhash_col(words_col(text_col), seed=seed).alias("sh"))
+    # simhash_col expands to 64 aggregate() passes over the token hashes —
+    # materialize so the self-join doesn't run it twice (and runs it
+    # partition-parallel on single-file inputs)
+    sh = _materialize(
+        _spread(df).select(
+            F.col(id_col), simhash_col(words_col(text_col), seed=seed).alias("sh")
+        )
+    )
     chunks = sh.select(
         id_col,
         "sh",
