@@ -1374,6 +1374,90 @@ WHERE a > b AND c > a AND c > e2 AND c > d AND e2 > d AND d < b
 """
 
 
+def q_box_bands(spark, sf_dir):
+    """X13 band machinery / W2 shifted frames: 10-bar rolling max/min of low
+    plus the same bands shifted back one row (the reference's
+    ``rolling(n).max().shift(1)``, /root/reference/datalib/extremaPlotter.py:568-573)."""
+    from timeseriesvectordbpattermatcher_spark.operators.windows import rolling
+
+    bars = _event_bars(spark, sf_dir)
+    out = rolling(bars, "low", 10, "max", out="ub10")
+    out = rolling(out, "low", 10, "min", out="lb10")
+    out = rolling(out, "low", 10, "max", out="u1b10", shift=1)
+    out = rolling(out, "low", 10, "min", out="l1b10", shift=1)
+    return out.select(
+        "series_id", "ts",
+        F.round("ub10", _R).alias("ub10"), F.round("lb10", _R).alias("lb10"),
+        F.round("u1b10", _R).alias("u1b10"), F.round("l1b10", _R).alias("l1b10"),
+    )
+
+
+SQL_BOX_BANDS = f"""
+WITH bars AS ({_SQL_BARS})
+SELECT series_id, ts,
+       CASE WHEN count(low) OVER w0 >= 10 THEN round(max(low) OVER w0, {_R}) END AS ub10,
+       CASE WHEN count(low) OVER w0 >= 10 THEN round(min(low) OVER w0, {_R}) END AS lb10,
+       CASE WHEN count(low) OVER w1 >= 10 THEN round(max(low) OVER w1, {_R}) END AS u1b10,
+       CASE WHEN count(low) OVER w1 >= 10 THEN round(min(low) OVER w1, {_R}) END AS l1b10
+FROM bars
+WINDOW w0 AS (PARTITION BY series_id ORDER BY ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+       w1 AS (PARTITION BY series_id ORDER BY ts ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+"""
+
+
+def q_rolling_count_where(spark, sf_dir):
+    """W8: rolling count of down-bars over the last 20 rows
+    (/root/reference/datalib/patternTraderUtil.py:250-262 counts signs)."""
+    from timeseriesvectordbpattermatcher_spark.operators.windows import (
+        rolling_count_where,
+    )
+
+    bars = _event_bars(spark, sf_dir)
+    out = rolling_count_where(bars, F.col("close") < F.col("open"), 20, "n_down20")
+    return out.select("series_id", "ts", "n_down20")
+
+
+SQL_ROLLING_COUNT_WHERE = f"""
+WITH bars AS ({_SQL_BARS})
+SELECT series_id, ts,
+       (sum(CASE WHEN close < open THEN 1 ELSE 0 END)
+         OVER (PARTITION BY series_id ORDER BY ts
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))::BIGINT AS n_down20
+FROM bars
+"""
+
+
+def q_pct_change(spark, sf_dir):
+    """W5 backward: close / lag(close, 3) - 1 per series
+    (/root/reference/datalib/extremaPatternUtil.py:141)."""
+    from timeseriesvectordbpattermatcher_spark.operators.windows import pct_change
+
+    bars = _event_bars(spark, sf_dir)
+    out = pct_change(bars, "close", 3)
+    return out.select(
+        "series_id", "ts", F.round("close_pct3", _R).alias("pct3")
+    )
+
+
+SQL_PCT_CHANGE = f"""
+WITH bars AS ({_SQL_BARS})
+SELECT series_id, ts,
+       round(close / lag(close, 3) OVER (PARTITION BY series_id ORDER BY ts) - 1,
+             {_R}) AS pct3
+FROM bars
+"""
+
+
+def q_minhash_dedup(spark, sf_dir):
+    """Dedup closure: min-id label propagation over MinHash-LSH pair edges —
+    the survivors table (rows-only: iterative fixpoint)."""
+    from timeseriesvectordbpattermatcher_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = _docs_str(spark, sf_dir)
+    out = minhash_lsh_dedup(docs, threshold=0.4)
+    return out.select("doc_id")
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Dedup: SimHash near-dup pairs, Hamming <= 3, pigeonhole-banded
     equi-join candidates (rows-only: xxhash64 bit math isn't portable SQL)."""
@@ -1441,7 +1525,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel": q_time_travel,
         "ttest_cohorts": q_ttest_cohorts,
         "hs_patterns": q_hs_patterns,
+        "box_bands": q_box_bands,
+        "rolling_count_where": q_rolling_count_where,
+        "pct_change": q_pct_change,
         # non-SQL-expressible (rows-only checks)
+        "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "media_features": q_media_features,
         "token_segmentation": q_token_segmentation,
@@ -1495,4 +1583,7 @@ def oracle_sql() -> dict[str, str]:
         "time_travel": SQL_TIME_TRAVEL,
         "ttest_cohorts": SQL_TTEST_COHORTS,
         "hs_patterns": SQL_HS_PATTERNS,
+        "box_bands": SQL_BOX_BANDS,
+        "rolling_count_where": SQL_ROLLING_COUNT_WHERE,
+        "pct_change": SQL_PCT_CHANGE,
     }
