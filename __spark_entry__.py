@@ -644,6 +644,10 @@ def q_codec_roundtrip(spark, sf_dir):
         .agg(F.avg("value").alias("avg_value"))
     )
     segs = compress_rollup_segments(r1m, value_col="avg_value", chunk="1 day")
+    sizes = segs.groupBy("source").agg(
+        F.sum(F.length("ts_codec") + F.length("val_codec")).alias("compressed_bytes"),
+        F.sum(F.col("n_points") * 16).alias("raw_bytes"),  # 8B ts + 8B double
+    )
     back = decompress_segments(segs).groupBy("source").agg(
         F.count("*").alias("n_points"),
         F.round(F.sum("value"), 3).alias("sum_back"),
@@ -652,11 +656,14 @@ def q_codec_roundtrip(spark, sf_dir):
         F.count("*").alias("n_points_orig"),
         F.round(F.sum("avg_value"), 3).alias("sum_orig"),
     )
-    return back.join(orig, "source").select(
+    return back.join(orig, "source").join(sizes, "source").select(
         "source",
         "n_points",
         (F.col("n_points") == F.col("n_points_orig")).alias("count_ok"),
         (F.col("sum_back") == F.col("sum_orig")).alias("sum_ok"),
+        "compressed_bytes",
+        "raw_bytes",
+        F.round(F.col("raw_bytes") / F.col("compressed_bytes"), 2).alias("compression_ratio"),
     )
 
 
@@ -1448,6 +1455,38 @@ FROM bars
 """
 
 
+def q_resumable_rollup(spark, sf_dir):
+    """E1 lifecycle + crash-resume through the contract: run the snapshot-
+    checkpointed RollupJob over a deterministic seqs corpus, inject a crash
+    after the 1m commit, rerun to convergence, and return the audit trail
+    (per-tier rows/partitions/snapshot versions). Rows-only: run ids and
+    wall times are nondeterministic by nature."""
+    import tempfile
+
+    from timeseriesvectordbpattermatcher_spark.operators.rollup import derive_event_ts
+    from timeseriesvectordbpattermatcher_spark.plans.checkpoint import RollupJob
+    from timeseriesvectordbpattermatcher_spark.sources.synth import synth_seqs
+
+    base = tempfile.mkdtemp(prefix="rollup_job_")
+    job = RollupJob(base)
+    seqs = derive_event_ts(synth_seqs(spark, 5000, seed=11, with_tokens=False))
+    try:
+        job.run(spark, seqs, fail_after="1m")  # crash between tier commits
+    except RuntimeError:
+        pass
+    job.run(spark, seqs)  # resume: re-converges to the single-run state
+    audit = job.audit.read(spark)
+    return (
+        audit.groupBy("stage")
+        .agg(
+            F.sum("rows").alias("rows_out"),
+            F.count("*").alias("n_partitions_written"),
+            F.max("snapshot_version").alias("snapshot_version"),
+        )
+        .orderBy("stage")
+    )
+
+
 def q_minhash_dedup(spark, sf_dir):
     """Dedup closure: min-id label propagation over MinHash-LSH pair edges —
     the survivors table (rows-only: iterative fixpoint)."""
@@ -1529,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_count_where": q_rolling_count_where,
         "pct_change": q_pct_change,
         # non-SQL-expressible (rows-only checks)
+        "resumable_rollup": q_resumable_rollup,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "media_features": q_media_features,
