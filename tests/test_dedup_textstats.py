@@ -135,3 +135,29 @@ def test_fingerprint_identity(docs):
     assert fp["d1"] == fp["d2"]  # identical docs share fingerprints
     assert fp["d1"] != fp["d4"]
     assert out["fingerprint"].notna().all()
+
+
+def test_jaccard_prefix_filter_equals_classic(spark):
+    """The AllPairs prefix filter must be lossless: identical pair set and
+    jaccard values to the classic shingle self-join, including near the
+    threshold boundary."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        words = list(rng.choice(vocab, size=rng.integers(8, 25)))
+        rows.append((f"d{i:02d}", " ".join(words)))
+    # seed guaranteed near-dups
+    rows.append(("dup_a", rows[0][1]))
+    rows.append(("dup_b", rows[0][1] + " extra tail words here"))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    for t in (0.2, 0.5):
+        fast = ngram_jaccard_pairs(df, threshold=t, n=3).toPandas()
+        slow = ngram_jaccard_pairs(df, threshold=t, n=3, prefix_filter=False).toPandas()
+        f = fast.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        s = slow.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        assert len(f) == len(s) and len(f) > 0, (t, len(f), len(s))
+        assert (f["doc_a"] == s["doc_a"]).all() and (f["doc_b"] == s["doc_b"]).all()
+        assert np.allclose(f["jaccard"], s["jaccard"])
