@@ -95,3 +95,36 @@ def test_spark_compress_decompress_roundtrip(spark, seqs_2k):
         assert g["bucket_ts"] == w["bucket_ts"]
         assert g["value"] == w["value"]  # bit-exact
     segs.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property tests (SURVEY §5.2: codec roundtrip on adversarial
+# floats and irregular timestamps)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        min_size=0,
+        max_size=300,
+    )
+)
+def test_xor_roundtrip_property(vals):
+    _roundtrip_floats(vals)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62 - 1),
+        min_size=0,
+        max_size=300,
+    )
+)
+def test_dod_roundtrip_property(ts):
+    _roundtrip_ints(ts)
