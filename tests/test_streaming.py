@@ -74,3 +74,58 @@ def test_stream_running_stats(spark, seqs_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_late_data_dropped_by_watermark(spark, tmp_path):
+    """Append-mode watermark semantics: a window is emitted once the
+    watermark passes it, and rows arriving later than the watermark delay
+    are DROPPED (the engine's late-data policy, SURVEY §2.10)."""
+    import time as _time
+
+    d = str(tmp_path / "late_in")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "doc_id string, n_tok int, source string"
+        ).coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.2)  # distinct mtimes -> deterministic file order
+
+    def doc(ts, i):
+        return (f"web_{ts}_{i:08d}", 10, "web")
+
+    ckpt = str(tmp_path / "ckpt_late")
+    out_dir = str(tmp_path / "late_out")
+
+    def run():
+        # parquet sink (memory sink cannot recover from a checkpoint)
+        batch_schema = spark.read.parquet(d).schema
+        stream = (
+            spark.readStream.schema(batch_schema)
+            .option("maxFilesPerTrigger", 1)  # one file per micro-batch, mtime order
+            .parquet(d)
+        )
+        q = (
+            stream_rollup_1m(stream_derive_event_ts(stream), watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r["source"], str(r["bucket_ts"]), r["cnt"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    write([doc("20240101000030", i) for i in range(5)])   # on time, bucket 00:00
+    write([doc("20240101010030", i) for i in range(3)])   # advances watermark ~1h
+    # run 1: watermark passes 00:01 -> the 00:00 window finalizes with the
+    # on-time count; 01:00 stays open (nothing later to close it)
+    assert run() == {("web", "2024-01-01 00:00:00", 5)}
+
+    write([doc("20240101000040", i) for i in range(2)])   # 1h late > 10min delay
+    # run 2 (same checkpoint): the persisted watermark drops the late rows —
+    # the already-emitted window is NOT re-opened or re-emitted
+    assert run() == {("web", "2024-01-01 00:00:00", 5)}

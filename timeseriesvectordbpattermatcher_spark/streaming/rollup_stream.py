@@ -71,10 +71,16 @@ def stream_rollup_1m(
             F.max("tok_max").alias("tok_max"),
             F.sum("tok_sum").alias("tok_sum"),
         ]
+    # group on the window STRUCT, not window(...).start — extracting the
+    # field before the agg severs the event-time/watermark linkage and
+    # Spark then rejects append mode ("aggregation without watermark"),
+    # which is exactly the late-data-dropping mode
     out = (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(key_col, F.window(ts_col, "1 minute").getField("start").alias("bucket_ts"))
+        .groupBy(key_col, F.window(ts_col, "1 minute").alias("_w"))
         .agg(*aggs)
+        .withColumn("bucket_ts", F.col("_w.start"))
+        .drop("_w")
     )
     return out.withColumn("avg_n_tok", F.col("sum_n_tok") / F.col("cnt"))
 
