@@ -1487,6 +1487,91 @@ def q_resumable_rollup(spark, sf_dir):
     )
 
 
+def q_vcp_patterns(spark, sf_dir):
+    """X8 volatility-contraction patterns over the deterministic OHLCV
+    fixture's extrema (rows-only: running-max walk is sequential per window,
+    /root/reference/datalib/extremaPatternLooper.py:205-272)."""
+    import datetime as dt
+
+    from timeseriesvectordbpattermatcher_spark.operators.patterns import (
+        find_vcp_up_patterns,
+    )
+
+    # deterministic contracting-range fixture: 9 maxima (high 103, lows 100
+    # between -> range 3% <= 1.1 x seeded 4%), 8th max breaks out above all
+    # prior highs; 8-day spacing -> window span 112d >= 50d
+    rows, t = [], dt.datetime(2024, 1, 1)
+    for i in range(9):
+        hi, cl = (104.0, 103.5) if i == 7 else (103.0, 102.5)
+        rows.append(("FIX", t, 102.0, hi, 101.5, cl, "max"))
+        t += dt.timedelta(days=8)
+        if i < 8:
+            rows.append(("FIX", t, 100.5, 101.0, 100.0, 100.5, "min"))
+            t += dt.timedelta(days=8)
+    extrema = spark.createDataFrame(
+        rows,
+        "series_id string, ts timestamp, open double, high double, "
+        "low double, close double, minmax_type string",
+    )
+    return find_vcp_up_patterns(extrema)
+
+
+def q_divergence(spark, sf_dir):
+    """X9/X10 divergence via interval-containment cogroup (J4): price
+    extrema falling vs OBV extrema rising (rows-only,
+    /root/reference/datalib/extremaPatternLooper.py:275-355)."""
+    import datetime as dt
+
+    from timeseriesvectordbpattermatcher_spark.operators.patterns import (
+        find_divergence_patterns,
+    )
+
+    # price extrema strictly falling while the aux indicator's extrema rise
+    # inside the same interval -> bullish divergence (2 qualifying windows)
+    base = dt.datetime(2024, 1, 1)
+    ts = [base + dt.timedelta(days=7 * i) for i in range(6)]
+    main = spark.createDataFrame(
+        [("s", t, p) for t, p in zip(ts, [10.0, 9.0, 8.0, 7.0, 6.0, 5.0])],
+        "series_id string, ts timestamp, px double",
+    )
+    aux = spark.createDataFrame(
+        [("s", t, p) for t, p in zip(ts, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0])],
+        "series_id string, ts timestamp, px double",
+    )
+    return find_divergence_patterns(main, aux, ex_cond="down,up")
+
+
+def q_trade_sim(spark, sf_dir):
+    """X14 stateful trade simulator: staged profit-taking + trailing stop,
+    grouped-map per (series, entry) (rows-only: sequential within group,
+    /root/reference/datalib/patternTraderUtil.py:737-836)."""
+    import datetime as dt
+
+    from timeseriesvectordbpattermatcher_spark.operators.tradesim import trade_simulator
+    from timeseriesvectordbpattermatcher_spark.sources.synth import synth_ohlcv
+
+    ohlcv = synth_ohlcv(spark, n_tickers=4, n_days=500)
+    entries = spark.createDataFrame(
+        [
+            ("TK00", dt.datetime(2019, 3, 4)),
+            ("TK01", dt.datetime(2019, 6, 3)),
+            ("TK02", dt.datetime(2019, 9, 2)),
+        ],
+        "series_id string, entry_ts timestamp",
+    )
+    return trade_simulator(ohlcv, entries)
+
+
+def q_psar(spark, sf_dir):
+    """W19 parabolic SAR (recursive kernel -> grouped map; rows-only,
+    /root/reference/datalib/taStopEstimater.py:93-103 consumers)."""
+    from timeseriesvectordbpattermatcher_spark.operators.tradesim import psar
+    from timeseriesvectordbpattermatcher_spark.sources.synth import synth_ohlcv
+
+    ohlcv = synth_ohlcv(spark, n_tickers=3, n_days=400)
+    return psar(ohlcv).select("series_id", "ts", F.round("psar", _R).alias("psar"))
+
+
 def q_minhash_dedup(spark, sf_dir):
     """Dedup closure: min-id label propagation over MinHash-LSH pair edges —
     the survivors table (rows-only: iterative fixpoint)."""
@@ -1568,6 +1653,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_count_where": q_rolling_count_where,
         "pct_change": q_pct_change,
         # non-SQL-expressible (rows-only checks)
+        "vcp_patterns": q_vcp_patterns,
+        "divergence": q_divergence,
+        "trade_sim": q_trade_sim,
+        "psar": q_psar,
         "resumable_rollup": q_resumable_rollup,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
