@@ -720,17 +720,17 @@ l AS (
   FROM bars WINDOW w AS (PARTITION BY series_id ORDER BY ts))
 SELECT series_id, ts,
        CASE WHEN (high - low) > 0 AND abs(close - open) <= 0.1 * (high - low)
-            THEN 100 ELSE 0 END AS CDLDOJI,
+            THEN 100 ELSE 0 END AS "CDLDOJI",
        CASE WHEN close > open AND c1 < o1 AND close >= o1 AND open <= c1
                  AND abs(close - open) > abs(c1 - o1) THEN 100
             WHEN close < open AND c1 > o1 AND open >= c1 AND close <= o1
                  AND abs(close - open) > abs(c1 - o1) THEN -100
-            ELSE 0 END AS CDLENGULFING,
+            ELSE 0 END AS "CDLENGULFING",
        CASE WHEN close > open AND (high - low) > 0
                  AND abs(close - open) >= 0.95 * (high - low) THEN 100
             WHEN close < open AND (high - low) > 0
                  AND abs(close - open) >= 0.95 * (high - low) THEN -100
-            ELSE 0 END AS CDLMARUBOZU
+            ELSE 0 END AS "CDLMARUBOZU"
 FROM l
 """
 

@@ -82,11 +82,11 @@ def main() -> None:
         problems = []
         if len(sdf) != len(ddf):
             problems.append(f"rows {len(sdf)} != {len(ddf)}")
-        if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, ddf.columns)):
+        # case-SENSITIVE: DuckDB lowercases unquoted aliases, so a Spark
+        # alias like CDLDOJI needs AS "CDLDOJI" in the oracle
+        if sorted(sdf.columns) != sorted(ddf.columns):
             problems.append(f"cols {sorted(sdf.columns)} != {sorted(ddf.columns)}")
         if not problems:
-            sdf.columns = [c.lower() for c in sdf.columns]
-            ddf.columns = [c.lower() for c in ddf.columns]
             if value_hash(sdf) != value_hash(ddf):
                 problems.append("value-hash mismatch")
                 a, b = norm(sdf), norm(ddf)
