@@ -1455,6 +1455,40 @@ FROM bars
 """
 
 
+def q_pattern_screener(spark, sf_dir):
+    """X12 screener core: every lag-tuple pattern family in ONE plan over
+    the event-bar extrema, then U4 overlap pruning per (series, pattern)
+    (/root/reference/datalib/extremaPatternUtil.py:171-322 runs the same
+    families in a per-ticker loop). Rows-only: the 7-point X3 family's
+    type-split predicate isn't portable SQL."""
+    from timeseriesvectordbpattermatcher_spark.operators.patterns import all_patterns
+    from timeseriesvectordbpattermatcher_spark.operators.windows import (
+        local_extrema,
+        remove_overlapping_intervals,
+    )
+
+    bars = _event_bars(spark, sf_dir)
+    ex = (
+        local_extrema(bars, order=5)
+        .filter("minmax_type != 'na'")
+        .withColumn(
+            "px",
+            F.when(F.col("minmax_type") == "max", F.col("high")).otherwise(F.col("low")),
+        )
+    )
+    pats = all_patterns(ex)
+    pruned = remove_overlapping_intervals(
+        pats.withColumn("series_id", F.concat_ws("|", "series_id", "pattern"))
+    )
+    return pruned.select(
+        F.split("series_id", r"\|").getItem(0).alias("series_id"),
+        F.col("pattern"),
+        "start_ts",
+        "end_ts",
+        "bullbear",
+    )
+
+
 def q_resumable_rollup(spark, sf_dir):
     """E1 lifecycle + crash-resume through the contract: run the snapshot-
     checkpointed RollupJob over a deterministic seqs corpus, inject a crash
@@ -1654,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pct_change": q_pct_change,
         # non-SQL-expressible (rows-only checks)
         "vcp_patterns": q_vcp_patterns,
+        "pattern_screener": q_pattern_screener,
         "divergence": q_divergence,
         "trade_sim": q_trade_sim,
         "psar": q_psar,

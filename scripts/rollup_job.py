@@ -3,8 +3,13 @@
 
 Cluster:
     scripts/make_pyfiles_zip.sh
-    spark-submit --py-files engine.zip scripts/rollup_job.py \
+    spark-submit --driver-memory 8g --py-files engine.zip scripts/rollup_job.py \
         --input /data/seqs --output /tables/rollups [--salt 16] [--expire]
+
+NOTE: under spark-submit the driver JVM starts BEFORE get_spark(), so
+driver memory must be set on the submit command line (--driver-memory /
+--conf spark.driver.memory) — session-builder confs cannot resize a
+running JVM. In local mode the driver heap IS the executor heap.
 
 Local smoke (what the sandbox runs):
     python scripts/rollup_job.py --synthetic-rows 50000 --output /tmp/rollups
@@ -54,7 +59,12 @@ def main() -> int:
         return 2
 
     job = RollupJob(args.output)
-    tiers = job.run(spark, derive_event_ts(seqs), full_refresh=args.full_refresh)
+    tiers = job.run(
+        spark,
+        derive_event_ts(seqs),
+        full_refresh=args.full_refresh,
+        salt_buckets=args.salt or None,
+    )
     counts = {t: (df.count() if df is not None else 0) for t, df in tiers.items()}
 
     expired = {}

@@ -90,8 +90,11 @@ class RollupJob:
         run_id: str | None = None,
         fail_after: str | None = None,
         full_refresh: bool = False,
+        salt_buckets: int | None = None,
     ) -> dict[str, DataFrame | None]:
-        """Incremental run. ``seqs_ts`` must carry event_ts (derive_event_ts)."""
+        """Incremental run. ``seqs_ts`` must carry event_ts (derive_event_ts).
+        ``salt_buckets`` enables the two-phase salted 1m aggregation for
+        hot-key skew (north rule) — merge tiers are already small."""
         run_id = run_id or uuid.uuid4().hex[:12]
         new_wm = seqs_ts.agg(F.max("event_ts")).collect()[0][0]
         if new_wm is not None:
@@ -112,7 +115,12 @@ class RollupJob:
                 if days:
                     affected_raw = seqs_ts.filter(F.to_date("event_ts").isin(days))
                     self._commit_tier(
-                        spark, "1m", rollup_1m(affected_raw), wm_str, run_id, t0
+                        spark,
+                        "1m",
+                        rollup_1m(affected_raw, salt_buckets=salt_buckets),
+                        wm_str,
+                        run_id,
+                        t0,
                     )
                     if fail_after == "1m":
                         raise RuntimeError("injected failure after 1m commit")

@@ -98,8 +98,15 @@ class SnapshotTable:
         run_id = run_id or uuid.uuid4().hex[:12]
         commit_dir = f"data/c_{run_id}_{uuid.uuid4().hex[:8]}"
         out_path = os.path.join(self.root, commit_dir)
+        # repartition ON the partition key before partitionBy: otherwise
+        # every input task writes a file into every partition dir (tasks x
+        # keys small files — ~50k at 12M rows/1.6k daily partitions) and the
+        # per-file metadata inventory below turns into the bottleneck.
+        # After the shuffle each key's rows live in exactly one task, so
+        # each partition dir gets exactly one file.
         (
             df.withColumn("_pk", F.concat_ws("/", *[F.col(c).cast("string") for c in partition_cols]))
+            .repartition(F.col("_pk"))
             .write.partitionBy("_pk")
             .parquet(out_path)
         )
