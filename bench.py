@@ -9,7 +9,7 @@ tables at the given scale factor.
 Usage: python bench.py            # one JSON line on stdout
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
        SPARK_GRAFT_CPUS   (default all cores)
-       BENCH_SEQS_ROWS    (default 300000)
+       BENCH_SEQS_ROWS    (default 2000000)
 """
 
 from __future__ import annotations
@@ -59,11 +59,12 @@ def main() -> None:
             F.sum("sum_n_tok"), F.sum("tok_sum"), F.min("tok_min"), F.max("tok_max")
         ).collect()[0][0]
 
-    # best-of-2 with one untimed warm-up: this sandbox VM has bursty
-    # noisy-neighbor contention; min-of-k is the standard antidote
+    # best-of-3 with one untimed warm-up: this sandbox VM has bursty
+    # noisy-neighbor contention (identical runs measured 6-300 M tokens/s);
+    # min-of-k is the standard antidote
     total_tokens = cascade_once()
     rollup_sec = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         cascade_once()
         dt = time.time() - t0
