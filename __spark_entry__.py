@@ -1455,6 +1455,54 @@ FROM bars
 """
 
 
+def q_matcher_golden_parity(spark, sf_dir):
+    """Matcher parity vs the committed golden fixture (F4 golden_matches,
+    tests/golden/matches.parquet): rerun the full E2 pipeline (segment ->
+    embed -> broadcast cosine top-k -> P4/P5 filters) and emit one row per
+    golden match with id/rank/score agreement flags — rows-only, but every
+    *_ok column must be true (visible in the correctness record)."""
+    import os as _os
+
+    from timeseriesvectordbpattermatcher_spark.operators.matcher import match_pipeline
+    from timeseriesvectordbpattermatcher_spark.operators.segmentation import (
+        ma_normalize,
+        segment_series,
+    )
+    from timeseriesvectordbpattermatcher_spark.sources.synth import synth_ohlcv
+
+    golden_path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "tests", "golden", "matches.parquet"
+    )
+    ohlcv = synth_ohlcv(spark, n_tickers=6, n_days=900, seed=42)
+    refs = segment_series(ma_normalize(ohlcv))
+    qseg = (
+        segment_series(ma_normalize(ohlcv.filter("series_id = 'TK00'")))
+        .orderBy(F.desc("end_ts"))
+        .limit(1)
+        .select(
+            F.col("segment_id").alias("query_id"),
+            F.col("features").alias("q_features"),
+            F.to_date("start_ts").alias("query_start"),
+        )
+    )
+    got = match_pipeline(qseg, refs, strategy="join").select(
+        "query_id", "rank", "segment_id", F.round("score", 6).alias("score")
+    )
+    want = spark.read.parquet(golden_path).select(
+        "query_id",
+        F.col("rank").alias("g_rank"),
+        F.col("segment_id").alias("g_segment_id"),
+        F.col("score").alias("g_score"),
+    )
+    j = got.join(want, (got.rank == want.g_rank) & (got.query_id == want.query_id), "full")
+    return j.select(
+        F.coalesce(got.query_id, want.query_id).alias("query_id"),
+        F.coalesce("rank", "g_rank").alias("rank"),
+        (F.col("segment_id") == F.col("g_segment_id")).alias("id_ok"),
+        (F.abs(F.col("score") - F.col("g_score")) <= 1e-6).alias("score_ok"),
+    )
+
+
 def q_pattern_screener(spark, sf_dir):
     """X12 screener core: every lag-tuple pattern family in ONE plan over
     the event-bar extrema, then U4 overlap pruning per (series, pattern)
@@ -1689,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # non-SQL-expressible (rows-only checks)
         "vcp_patterns": q_vcp_patterns,
         "pattern_screener": q_pattern_screener,
+        "matcher_golden_parity": q_matcher_golden_parity,
         "divergence": q_divergence,
         "trade_sim": q_trade_sim,
         "psar": q_psar,
