@@ -1455,6 +1455,30 @@ FROM bars
 """
 
 
+def q_flag_debounce(spark, sf_dir):
+    """W13 flag debounce: boolean up-bar flag smoothed with a 5-row rolling
+    max (/root/reference/datalib/patternTraderUtil.py:63,78 — flags held
+    high for k rows after firing)."""
+    from timeseriesvectordbpattermatcher_spark.operators.windows import rolling
+
+    bars = _event_bars(spark, sf_dir).withColumn(
+        "f_up", (F.col("close") > F.col("open")).cast("double")
+    )
+    out = rolling(bars, "f_up", 5, "max", out="f_up_held", strict=False)
+    return out.select("series_id", "ts", "f_up", "f_up_held")
+
+
+SQL_FLAG_DEBOUNCE = f"""
+WITH bars AS ({_SQL_BARS})
+SELECT series_id, ts,
+       (close > open)::INT::DOUBLE AS f_up,
+       max((close > open)::INT::DOUBLE)
+         OVER (PARTITION BY series_id ORDER BY ts
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS f_up_held
+FROM bars
+"""
+
+
 def q_matcher_golden_parity(spark, sf_dir):
     """Matcher parity vs the committed golden fixture (F4 golden_matches,
     tests/golden/matches.parquet): rerun the full E2 pipeline (segment ->
@@ -1732,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ttest_cohorts": q_ttest_cohorts,
         "hs_patterns": q_hs_patterns,
         "box_bands": q_box_bands,
+        "flag_debounce": q_flag_debounce,
         "rolling_count_where": q_rolling_count_where,
         "pct_change": q_pct_change,
         # non-SQL-expressible (rows-only checks)
@@ -1797,6 +1822,7 @@ def oracle_sql() -> dict[str, str]:
         "ttest_cohorts": SQL_TTEST_COHORTS,
         "hs_patterns": SQL_HS_PATTERNS,
         "box_bands": SQL_BOX_BANDS,
+        "flag_debounce": SQL_FLAG_DEBOUNCE,
         "rolling_count_where": SQL_ROLLING_COUNT_WHERE,
         "pct_change": SQL_PCT_CHANGE,
     }
