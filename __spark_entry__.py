@@ -1035,13 +1035,21 @@ def q_interval_overlap(spark, sf_dir):
 
 
 SQL_INTERVAL_OVERLAP = f"""
-WITH pats AS (SELECT series_id, start_ts, end_ts FROM ({SQL_PATTERN_HIGHER_LOW}))
-SELECT series_id, start_ts, end_ts FROM (
+WITH RECURSIVE pats AS (
   SELECT series_id, start_ts, end_ts,
-         max(end_ts) OVER (PARTITION BY series_id ORDER BY start_ts, end_ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
-  FROM pats)
-WHERE prev_max IS NULL OR start_ts >= prev_max
+         row_number() OVER (PARTITION BY series_id ORDER BY start_ts, end_ts) AS rn
+  FROM (SELECT series_id, start_ts, end_ts FROM ({SQL_PATTERN_HIGHER_LOW}))),
+walk AS (
+  -- frontier = end of the last KEPT interval (reference keep-rule; a plain
+  -- preceding-rows running max would wrongly let DROPPED intervals block)
+  SELECT series_id, rn, start_ts, end_ts, end_ts AS frontier, TRUE AS kept
+  FROM pats WHERE rn = 1
+  UNION ALL
+  SELECT p.series_id, p.rn, p.start_ts, p.end_ts,
+         CASE WHEN p.start_ts >= w.frontier THEN p.end_ts ELSE w.frontier END,
+         p.start_ts >= w.frontier
+  FROM pats p JOIN walk w ON p.series_id = w.series_id AND p.rn = w.rn + 1)
+SELECT series_id, start_ts, end_ts FROM walk WHERE kept
 """
 
 
@@ -1573,23 +1581,35 @@ def q_resumable_rollup(spark, sf_dir):
     from timeseriesvectordbpattermatcher_spark.plans.checkpoint import RollupJob
     from timeseriesvectordbpattermatcher_spark.sources.synth import synth_seqs
 
+    import shutil
+
     base = tempfile.mkdtemp(prefix="rollup_job_")
-    job = RollupJob(base)
-    seqs = derive_event_ts(synth_seqs(spark, 5000, seed=11, with_tokens=False))
     try:
-        job.run(spark, seqs, fail_after="1m")  # crash between tier commits
-    except RuntimeError:
-        pass
-    job.run(spark, seqs)  # resume: re-converges to the single-run state
-    audit = job.audit.read(spark)
-    return (
-        audit.groupBy("stage")
-        .agg(
-            F.sum("rows").alias("rows_out"),
-            F.count("*").alias("n_partitions_written"),
-            F.max("snapshot_version").alias("snapshot_version"),
+        job = RollupJob(base)
+        seqs = derive_event_ts(synth_seqs(spark, 5000, seed=11, with_tokens=False))
+        try:
+            job.run(spark, seqs, fail_after="1m")  # crash between tier commits
+        except RuntimeError:
+            pass
+        job.run(spark, seqs)  # resume: re-converges to the single-run state
+        audit = job.audit.read(spark)
+        # materialize before cleanup (the summary is 3 rows; returning a lazy
+        # plan over a deleted temp dir would fail at the driver's collect)
+        rows = (
+            audit.groupBy("stage")
+            .agg(
+                F.sum("rows").alias("rows_out"),
+                F.count("*").alias("n_partitions_written"),
+                F.max("snapshot_version").alias("snapshot_version"),
+            )
+            .orderBy("stage")
+            .collect()
         )
-        .orderBy("stage")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "stage string, rows_out bigint, n_partitions_written bigint, snapshot_version int",
     )
 
 

@@ -70,7 +70,18 @@ def main() -> None:
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            # rows-only queries with self-asserting *_ok boolean columns
+            # (e.g. matcher_golden_parity, codec_roundtrip) must be all-true
+            ok_cols = [c for c in sdf.columns if c.endswith("_ok")]
+            bad_flags = [
+                c for c in ok_cols if not bool(sdf[c].fillna(False).all())
+            ]
+            if bad_flags:
+                print(f"FAIL {name}: rows-only *_ok flags false: {bad_flags}")
+                n_fail += 1
+                continue
+            flag_note = f", {len(ok_cols)} ok-flags true" if ok_cols else ""
+            print(f"ok   {name}: rows-only ({len(sdf)} rows{flag_note}, {time.time()-t0:.1f}s)")
             n_pass += 1
             continue
         try:
@@ -82,8 +93,9 @@ def main() -> None:
         problems = []
         if len(sdf) != len(ddf):
             problems.append(f"rows {len(sdf)} != {len(ddf)}")
-        # case-SENSITIVE: DuckDB lowercases unquoted aliases, so a Spark
-        # alias like CDLDOJI needs AS "CDLDOJI" in the oracle
+        # case-SENSITIVE, mirroring the strictest the driver could be (note:
+        # DuckDB actually PRESERVES unquoted alias case; quoting is merely a
+        # belt-and-braces guarantee, not a requirement)
         if sorted(sdf.columns) != sorted(ddf.columns):
             problems.append(f"cols {sorted(sdf.columns)} != {sorted(ddf.columns)}")
         if not problems:

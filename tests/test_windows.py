@@ -221,3 +221,24 @@ def test_perf_by_year_rollup(spark, duck):
     w = want.sort_values(["signame", "year"]).reset_index(drop=True)
     assert np.allclose(g["ret"], w["ret"]) and (g["tcnt"] == w["tcnt"]).all()
     assert set(g["year"]) == {"2020", "2021", "all"}
+
+
+def test_remove_overlapping_uses_last_kept_frontier(spark):
+    """Reference keep-rule (extremaPatternUtil.py:340-366): the frontier is
+    the end of the last KEPT interval — a dropped interval's end must not
+    block later ones. A=[1,11] kept; B=[6,13] dropped; C=[12,15] must be
+    KEPT (start 12 >= kept frontier 11) even though dropped B ends at 13."""
+    import datetime as dt
+
+    from timeseriesvectordbpattermatcher_spark.operators.windows import (
+        remove_overlapping_intervals,
+    )
+
+    d = lambda x: dt.datetime(2024, 1, x)  # noqa: E731
+    df = spark.createDataFrame(
+        [("s", d(1), d(11)), ("s", d(6), d(13)), ("s", d(12), d(15))],
+        "series_id string, start_ts timestamp, end_ts timestamp",
+    )
+    got = {(r["start_ts"].day, r["end_ts"].day)
+           for r in remove_overlapping_intervals(df).collect()}
+    assert got == {(1, 11), (12, 15)}

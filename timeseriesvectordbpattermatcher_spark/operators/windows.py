@@ -300,24 +300,30 @@ def remove_overlapping_intervals(
     series_col: str = "series_id",
 ) -> DataFrame:
     """U4: scan intervals in start order, keep those starting at/after the
-    max end of all previously kept — the reference's sequential overlap prune
+    end of the last KEPT interval — the reference's sequential overlap prune
     (/root/reference/datalib/extremaPatternUtil.py:340-366).
 
-    The reference compares against the previous *kept* interval; a running
-    max over preceding *rows* matches it exactly when intervals are
-    start-sorted, because any kept interval's end is the running max at its
-    position (kept ends are monotone under the keep rule)."""
-    w = (
-        Window.partitionBy(series_col)
-        .orderBy(start_col, end_col)  # end_col tiebreak -> deterministic on start ties
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prev_max_end = F.max(end_col).over(w)
-    return (
-        df.withColumn("_keep", prev_max_end.isNull() | (F.col(start_col) >= prev_max_end))
-        .filter("_keep")
-        .drop("_keep")
-    )
+    The frontier depends on which intervals were kept, so this is NOT a
+    plain running max over preceding rows: for A=[1,11], B=[6,13], C=[12,15]
+    the reference keeps A and C (B is dropped, so its end never blocks C),
+    while a preceding-rows running max would wrongly drop C. Sequential
+    scan per series via grouped map — pattern interval tables are tiny
+    relative to raw data (a few rows per series), parallel across series.
+    The DuckDB oracle form is a recursive CTE walking rn with a kept
+    frontier (see __spark_entry__.SQL_INTERVAL_OVERLAP)."""
+    cols = list(df.columns)
+    schema = df.schema
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([start_col, end_col]).reset_index(drop=True)
+        keep, frontier = [], None
+        for i, row in pdf.iterrows():
+            if frontier is None or row[start_col] >= frontier:
+                keep.append(i)
+                frontier = row[end_col]
+        return pdf.loc[keep, cols]
+
+    return df.groupBy(series_col).applyInPandas(per_series, schema=schema)
 
 
 def min_spacing_dedupe(
