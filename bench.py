@@ -84,12 +84,14 @@ def main() -> None:
         "pricing_summary",
         "asof_join",
         "ngram_jaccard",
-        "minhash_lsh",
+        "minhash_dedup",
         "cosine_topk",
         "token_segmentation",
         "matcher_pipeline",
         "codec_roundtrip",
         "hs_patterns",
+        "ta_indicators",
+        "multi_stop",
     ]
     for name in headline:
         best = None

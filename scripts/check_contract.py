@@ -70,8 +70,13 @@ def main() -> None:
             n_fail += 1
             continue
         if name not in oracles:
-            # rows-only queries with self-asserting *_ok boolean columns
-            # (e.g. matcher_golden_parity, codec_roundtrip) must be all-true
+            # rows-only queries must produce rows — an empty frame would
+            # pass every vacuous check and hide a regression (round-1 ADVICE)
+            if len(sdf) == 0:
+                print(f"FAIL {name}: rows-only query returned 0 rows")
+                n_fail += 1
+                continue
+            # self-asserting *_ok boolean columns must be all-true
             ok_cols = [c for c in sdf.columns if c.endswith("_ok")]
             bad_flags = [
                 c for c in ok_cols if not bool(sdf[c].fillna(False).all())

@@ -161,3 +161,21 @@ def test_jaccard_prefix_filter_equals_classic(spark):
         assert len(f) == len(s) and len(f) > 0, (t, len(f), len(s))
         assert (f["doc_a"] == s["doc_a"]).all() and (f["doc_b"] == s["doc_b"]).all()
         assert np.allclose(f["jaccard"], s["jaccard"])
+
+
+def test_minhash_dedup_long_chain_fixpoint(spark):
+    """A duplicate CHAIN of 12 docs (doc_i a sliding 60-word window, step 15,
+    over a 300-word vocabulary) must collapse to ONE survivor: adjacent docs
+    share 45/75 shingle-ish words (jaccard ~0.6 >= threshold) while docs two
+    steps apart share 30/90 (~0.33 < threshold), so connectivity is ONLY via
+    the chain — diameter 11, far beyond the old fixed 3 iterations."""
+    vocab = [f"w{i:03d}" for i in range(300)]
+    rows = []
+    for i in range(12):
+        rows.append((f"c{i:02d}", " ".join(vocab[i * 15 : i * 15 + 60])))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = minhash_lsh_dedup(
+        df, threshold=0.45, num_perm=128, bands=64, n=2
+    )
+    survivors = {r["doc_id"] for r in out.collect()}
+    assert survivors == {"c00"}, survivors

@@ -110,3 +110,67 @@ def test_match_pipeline_bcast_strategy(spark, vec_tables):
     assert [(r["query_id"], r["rank"], r["segment_id"]) for r in a] == [
         (r["query_id"], r["rank"], r["segment_id"]) for r in b
     ]
+
+
+def test_bcast_driver_never_holds_matrix(vec_tables, monkeypatch):
+    """The side-file scale path must not collect the ref table driver-side."""
+    from pyspark.sql import DataFrame
+
+    q_df, refs_df = vec_tables
+
+    def boom(self):  # pragma: no cover - fails the test if called
+        raise AssertionError("driver-side collect() of refs in cosine_topk_bcast")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    try:
+        out = cosine_topk_bcast(q_df, refs_df, k=3)
+        n = out.toPandas()  # toPandas avoids DataFrame.collect
+    finally:
+        monkeypatch.undo()
+    assert len(n) == 3 * 4
+
+
+def test_match_pipeline_lsh_ivf_recall(spark, vec_tables):
+    """Approximate strategies must reach recall >= 0.9 of the brute-force
+    top-10 (averaged over queries) at default settings on a clusterable
+    corpus."""
+    rng = np.random.default_rng(11)
+    # 6 well-separated centers so LSH buckets / IVF lists are meaningful
+    centers = rng.normal(size=(6, 16)) * 4
+    refs = []
+    for i in range(300):
+        c = centers[i % 6]
+        refs.append(
+            (f"av_TK{i:03d}_20200101_2020020{1 + i % 9}",
+             (c + rng.normal(size=16) * 0.5).tolist())
+        )
+    queries = []
+    for i in range(8):
+        c = centers[i % 6]
+        queries.append(
+            (f"qa_Q{i}_20200301_20200401", (c + rng.normal(size=16) * 0.5).tolist())
+        )
+    refs_df = spark.createDataFrame(refs, "segment_id string, features array<float>")
+    q_df = spark.createDataFrame(queries, "query_id string, q_features array<float>")
+
+    brute = cosine_topk_join(q_df, refs_df, k=10).toPandas()
+    truth = brute.groupby("query_id")["segment_id"].apply(set).to_dict()
+    from timeseriesvectordbpattermatcher_spark.operators.similarity import (
+        ivf_topk,
+        lsh_topk,
+    )
+
+    for fn, kw in [
+        (lsh_topk, dict(n_bits=4, n_tables=16)),
+        (ivf_topk, dict(n_lists=6, nprobe=3)),
+    ]:
+        approx = fn(
+            q_df, refs_df, k=10,
+            query_id="query_id", query_vec="q_features",
+            ref_id="segment_id", ref_vec="features", **kw,
+        ).toPandas()
+        got = approx.groupby("query_id")["segment_id"].apply(set).to_dict()
+        recalls = [
+            len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+        ]
+        assert np.mean(recalls) >= 0.9, (fn.__name__, recalls)

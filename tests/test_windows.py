@@ -242,3 +242,103 @@ def test_remove_overlapping_uses_last_kept_frontier(spark):
     got = {(r["start_ts"].day, r["end_ts"].day)
            for r in remove_overlapping_intervals(df).collect()}
     assert got == {(1, 11), (12, 15)}
+
+
+def test_asof_match_exit_matches_merge_asof(spark):
+    """Randomized parity vs pandas merge_asof(direction='forward') — the
+    rewritten single-window-pass implementation must keep J3 semantics."""
+    import datetime as dt
+
+    import pandas as pd
+
+    rng = np.random.default_rng(4)
+    base = dt.datetime(2024, 1, 1)
+    e_rows, x_rows = [], []
+    for s in ["a", "b", "c"]:
+        for d in sorted(rng.choice(300, size=40, replace=False)):
+            e_rows.append((s, base + dt.timedelta(days=int(d))))
+        for d in sorted(rng.choice(300, size=25, replace=False)):
+            x_rows.append((s, base + dt.timedelta(days=int(d))))
+    entries = spark.createDataFrame(e_rows, "series_id string, entry_ts timestamp")
+    exits = spark.createDataFrame(x_rows, "series_id string, exit_ts timestamp")
+    got = (
+        W.asof_match_exit(entries, exits)
+        .toPandas()
+        .sort_values(["series_id", "entry_ts"])
+        .reset_index(drop=True)
+    )
+    epd = pd.DataFrame(e_rows, columns=["series_id", "entry_ts"]).sort_values("entry_ts")
+    xpd = pd.DataFrame(x_rows, columns=["series_id", "exit_ts"]).sort_values("exit_ts")
+    want = (
+        pd.merge_asof(
+            epd, xpd, left_on="entry_ts", right_on="exit_ts",
+            by="series_id", direction="forward", allow_exact_matches=True,
+        )
+        .sort_values(["series_id", "entry_ts"])
+        .reset_index(drop=True)
+    )
+    assert list(got["entry_ts"]) == list(want["entry_ts"])
+    assert got["matched_exit_ts"].fillna(pd.Timestamp(0)).tolist() == want[
+        "exit_ts"
+    ].fillna(pd.Timestamp(0)).tolist()
+
+
+def test_asof_match_exit_no_cross_product_plan(spark):
+    """Plan pin: the as-of match must be a window over a union — no join
+    node (the round-1 range join exploded per-series entries x exits)."""
+    import datetime as dt
+
+    entries = spark.createDataFrame(
+        [("s", dt.datetime(2024, 1, 1))], "series_id string, entry_ts timestamp"
+    )
+    exits = spark.createDataFrame(
+        [("s", dt.datetime(2024, 1, 5))], "series_id string, exit_ts timestamp"
+    )
+    plan = W.asof_match_exit(entries, exits)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+
+
+def test_price_by_volume_obv(ohlcv, one_pdf):
+    got = (
+        W.price_by_volume_obv(ohlcv, bin_cnt=6)
+        .filter("series_id='TK00'")
+        .toPandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    # totals must reconcile and the up-ratio must be pbv_up / total
+    lo, hi = one_pdf["close"].min(), one_pdf["close"].max()
+    bins = np.minimum(((one_pdf["close"] - lo) / ((hi - lo) / 6)).astype(int), 5)
+    want_tot = one_pdf.groupby(bins)["volume"].sum()
+    up = one_pdf["close"].diff() > 0
+    want_up = one_pdf[up].groupby(bins[up])["volume"].sum()
+    assert np.allclose(got["volume_by_price"], want_tot.values)
+    assert np.allclose(got["pbv_up"], want_up.reindex(want_tot.index).fillna(0).values)
+    assert np.allclose(
+        got["pbv_up_ratio_at_price"], got["pbv_up"] / got["volume_by_price"]
+    )
+    assert np.allclose(got["pbv_down"], got["volume_by_price"] - got["pbv_up"])
+
+
+def test_remove_overlapping_composite_key(spark):
+    """Composite (series, pattern) keys prune independently per pair —
+    no string-packed key (ADVICE round 1)."""
+    import datetime as dt
+
+    d = lambda x: dt.datetime(2024, 1, x)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            ("s|weird", "hs", d(1), d(10)),
+            ("s|weird", "hs", d(5), d(12)),   # overlaps -> dropped
+            ("s|weird", "ihs", d(5), d(12)),  # other pattern -> kept
+        ],
+        "series_id string, pattern string, start_ts timestamp, end_ts timestamp",
+    )
+    got = {
+        (r["series_id"], r["pattern"], r["start_ts"].day)
+        for r in W.remove_overlapping_intervals(
+            df, series_col=["series_id", "pattern"]
+        ).collect()
+    }
+    assert got == {("s|weird", "hs", 1), ("s|weird", "ihs", 5)}

@@ -247,6 +247,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     seed: int = 7,
     verify: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.
 
@@ -254,13 +255,17 @@ def minhash_lsh_pairs(
     the signatures hashes equal. With b=8, r=4 the collision curve crosses
     ~(1/b)^(1/r) ≈ 0.59 — tune (bands, num_perm) to the target threshold.
     At scale the band self-join shuffles only (band_id, band_hash, doc_id).
+
+    ``materialize=False`` keeps the plan lazy (no eager localCheckpoint —
+    the signature subtree re-runs per self-join branch, but nothing blocks
+    fault tolerance on a real cluster; swap in a durable table write there).
     """
     assert num_perm % bands == 0
     r = num_perm // bands
-    sigs = _materialize(
-        minhash_signature(_spread(df), num_perm=num_perm, n=n, text_col=text_col,
-                          id_col=id_col, seed=seed)
-    )
+    sigs = minhash_signature(_spread(df), num_perm=num_perm, n=n, text_col=text_col,
+                             id_col=id_col, seed=seed)
+    if materialize:
+        sigs = _materialize(sigs)
     band_rows = sigs.select(
         id_col,
         F.explode(
@@ -307,29 +312,51 @@ def minhash_lsh_pairs(
 
 
 def minhash_lsh_dedup(
-    df: DataFrame, threshold: float = 0.5, id_col: str = "doc_id", **kw
+    df: DataFrame, threshold: float = 0.5, id_col: str = "doc_id",
+    max_iters: int = 20, **kw
 ) -> DataFrame:
     """Drop near-duplicates: survivor = min doc_id reachable via pair edges.
 
-    Min-id label propagation to a fixpoint (near-dup clusters are tiny, so
-    2-3 iterations suffice; each is one shuffle over the pair edges)."""
+    Min-id label propagation **to a fixpoint**: iterate until an iteration
+    changes zero labels (one cheap limit(1) existence probe per iteration),
+    capped at ``max_iters``. Neighbor-min propagation advances the min id
+    one hop per iteration, so convergence takes the cluster *diameter*
+    iterations — near-dup clusters are shallow in practice, and the cap
+    bounds pathological chains (the previous fixed-3-iteration loop
+    silently split clusters with diameter > 3). Each iteration is
+    localCheckpointed: truncates the self-referential lineage that would
+    otherwise grow the plan exponentially."""
     pairs = minhash_lsh_pairs(df, threshold=threshold, id_col=id_col, **kw).select(
         "doc_a", "doc_b"
     )
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    edges = _materialize(
+        pairs.unionByName(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
     )
-    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-    for _ in range(3):
+    labels = _materialize(
+        df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    )
+    for _ in range(max_iters):
         prop = (
             edges.join(labels, edges.doc_b == labels.node)
             .groupBy(F.col("doc_a").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
+        new_labels = _materialize(
             labels.join(prop, "node", "left")
             .select("node", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
         )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
     survivors = labels.filter(F.col("node") == F.col("label")).select(
         F.col("node").alias(id_col)
     )
@@ -367,6 +394,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 11,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -374,17 +402,21 @@ def simhash_pairs(
     within distance < bands must agree on >= one whole chunk, so the
     candidate join is an equi-join on (chunk_id, chunk_bits). Verified with
     exact popcount. bands must be > max_hamming for completeness.
+
+    ``materialize=False`` keeps the plan lazy for fault-tolerant clusters
+    (see minhash_lsh_pairs) at the cost of recomputing the 64-aggregate
+    simhash expression once per self-join branch.
     """
     assert bands > max_hamming, "pigeonhole completeness requires bands > max_hamming"
     width = 64 // bands
     # simhash_col expands to 64 aggregate() passes over the token hashes —
     # materialize so the self-join doesn't run it twice (and runs it
     # partition-parallel on single-file inputs)
-    sh = _materialize(
-        _spread(df).select(
-            F.col(id_col), simhash_col(words_col(text_col), seed=seed).alias("sh")
-        )
+    sh = _spread(df).select(
+        F.col(id_col), simhash_col(words_col(text_col), seed=seed).alias("sh")
     )
+    if materialize:
+        sh = _materialize(sh)
     chunks = sh.select(
         id_col,
         "sh",

@@ -77,6 +77,31 @@ def cosine_topk_join(
     )
 
 
+# one ref matrix cached per Python worker process, keyed by its store path
+_REF_CACHE: dict[str, tuple] = {}
+
+
+def _load_ref_matrix(path: str, ref_id: str, ref_vec: str):
+    """Executor-side: read the ref segment store (parquet) into the
+    (ids, matrix, norms) triple, once per Python worker. The driver never
+    holds the matrix — it only knows the path."""
+    hit = _REF_CACHE.get(path)
+    if hit is None:
+        import pyarrow.dataset as ds
+
+        tbl = ds.dataset(path, format="parquet").to_table(columns=[ref_id, ref_vec])
+        ids = np.array(tbl.column(ref_id).to_pylist())
+        mat = np.array(tbl.column(ref_vec).to_pylist(), dtype=np.float64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        norms = np.linalg.norm(mat, axis=1)
+        norms = np.where(norms > 0, norms, 1.0)
+        hit = (ids, mat, norms)
+        _REF_CACHE.clear()  # hold at most one matrix per worker
+        _REF_CACHE[path] = hit
+    return hit
+
+
 def cosine_topk_bcast(
     queries: DataFrame,
     refs: DataFrame,
@@ -85,28 +110,35 @@ def cosine_topk_bcast(
     query_vec: str = "q_features",
     ref_id: str = "segment_id",
     ref_vec: str = "features",
+    store_dir: str | None = None,
 ) -> DataFrame:
-    """Scale path: broadcast the ref matrix, matmul per Arrow batch of queries.
+    """Scale path: side-file "broadcast" of the ref matrix, one numpy matmul
+    per Arrow batch of queries.
+
+    The refs are materialized to a parquet segment store by the EXECUTORS
+    (``refs.write.parquet``) and each Python worker lazily reads it back
+    once (pyarrow, module-level cache) — the driver never collects the
+    matrix, so driver memory stays O(1) regardless of |refs| (the round-1
+    driver ``collect()`` died at ~100× reference scale). On a cluster pass
+    ``store_dir`` on shared storage (HDFS/S3/DBFS path readable by pyarrow);
+    default is a session-scoped local temp dir (correct for local[...]).
 
     Emits exactly k rows per query — the |Q|×|R| intermediate never exists.
     Ties broken by ref id ascending (same order as ``cosine_topk_join``).
     """
+    import tempfile
+
     qid_type = queries.schema[query_id].dataType.simpleString()
     rid_type = refs.schema[ref_id].dataType.simpleString()
-    ref_rows = refs.select(ref_id, ref_vec).collect()
-    ids = np.array([r[0] for r in ref_rows])
-    mat = np.array([r[1] for r in ref_rows], dtype=np.float64)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    norms = np.linalg.norm(mat, axis=1)
-    norms = np.where(norms > 0, norms, 1.0)
-    sc = queries.sparkSession.sparkContext
-    b = sc.broadcast((ids, mat, norms))
+    if store_dir is None:
+        store_dir = tempfile.mkdtemp(prefix="ref_segment_store_")
+    refs.select(ref_id, ref_vec).write.mode("overwrite").parquet(store_dir)
 
     kk = k
+    path, rid, rvec = store_dir, ref_id, ref_vec
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        r_ids, r_mat, r_norms = b.value
+        r_ids, r_mat, r_norms = _load_ref_matrix(path, rid, rvec)
         n_refs = len(r_ids)
         take = min(kk, n_refs)
         for pdf in batches:
@@ -189,9 +221,31 @@ def match_pipeline(
     series -> historical-only -> re-rank -> head ``display_k`` per query.
 
     ``queries`` must carry (query_id, q_features, query_start date col).
+
+    Strategies:
+    - ``join``  — broadcast nested-loop + expression scoring (exact).
+    - ``bcast`` — side-file ref matrix + Arrow-batch matmul (exact; the
+      default scale path when the matrix fits an executor).
+    - ``lsh``   — hyperplane-bucketed approximate top-k (recall tested
+      >= 0.9 vs brute force in tests/test_matcher.py) — the 100 TB path
+      when the ref matrix no longer fits one executor.
+    - ``ivf``   — coarse-quantizer (k-means lists) approximate top-k,
+      partition-prunable on list_id.
     """
-    topk_fn = cosine_topk_join if strategy == "join" else cosine_topk_bcast
-    matches = topk_fn(queries, refs, k=k)
+    if strategy in ("join", "bcast"):
+        topk_fn = cosine_topk_join if strategy == "join" else cosine_topk_bcast
+        matches = topk_fn(queries, refs, k=k)
+    elif strategy in ("lsh", "ivf"):
+        from .similarity import ivf_topk, lsh_topk
+
+        fn = lsh_topk if strategy == "lsh" else ivf_topk
+        matches = fn(
+            queries, refs.select("segment_id", "features"), k=k,
+            query_id="query_id", query_vec="q_features",
+            ref_id="segment_id", ref_vec="features",
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
     matches = matches.join(
         queries.select("query_id", query_start_col), "query_id", "left"
     )

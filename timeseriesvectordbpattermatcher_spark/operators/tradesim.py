@@ -139,6 +139,39 @@ def trade_simulator(
     )
 
 
+def psar_walk(
+    high, low,
+    af_start: float = 0.02,
+    af_step: float = 0.02,
+    af_max: float = 0.2,
+) -> list[float]:
+    """Pure PSAR recursion over numpy high/low arrays (Wilder) — shared by
+    :func:`psar` and stops.multi_stop_frame's combined grouped pass."""
+    n = len(high)
+    out = [float("nan")] * n
+    if n >= 2:
+        uptrend = high[1] + low[1] >= high[0] + low[0]
+        sar = low[0] if uptrend else high[0]
+        ep = high[0] if uptrend else low[0]
+        af = af_start
+        for i in range(1, n):
+            sar = sar + af * (ep - sar)
+            if uptrend:
+                sar = min(sar, low[i - 1], low[i - 2] if i >= 2 else low[i - 1])
+                if low[i] < sar:  # reversal
+                    uptrend, sar, ep, af = False, ep, low[i], af_start
+                elif high[i] > ep:
+                    ep, af = high[i], min(af + af_step, af_max)
+            else:
+                sar = max(sar, high[i - 1], high[i - 2] if i >= 2 else high[i - 1])
+                if high[i] > sar:
+                    uptrend, sar, ep, af = True, ep, high[i], af_start
+                elif low[i] < ep:
+                    ep, af = low[i], min(af + af_step, af_max)
+            out[i] = sar
+    return out
+
+
 def psar(
     df: DataFrame,
     af_start: float = 0.02,
@@ -156,31 +189,10 @@ def psar(
 
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col).reset_index(drop=True)
-        high = pdf["high"].to_numpy()
-        low = pdf["low"].to_numpy()
-        n = len(pdf)
-        out = [float("nan")] * n
-        if n >= 2:
-            uptrend = high[1] + low[1] >= high[0] + low[0]
-            sar = low[0] if uptrend else high[0]
-            ep = high[0] if uptrend else low[0]
-            af = af_start
-            for i in range(1, n):
-                sar = sar + af * (ep - sar)
-                if uptrend:
-                    sar = min(sar, low[i - 1], low[i - 2] if i >= 2 else low[i - 1])
-                    if low[i] < sar:  # reversal
-                        uptrend, sar, ep, af = False, ep, low[i], af_start
-                    elif high[i] > ep:
-                        ep, af = high[i], min(af + af_step, af_max)
-                else:
-                    sar = max(sar, high[i - 1], high[i - 2] if i >= 2 else high[i - 1])
-                    if high[i] > sar:
-                        uptrend, sar, ep, af = True, ep, high[i], af_start
-                    elif low[i] < ep:
-                        ep, af = low[i], min(af + af_step, af_max)
-                out[i] = sar
-        pdf["psar"] = out
+        pdf["psar"] = psar_walk(
+            pdf["high"].to_numpy(), pdf["low"].to_numpy(),
+            af_start=af_start, af_step=af_step, af_max=af_max,
+        )
         return pdf[cols + ["psar"]]
 
     return df.groupBy(series_col).applyInPandas(per_series, schema=schema)

@@ -297,7 +297,7 @@ def sessionize(
 
 def remove_overlapping_intervals(
     df: DataFrame, start_col: str = "start_ts", end_col: str = "end_ts",
-    series_col: str = "series_id",
+    series_col: str | list[str] = "series_id",
 ) -> DataFrame:
     """U4: scan intervals in start order, keep those starting at/after the
     end of the last KEPT interval — the reference's sequential overlap prune
@@ -310,9 +310,13 @@ def remove_overlapping_intervals(
     scan per series via grouped map — pattern interval tables are tiny
     relative to raw data (a few rows per series), parallel across series.
     The DuckDB oracle form is a recursive CTE walking rn with a kept
-    frontier (see __spark_entry__.SQL_INTERVAL_OVERLAP)."""
+    frontier (see __spark_entry__.SQL_INTERVAL_OVERLAP).
+
+    ``series_col`` may be a list for composite keys (e.g. (series, pattern)
+    in the screener) — avoids lossy string-packed keys."""
     cols = list(df.columns)
     schema = df.schema
+    keys = [series_col] if isinstance(series_col, str) else list(series_col)
 
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([start_col, end_col]).reset_index(drop=True)
@@ -323,7 +327,7 @@ def remove_overlapping_intervals(
                 frontier = row[end_col]
         return pdf.loc[keep, cols]
 
-    return df.groupBy(series_col).applyInPandas(per_series, schema=schema)
+    return df.groupBy(*keys).applyInPandas(per_series, schema=schema)
 
 
 def min_spacing_dedupe(
@@ -348,20 +352,33 @@ def asof_match_exit(
 ) -> DataFrame:
     """J3: for each entry, the first exit at/after it (the missing
     sig_matrix ``match_exit``'s call-site semantics,
-    /root/reference/datalib/patternTraderUtil.py:556-566) — range join +
-    min per entry. AQE handles the skew; for sorted inputs a merge-as-of
-    via applyInPandas is the big-data path."""
-    e = entries.alias("e")
-    x = exits.alias("x")
-    joined = e.join(
-        x,
-        (F.col(f"e.{series_col}") == F.col(f"x.{series_col}"))
-        & (F.col(f"x.{exit_ts}") >= F.col(f"e.{entry_ts}")),
-        "left",
+    /root/reference/datalib/patternTraderUtil.py:556-566).
+
+    Merge-as-of as ONE window pass over the unioned event stream: tag
+    entries 0 / exits 1, sort (ts, tag) per series — an exit at the same
+    ts sorts after the entry so ``>=`` matching holds — and take
+    ``min(exit ts) over [current row, unbounded following]``. No per-series
+    entries x exits product ever materializes (the previous unbounded range
+    join was O(E·X) per series); cost is one shuffle of E+X rows. A plan
+    test pins the no-cross-product shape."""
+    e = entries.select(
+        F.col(series_col), F.col(entry_ts).alias("_ts"), F.lit(0).alias("_is_exit")
     )
-    return joined.groupBy(
-        F.col(f"e.{series_col}").alias(series_col), F.col(f"e.{entry_ts}").alias(entry_ts)
-    ).agg(F.min(F.col(f"x.{exit_ts}")).alias("matched_exit_ts"))
+    x = exits.select(
+        F.col(series_col), F.col(exit_ts).alias("_ts"), F.lit(1).alias("_is_exit")
+    )
+    both = e.unionByName(x)
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy("_ts", "_is_exit")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = F.min(F.when(F.col("_is_exit") == 1, F.col("_ts"))).over(w)
+    return (
+        both.withColumn("matched_exit_ts", nxt)
+        .filter(F.col("_is_exit") == 0)
+        .select(series_col, F.col("_ts").alias(entry_ts), "matched_exit_ts")
+    )
 
 
 def time_travel_last_n(
@@ -409,17 +426,65 @@ def price_by_volume(
     return top
 
 
+def price_by_volume_obv(
+    df: DataFrame, bin_cnt: int = 20,
+    series_col: str = "series_id", ts_col: str = "ts",
+) -> DataFrame:
+    """A3 OBV variant: per price bin, total volume PLUS the up-move volume
+    split — ``volume_by_price``, ``pbv_up``, ``pbv_down``,
+    ``pbv_up_ratio_at_price`` (missing vcplib ``get_price_by_volume_obv_df``;
+    column set fixed by consumers /root/reference/datalib/patternTraderUtil.py:310-404
+    and /root/reference/datalib/extremaPlotter.py:1261-1290). A bar's volume
+    counts as "up" when close > previous close (OBV sign); the first bar of
+    a series counts as down (sign 0 -> not up), matching OBV's seed."""
+    w = _w(series_col, ts_col)
+    up = F.col("close") > F.lag("close").over(w)
+    tagged = df.withColumn("_up", F.coalesce(up, F.lit(False)))
+    bounds = tagged.groupBy(series_col).agg(
+        F.min("close").alias("_lo"), F.max("close").alias("_hi")
+    )
+    binned = (
+        tagged.join(bounds, series_col)
+        .withColumn(
+            "bin",
+            F.when(F.col("_hi") > F.col("_lo"),
+                   F.least(
+                       F.floor((F.col("close") - F.col("_lo"))
+                               / ((F.col("_hi") - F.col("_lo")) / bin_cnt)),
+                       F.lit(bin_cnt - 1),
+                   )).otherwise(F.lit(0)).cast("int"),
+        )
+        .groupBy(series_col, "bin")
+        .agg(
+            F.sum("volume").alias("volume_by_price"),
+            F.sum(F.when(F.col("_up"), F.col("volume")).otherwise(F.lit(0.0))).alias("pbv_up"),
+            F.avg("close").alias("bin_px"),
+        )
+        .withColumn("pbv_down", F.col("volume_by_price") - F.col("pbv_up"))
+        .withColumn(
+            "pbv_up_ratio_at_price",
+            F.when(F.col("volume_by_price") > 0,
+                   F.col("pbv_up") / F.col("volume_by_price")).otherwise(F.lit(0.5)),
+        )
+    )
+    return binned
+
+
 def perf_by_year_rollup(
     results: DataFrame, ret_col: str = "fw_ret", year_col: str = "year",
     group_cols: list[str] | None = None,
 ) -> DataFrame:
     """A1: per-year perf aggregation + an 'all' total row via GROUPING SETS
     (/root/reference/datalib/extremaPatternUtil.py:826-883 builds the same
-    dict-keyed rows incl. year='all')."""
+    dict-keyed rows incl. year='all'). The input view name is uniqued so
+    concurrent callers on one SparkSession don't collide."""
+    import uuid
+
     group_cols = group_cols or []
     gcols = ", ".join(group_cols + [year_col])
     base_cols = ", ".join(group_cols) if group_cols else ""
-    results.createOrReplaceTempView("_perf_in")
+    view = f"_perf_in_{uuid.uuid4().hex[:12]}"
+    results.createOrReplaceTempView(view)
     sql = f"""
         SELECT {base_cols + ', ' if base_cols else ''}
                coalesce(cast({year_col} as string), 'all') AS year,
@@ -427,7 +492,8 @@ def perf_by_year_rollup(
                count({ret_col}) AS tcnt,
                sum({ret_col})  AS total_ret,
                avg(CASE WHEN {ret_col} > 0 THEN 1.0 ELSE 0.0 END) AS winrate
-        FROM _perf_in
+        FROM {view}
         GROUP BY GROUPING SETS (({gcols}), ({base_cols}))
     """
-    return results.sparkSession.sql(sql)
+    out = results.sparkSession.sql(sql)
+    return out
