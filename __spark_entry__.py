@@ -1794,28 +1794,21 @@ def q_vcp_patterns(spark, sf_dir):
 
 
 def q_divergence(spark, sf_dir):
-    """X9/X10 divergence via interval-containment cogroup (J4): price
-    extrema falling vs OBV extrema rising (rows-only,
-    /root/reference/datalib/extremaPatternLooper.py:275-355)."""
-    import datetime as dt
-
+    """X9/X10 end-to-end the way the reference drives it
+    (/root/reference/datalib/extremaPatternUtil.py:400-470): the full
+    divergence screener — six aux indicator series (ta_indicators), one
+    smoothed-extrema table per indicator, price-vs-indicator containment
+    scan per (indicator, side) — over the deterministic OHLCV fixture.
+    Golden-pinned; unit fixtures incl. a planted divergence live in
+    tests/test_divergence_screener.py."""
     from timeseriesvectordbpattermatcher_spark.operators.patterns import (
-        find_divergence_patterns,
+        divergence_screener,
     )
+    from timeseriesvectordbpattermatcher_spark.sources.synth import synth_ohlcv
 
-    # price extrema strictly falling while the aux indicator's extrema rise
-    # inside the same interval -> bullish divergence (2 qualifying windows)
-    base = dt.datetime(2024, 1, 1)
-    ts = [base + dt.timedelta(days=7 * i) for i in range(6)]
-    main = spark.createDataFrame(
-        [("s", t, p) for t, p in zip(ts, [10.0, 9.0, 8.0, 7.0, 6.0, 5.0])],
-        "series_id string, ts timestamp, px double",
-    )
-    aux = spark.createDataFrame(
-        [("s", t, p) for t, p in zip(ts, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0])],
-        "series_id string, ts timestamp, px double",
-    )
-    return find_divergence_patterns(main, aux, ex_cond="down,up")
+    ohlcv = synth_ohlcv(spark, n_tickers=4, n_days=400, seed=17)
+    out = divergence_screener(ohlcv)
+    return out.select("series_id", "pattern", "start_ts", "end_ts", "bullbear")
 
 
 def q_trade_sim(spark, sf_dir):

@@ -20,10 +20,28 @@ import sys
 import time
 
 
+def _cpu_calibration() -> float:
+    """Single-core integer-loop throughput (M ops/s) measured in-process.
+
+    The sandbox VM's sustained compute varies wildly between rounds
+    (measured 10-21 M ops/s single-core across sessions; Spark throughput
+    moves with it) — recording the calibration alongside each bench run
+    lets round-over-round comparisons separate engine regressions from
+    host-speed swings.
+    """
+    n = 20_000_000
+    t0 = time.time()
+    x = 0
+    for i in range(n):
+        x += i * i
+    return round(n / (time.time() - t0) / 1e6, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_seqs = int(os.environ.get("BENCH_SEQS_ROWS", "2000000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    cpu_calib = _cpu_calibration()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
@@ -54,6 +72,11 @@ def main() -> None:
     seqs = derive_event_ts(spark.read.parquet(corpus))
 
     def cascade_once():
+        # expr token engine: measured fastest absolute on this host
+        # (94.5M tok/s vs arrow_drop 85.8M at pinned local[8], 12M rows);
+        # the arrow engines exist for scale profiles where vectorized
+        # python reduction beats per-element HOF evaluation — see
+        # BENCH/BASELINE.md engine matrix
         tiers = rollup_all_tiers(seqs)
         return tiers["1d"].agg(
             F.sum("sum_n_tok"), F.sum("tok_sum"), F.min("tok_min"), F.max("tok_max")
@@ -113,6 +136,7 @@ def main() -> None:
                 "seqs_rows": n_seqs,
                 "total_tokens": int(total_tokens),
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
+                "cpu_calib_mops": cpu_calib,
             }
         )
     )

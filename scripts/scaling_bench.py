@@ -39,7 +39,7 @@ seqs = spark.read.parquet({data!r})
 def once():
     # pull token-level stats in the final agg: otherwise Catalyst prunes
     # the tok_* aggregates and the scan never decodes the token arrays
-    tiers = rollup_all_tiers(derive_event_ts(seqs))
+    tiers = rollup_all_tiers(derive_event_ts(seqs), token_engine={engine!r})
     row = tiers["1d"].agg(
         F.sum("sum_n_tok"), F.sum("tok_sum"), F.min("tok_min"), F.max("tok_max")
     ).collect()[0]
@@ -56,11 +56,11 @@ print(json.dumps({{"sec": best, "tokens": int(total_tokens)}}))
 """
 
 
-def timed_run(data: str, cpus: int, runs: int) -> dict:
+def timed_run(data: str, cpus: int, runs: int, engine: str = "expr") -> dict:
     """One fresh JVM at local[cpus], CPU-affinity-pinned to exactly ``cpus``
     cores (otherwise JVM GC/IO threads spill onto all cores and the small
     config overperforms, understating scaling)."""
-    code = RUN_TEMPLATE.format(repo=REPO, cpus=cpus, data=data, runs=runs)
+    code = RUN_TEMPLATE.format(repo=REPO, cpus=cpus, data=data, runs=runs, engine=engine)
     cmd = [sys.executable, "-c", code]
     if os.path.exists("/usr/bin/taskset") and (os.cpu_count() or 0) >= cpus:
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
@@ -81,6 +81,9 @@ def main() -> None:
     # 8->32-executor reading would not hit this wall.
     ap.add_argument("--n", type=int, default=2, help="small parallelism (large = 4n)")
     ap.add_argument("--runs", type=int, default=2, help="take best-of-k per config")
+    ap.add_argument("--engine", default="expr",
+                    help="token-stat engine: expr (fastest absolute on this host) | "
+                         "arrow | arrow_drop (best scaling shape; see rollup.add_token_stats)")
     args = ap.parse_args()
 
     data_dir = os.path.join(tempfile.gettempdir(), f"seqs_bench_{args.rows}")
@@ -95,8 +98,8 @@ def main() -> None:
         subprocess.run([sys.executable, "-c", gen], check=True,
                        env={**os.environ, "PYTHONPATH": REPO}, capture_output=True)
 
-    small = timed_run(data_dir, args.n, args.runs)
-    large = timed_run(data_dir, args.n * 4, args.runs)
+    small = timed_run(data_dir, args.n, args.runs, args.engine)
+    large = timed_run(data_dir, args.n * 4, args.runs, args.engine)
     thr_small = small["tokens"] / small["sec"]
     thr_large = large["tokens"] / large["sec"]
     efficiency = (thr_large / thr_small) / 4.0
@@ -152,8 +155,17 @@ scales — so the compute-honest window on this box is N=2->8.
 See `BENCH_r*.json` (driver-recorded, `bench.py` at sf0.1): metric =
 rollup throughput, tokens/sec, plus per-query seconds.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write(md)
+    # preserve the manually maintained sections (shootout, spark-submit
+    # notes, round-over-round tables) that live after the scaling block
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        marker = "<!-- shootout:begin -->"
+        if marker in old:
+            tail = "\n" + old[old.index(marker):]
+    with open(path, "w") as fh:
+        fh.write(md + tail)
 
 
 if __name__ == "__main__":

@@ -161,3 +161,25 @@ def test_token_scan_present_when_stats_requested(spark, seqs_parquet):
     tiers = rollup_all_tiers(derive_event_ts(seqs))
     plan = _plan(tiers["1d"].agg(F.sum("tok_sum"), F.min("tok_min")))
     assert "tokens" in _read_schema_cols(plan), plan[:1000]
+
+
+def test_ta_indicators_single_exchange(spark):
+    """W17 family: OBV/AD/MFI window exprs + EMA grouped map must share ONE
+    series-key Exchange — a second shuffle here doubles network cost of the
+    hottest per-series pass at scale."""
+    from timeseriesvectordbpattermatcher_spark.operators.indicators import ta_indicators
+    from timeseriesvectordbpattermatcher_spark.sources.synth import synth_ohlcv
+
+    plan = _plan(ta_indicators(synth_ohlcv(spark, n_tickers=2, n_days=60)))
+    assert plan.count("Exchange ") == 1, plan[:1500]
+
+
+def test_multi_stop_single_exchange(spark):
+    """W19 composite: window exprs run BEFORE the recursive grouped map so
+    the applyInPandas reuses the window's hash partitioning (grouped-map
+    first would force a second Exchange)."""
+    from timeseriesvectordbpattermatcher_spark.operators.stops import multi_stop_frame
+    from timeseriesvectordbpattermatcher_spark.sources.synth import synth_ohlcv
+
+    plan = _plan(multi_stop_frame(synth_ohlcv(spark, n_tickers=2, n_days=60)))
+    assert plan.count("Exchange ") == 1, plan[:1500]

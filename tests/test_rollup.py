@@ -79,3 +79,42 @@ def test_cascade_preserves_totals(seqs_with_ts):
         for t in (t1m, t1h, t1d)
     ]
     assert totals[0] == totals[1] == totals[2]
+
+
+def test_token_stats_arrow_matches_expr(spark):
+    """The vectorized mapInArrow token-stat engine must agree with the HOF
+    expression engine row-for-row — including null and empty token arrays
+    (null -> all null; empty -> min/max null, sum 0)."""
+    from timeseriesvectordbpattermatcher_spark.operators.rollup import add_token_stats
+
+    rows = [
+        ("a", [1, 5, 3], 3),
+        ("b", [], 0),
+        ("c", None, 0),
+        ("d", [7], 1),
+        ("e", [-2, 0, 9, 4], 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, n_tok int")
+    a = {
+        r["doc_id"]: (r["tok_min"], r["tok_max"], r["tok_sum"])
+        for r in add_token_stats(df, engine="arrow").collect()
+    }
+    e = {
+        r["doc_id"]: (r["tok_min"], r["tok_max"], r["tok_sum"])
+        for r in add_token_stats(df, engine="expr").collect()
+    }
+    assert a == e, (a, e)
+    assert a["b"] == (None, None, 0)
+    assert a["c"] == (None, None, None)
+    assert a["a"] == (1, 5, 9)
+
+
+def test_token_stats_arrow_matches_expr_bulk(spark, seqs_2k):
+    from pyspark.sql import functions as F
+
+    from timeseriesvectordbpattermatcher_spark.operators.rollup import add_token_stats
+
+    agg = [F.sum("tok_sum"), F.min("tok_min"), F.max("tok_max")]
+    a = add_token_stats(seqs_2k, engine="arrow").agg(*agg).collect()[0]
+    e = add_token_stats(seqs_2k, engine="expr").agg(*agg).collect()[0]
+    assert tuple(a) == tuple(e)

@@ -334,8 +334,14 @@ def minhash_lsh_dedup(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         )
     )
+    # propagate ONLY over nodes that appear in an edge: everything else can
+    # never change label and survives by construction — at corpus scale the
+    # duplicate subgraph is a tiny fraction of rows, so each iteration's
+    # join/agg runs on |edge nodes|, not |corpus|
     labels = _materialize(
-        df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
     )
     for _ in range(max_iters):
         prop = (
@@ -347,6 +353,8 @@ def minhash_lsh_dedup(
             labels.join(prop, "node", "left")
             .select("node", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
         )
+        # convergence probe on the already-materialized frames: any label
+        # strictly lowered this round?
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -357,10 +365,10 @@ def minhash_lsh_dedup(
         labels = new_labels
         if changed == 0:
             break
-    survivors = labels.filter(F.col("node") == F.col("label")).select(
+    losers = labels.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(survivors, id_col, "left_semi")
+    return df.join(losers, id_col, "left_anti")
 
 
 # --------------------------------------------------------------------------

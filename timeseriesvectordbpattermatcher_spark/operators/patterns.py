@@ -305,6 +305,51 @@ DIV_SCHEMA = (
 )
 
 
+def _monotone(vals, direction: str) -> bool:
+    prev = vals[0]
+    for v in vals[1:]:
+        if direction == "up":
+            if v <= prev:
+                return False
+        else:
+            if v >= prev:
+                return False
+        prev = v
+    return True
+
+
+def divergence_scan_pdf(
+    main_pdf, aux_pdf, name,
+    main_col="px", aux_col="px", ex_cond="down,up",
+    main_size=5, span_days=100, series_col="series_id", ts_col="ts",
+) -> list[tuple]:
+    """The containment scan kernel (pure pandas, shared by
+    find_divergence_patterns and divergence_screener's single-cogroup
+    kernel): slide main_size windows over the main extrema; main monotone
+    per ex_cond[0], contained aux extrema monotone per ex_cond[1]."""
+    if main_pdf.empty or aux_pdf.empty:
+        return []
+    up_ex, down_ex = ex_cond.split(",")
+    bull = 1 if ex_cond == "down,up" else -1
+    main_pdf = main_pdf.sort_values(ts_col).reset_index(drop=True)
+    aux_pdf = aux_pdf.sort_values(ts_col).reset_index(drop=True)
+    sid = main_pdf[series_col].iloc[0]
+    rows = []
+    for i in range(main_size, len(main_pdf) + 1):  # includes final window
+        win = main_pdf.iloc[i - main_size : i]
+        sd, ed = win[ts_col].iloc[0], win[ts_col].iloc[-1]
+        if (ed - sd).days > span_days:
+            continue
+        main_vals = win[main_col].tolist()
+        aux_win = aux_pdf[(aux_pdf[ts_col] >= sd) & (aux_pdf[ts_col] <= ed)]
+        aux_vals = aux_win[aux_col].tolist()
+        if len(main_vals) < 3 or len(aux_vals) < 3:
+            continue
+        if _monotone(main_vals, up_ex) and _monotone(aux_vals, down_ex):
+            rows.append((sid, name, sd, ed, bull))
+    return rows
+
+
 def find_divergence_patterns(
     main_extrema: "DataFrame",
     aux_extrema: "DataFrame",
@@ -329,45 +374,151 @@ def find_divergence_patterns(
     ``aux_max_min.loc[w0:w1]`` lookup."""
     import pandas as pd
 
-    up_ex, down_ex = ex_cond.split(",")
-    bull = 1 if ex_cond == "down,up" else -1
     name = f"divergence_{ex_cond.replace(',', '_')}"
 
-    def _monotone(vals, direction: str) -> bool:
-        prev = vals[0]
-        for v in vals[1:]:
-            if direction == "up":
-                if v <= prev:
-                    return False
-            else:
-                if v >= prev:
-                    return False
-            prev = v
-        return True
-
     def per_series(main_pdf: pd.DataFrame, aux_pdf: pd.DataFrame) -> pd.DataFrame:
-        if main_pdf.empty or aux_pdf.empty:
-            return pd.DataFrame(columns=["series_id", "pattern", "start_ts", "end_ts", "bullbear"])
-        main_pdf = main_pdf.sort_values(ts_col).reset_index(drop=True)
-        aux_pdf = aux_pdf.sort_values(ts_col).reset_index(drop=True)
-        sid = main_pdf[series_col].iloc[0]
-        rows = []
-        for i in range(main_size, len(main_pdf) + 1):  # includes final window
-            win = main_pdf.iloc[i - main_size : i]
-            sd, ed = win[ts_col].iloc[0], win[ts_col].iloc[-1]
-            if (ed - sd).days > span_days:
-                continue
-            main_vals = win[main_col].tolist()
-            aux_win = aux_pdf[(aux_pdf[ts_col] >= sd) & (aux_pdf[ts_col] <= ed)]
-            aux_vals = aux_win[aux_col].tolist()
-            if len(main_vals) < 3 or len(aux_vals) < 3:
-                continue
-            if _monotone(main_vals, up_ex) and _monotone(aux_vals, down_ex):
-                rows.append((sid, name, sd, ed, bull))
+        rows = divergence_scan_pdf(
+            main_pdf, aux_pdf, name, main_col=main_col, aux_col=aux_col,
+            ex_cond=ex_cond, main_size=main_size, span_days=span_days,
+            series_col=series_col, ts_col=ts_col,
+        )
         return pd.DataFrame(rows, columns=["series_id", "pattern", "start_ts", "end_ts", "bullbear"])
 
+    # re-alias every column on both sides: when main and aux derive from the
+    # SAME parent plan (the screener builds both from one ta_indicators
+    # frame), cogroup's analysis dedups the shared attribute ids and the aux
+    # side silently loses its ts column — fresh exprIds prevent that
+    def _rewrap(d: "DataFrame") -> "DataFrame":
+        return d.select(*[F.col(c).alias(c) for c in d.columns])
+
     return (
-        main_extrema.groupBy(series_col)
-        .cogroup(aux_extrema.groupBy(series_col))
+        _rewrap(main_extrema).groupBy(series_col)
+        .cogroup(_rewrap(aux_extrema).groupBy(series_col))
         .applyInPandas(lambda m, a: per_series(m, a), schema=DIV_SCHEMA)
+    )
+
+
+def column_extrema(
+    df: DataFrame, col: str, smoothing: int = 3, order: int = 3,
+    series_col: str = "series_id", ts_col: str = "ts",
+) -> DataFrame:
+    """Local extrema of a SMOOTHED single column — the reference's
+    ``get_max_min_dateidx`` (/root/reference/datalib/extremaPatternUtil.py:32-44:
+    rolling(smoothing).mean() then argrelextrema over ±order). Emits one row
+    per extremum with ``minmax_type`` and ``px`` = the original column value
+    at that row. Pure window exprs; rows whose smoothing window is not yet
+    full are excluded (pandas rolling-mean NaN warm-up)."""
+    w = Window.partitionBy(series_col).orderBy(ts_col)
+    fs = w.rowsBetween(-(smoothing - 1), 0)
+    sm = F.when(F.count(col).over(fs) >= smoothing, F.avg(col).over(fs))
+    out = df.withColumn("_sm", sm)
+    we = w.rowsBetween(-order, order)
+    is_max = F.col("_sm") == F.max("_sm").over(we)
+    is_min = F.col("_sm") == F.min("_sm").over(we)
+    tag = (
+        F.when(F.col("_sm").isNull(), F.lit("na"))
+        .when(is_max, F.lit("max"))
+        .when(is_min, F.lit("min"))
+        .otherwise(F.lit("na"))
+    )
+    return (
+        out.withColumn("minmax_type", tag)
+        .filter("minmax_type != 'na'")
+        .select(series_col, ts_col, "minmax_type", F.col(col).alias("px"))
+    )
+
+
+def divergence_screener(
+    ohlcv: DataFrame,
+    indicators: tuple[str, ...] = ("obv", "macd", "rsi", "ad", "adosc", "mfi"),
+    sides: tuple[str, ...] = ("bull", "bear"),
+    smoothing: int = 3,
+    order: int = 3,
+    main_size: int = 5,
+    span_days: int = 100,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    materialize: bool = True,
+) -> DataFrame:
+    """X9/X10 end-to-end the way the reference drives it
+    (/root/reference/datalib/extremaPatternUtil.py:400-470): append the six
+    aux indicator series (ta_indicators), build the price extrema table and
+    one smoothed-extrema table PER indicator, then run the general
+    divergence containment scan per (indicator, side):
+
+    - bull: price minima strictly falling while the aux minima inside the
+      same window strictly rise  (ex_cond 'down,up')
+    - bear: price maxima strictly rising while the aux maxima fall
+      (ex_cond 'up,down')
+
+    ONE cogroup for the whole grid: the six aux extrema tables (pure
+    window exprs over one shared, optionally-materialized indicator frame)
+    union into a single ``ind``-tagged frame, price extrema cogroup with it
+    per series, and the (indicator, side) loop runs inside the pandas
+    kernel — a 12-leg union of cogroups would pay 12x the stage/shuffle
+    fixed costs for the same answer. Patterns are named '<col>_<side>_div'
+    (the reference's signame convention). ``materialize=True`` (default)
+    localCheckpoints the shared indicator frame (Catalyst does not share
+    the ta_indicators subtree across the six aux branches); pass False on
+    fault-tolerance-sensitive clusters and persist to a table instead."""
+    import pandas as pd
+
+    from .dedup import _materialize
+    from .indicators import ta_indicators
+
+    ind = ta_indicators(ohlcv, series_col=series_col, ts_col=ts_col)
+    if materialize:
+        ind = _materialize(ind)
+    price_ex = column_extrema(
+        ind, "close", smoothing=smoothing, order=order,
+        series_col=series_col, ts_col=ts_col,
+    )
+    aux_parts = []
+    for col in indicators:
+        aux_parts.append(
+            column_extrema(
+                ind.filter(F.col(col).isNotNull()), col,
+                smoothing=smoothing, order=order,
+                series_col=series_col, ts_col=ts_col,
+            ).withColumn("ind", F.lit(col))
+        )
+    aux_all = aux_parts[0]
+    for p in aux_parts[1:]:
+        aux_all = aux_all.unionByName(p)
+
+    inds = list(indicators)
+    side_list = list(sides)
+
+    def per_series(main_pdf: pd.DataFrame, aux_pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        if not main_pdf.empty and not aux_pdf.empty:
+            main_min = main_pdf[main_pdf["minmax_type"] == "min"]
+            main_max = main_pdf[main_pdf["minmax_type"] == "max"]
+            for col in inds:
+                aux_c = aux_pdf[aux_pdf["ind"] == col]
+                if "bull" in side_list:
+                    rows += divergence_scan_pdf(
+                        main_min, aux_c[aux_c["minmax_type"] == "min"],
+                        f"{col}_bull_div", ex_cond="down,up",
+                        main_size=main_size, span_days=span_days,
+                        series_col=series_col, ts_col=ts_col,
+                    )
+                if "bear" in side_list:
+                    rows += divergence_scan_pdf(
+                        main_max, aux_c[aux_c["minmax_type"] == "max"],
+                        f"{col}_bear_div", ex_cond="up,down",
+                        main_size=main_size, span_days=span_days,
+                        series_col=series_col, ts_col=ts_col,
+                    )
+        return pd.DataFrame(
+            rows, columns=["series_id", "pattern", "start_ts", "end_ts", "bullbear"]
+        )
+
+    def _rewrap(d: DataFrame) -> DataFrame:
+        return d.select(*[F.col(c).alias(c) for c in d.columns])
+
+    return (
+        _rewrap(price_ex).groupBy(series_col)
+        .cogroup(_rewrap(aux_all).groupBy(series_col))
+        .applyInPandas(per_series, schema=DIV_SCHEMA)
     )

@@ -40,7 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.features import FEATURE_DIM, features_40
+from ..functions.features import features_40
 
 WINDOW_SIZE = 64
 STEP = 10
@@ -243,6 +243,3 @@ def segment_tokens(
         op, schema=TOKEN_SEGMENT_SCHEMA
     )
 
-
-def features_dim() -> int:
-    return FEATURE_DIM

@@ -1,6 +1,6 @@
 """W19 composite trailing-stop frame — the reference's
 ``taStopEstimater.get_multi_stop_df`` (/root/reference/datalib/taStopEstimater.py:233-280)
-re-expressed as window expressions over one PSAR+ATR grouped pass.
+re-expressed as codegen'd window expressions + ONE grouped recursive pass.
 
 Reference semantics preserved (including the naming quirks):
 
@@ -18,21 +18,36 @@ Reference semantics preserved (including the naming quirks):
   high max − retrace_atr_multiple·ATR(nbars), smoothed by a 3-bar mean.
 - ``trail_long_exit`` (:253-254): greatest(chand, sar, atr_minus).
 - exit signals (:255-257): profit = close crossing atr_plus_exit,
-  trail = trail_long_exit crossing close (both via W6 signal_cross).
+  trail = trail_long_exit crossing close (W6 signal_cross semantics).
 
-Everything except PSAR/ATR (recursive, one applyInPandas pass in
-tradesim.psar / windows.atr sharing the series partitioning) is a pure
-window expression — whole-stage codegen, single Exchange on the series key.
+Plan shape (pinned in tests/test_plans.py): the rolling means / stddev /
+min / max run as Window exprs BEFORE the grouped map, so the whole frame
+costs ONE Exchange on the series key — the applyInPandas reuses the
+window's hash partitioning, and everything downstream of the recursive
+kernels (PSAR + the two ATR folds) is vectorized pandas inside the same
+pass. (Grouped-map-first would force a second Exchange: Spark cannot see
+FlatMapGroupsInPandas output partitioning.)
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _w(series_col: str, ts_col: str):
     return Window.partitionBy(series_col).orderBy(ts_col)
+
+
+def _atr_fold(tr: np.ndarray, n: int) -> list[float]:
+    out, acc, a = [], None, 1.0 / n
+    for v in tr:
+        acc = float(v) if acc is None else acc + a * (float(v) - acc)
+        out.append(acc)
+    return out
 
 
 def multi_stop_frame(
@@ -45,49 +60,7 @@ def multi_stop_frame(
     ts_col: str = "ts",
 ) -> DataFrame:
     """OHLCV -> per-row stop/exit frame with the reference's column set."""
-    from pyspark.sql import types as T
-    import pandas as pd
-
     from .tradesim import psar_walk
-    from .windows import signal_cross
-
-    # one grouped pass for every recursive kernel: PSAR + ATR(atr_bars) +
-    # ATR(nbars) (chandelier uses the nbars ATR, matching the reference's
-    # atr_bars=nbars call) — a single series shuffle that the window exprs
-    # below reuse
-    schema = T.StructType(
-        df.schema.fields
-        + [
-            T.StructField("psar", T.DoubleType()),
-            T.StructField("atr", T.DoubleType()),
-            T.StructField("_atr_chand", T.DoubleType()),
-        ]
-    )
-    cols = list(df.columns)
-
-    def _atr_fold(tr, n):
-        out, acc, a = [], None, 1.0 / n
-        for v in tr:
-            acc = v if acc is None else acc + a * (v - acc)
-            out.append(acc)
-        return out
-
-    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
-        high, low = pdf["high"].to_numpy(), pdf["low"].to_numpy()
-        pc = pdf["close"].shift()
-        tr = pd.concat(
-            [pdf["high"] - pdf["low"], (pdf["high"] - pc).abs(), (pdf["low"] - pc).abs()],
-            axis=1,
-        ).max(axis=1)
-        if len(tr):
-            tr.iloc[0] = high[0] - low[0]
-        pdf["psar"] = psar_walk(high, low)
-        pdf["atr"] = _atr_fold(tr.to_numpy(), atr_bars)
-        pdf["_atr_chand"] = _atr_fold(tr.to_numpy(), nbars)
-        return pdf[cols + ["psar", "atr", "_atr_chand"]]
-
-    out = df.groupBy(series_col).applyInPandas(per_series, schema=schema)
 
     w = _w(series_col, ts_col)
     f30 = w.rowsBetween(-(nbars - 1), 0)
@@ -97,8 +70,14 @@ def multi_stop_frame(
 
     ma30 = F.when(F.count("close").over(f30) >= nbars, F.avg("close").over(f30))
     sd30 = F.when(F.count("close").over(f30) >= nbars, F.stddev_samp("close").over(f30))
-    out = (
-        out.withColumn("bbu1", ma30 + sd30)
+    ma50 = F.when(F.count("close").over(f50) >= 10, F.avg("close").over(f50))
+    ma20 = F.when(F.count("close").over(f20) >= 10, F.avg("close").over(f20))
+    fmin = w.rowsBetween(-nbars, -1)
+    nlow = F.when(F.count("close").over(fmin) >= 5, F.min("close").over(fmin))
+    chand_max = F.max("high").over(f30)
+
+    pre = (
+        df.withColumn("bbu1", ma30 + sd30)
         .withColumn("bbu2", ma30 + sd30 * 2.2)
         .withColumn("bbl1", ma30 - sd30)
         .withColumn("bbl2", ma30 - sd30 * 2.2)
@@ -113,36 +92,55 @@ def multi_stop_frame(
             F.when((c < F.col("bbl1")).isNull(), F.lit(0.0))
             .otherwise((c < F.col("bbl1")).cast("double")),
         )
+        .withColumn("_ma50", ma50)
+        .withColumn("_ma20", ma20)
+        .withColumn("nday_low_exit", nlow)
+        .withColumn("_chand_max", chand_max)
     )
 
-    # sar / atr-band exits
-    out = out.withColumn("sar_exit", F.col("psar") - 0.5 * F.col("atr"))
-    ma50 = F.when(F.count("close").over(f50) >= 10, F.avg("close").over(f50))
-    ma20 = F.when(F.count("close").over(f20) >= 10, F.avg("close").over(f20))
-    out = out.withColumn("atr_minus_exit", ma50 + 0.9 * F.col("atr"))
-    out = out.withColumn("atr_plus_exit", ma20 + 3.0 * F.col("atr"))
-
-    # n-day low (min_periods=5), shifted one row back
-    fmin = w.rowsBetween(-nbars, -1)
-    nlow = F.when(F.count("close").over(fmin) >= 5, F.min("close").over(fmin))
-    out = out.withColumn("nday_low_exit", nlow)
-
-    # chandelier: rolling high max − k·ATR(nbars), then 3-bar smooth
-    fch = w.rowsBetween(-(nbars - 1), 0)
-    chand_raw = F.max("high").over(fch) - retrace_atr_multiple * F.col("_atr_chand")
-    out = out.withColumn("_chand_raw", chand_raw)
-    fsm = w.rowsBetween(-(smooth_bars - 1), 0)
-    out = (
-        out.withColumn("chand_exit", F.avg("_chand_raw").over(fsm))
-        .drop("_chand_raw", "_atr_chand")
+    out_cols = [
+        "psar", "atr", "sar_exit", "atr_minus_exit", "atr_plus_exit",
+        "chand_exit", "trail_long_exit", "profit_exit_sig", "trail_exit_sig",
+    ]
+    schema = T.StructType(
+        [f for f in pre.schema.fields if not f.name.startswith("_")]
+        + [T.StructField(cn, T.DoubleType()) for cn in out_cols]
     )
+    keep = [f.name for f in pre.schema.fields if not f.name.startswith("_")]
 
-    out = out.withColumn(
-        "trail_long_exit",
-        F.greatest("chand_exit", "sar_exit", "atr_minus_exit"),
-    )
-    out = signal_cross(out, "close", "atr_plus_exit", out="profit_exit_sig",
-                       series_col=series_col, ts_col=ts_col)
-    out = signal_cross(out, "trail_long_exit", "close", out="trail_exit_sig",
-                       series_col=series_col, ts_col=ts_col)
-    return out
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        high, low = pdf["high"].to_numpy(), pdf["low"].to_numpy()
+        pc = pdf["close"].shift()
+        tr = pd.concat(
+            [pdf["high"] - pdf["low"], (pdf["high"] - pc).abs(), (pdf["low"] - pc).abs()],
+            axis=1,
+        ).max(axis=1)
+        if len(tr):
+            tr.iloc[0] = high[0] - low[0]
+        atr = pd.Series(_atr_fold(tr.to_numpy(), atr_bars), index=pdf.index)
+        atr_ch = pd.Series(_atr_fold(tr.to_numpy(), nbars), index=pdf.index)
+        pdf["psar"] = psar_walk(high, low)
+        pdf["atr"] = atr
+        pdf["sar_exit"] = pdf["psar"] - 0.5 * atr
+        pdf["atr_minus_exit"] = pdf["_ma50"] + 0.9 * atr
+        pdf["atr_plus_exit"] = pdf["_ma20"] + 3.0 * atr
+        chand_raw = pdf["_chand_max"] - retrace_atr_multiple * atr_ch
+        pdf["chand_exit"] = chand_raw.rolling(smooth_bars, min_periods=1).mean()
+        pdf["trail_long_exit"] = pdf[
+            ["chand_exit", "sar_exit", "atr_minus_exit"]
+        ].max(axis=1)  # skipna max == F.greatest null semantics
+
+        def cross(a: pd.Series, b: pd.Series) -> pd.Series:
+            d = a - b
+            dp = d.shift()
+            sig = pd.Series(0.0, index=pdf.index)
+            m = (d * dp) < 0  # NaN comparisons -> False, matching F.when
+            sig[m] = np.sign(d[m])
+            return sig
+
+        pdf["profit_exit_sig"] = cross(pdf["close"], pdf["atr_plus_exit"])
+        pdf["trail_exit_sig"] = cross(pdf["trail_long_exit"], pdf["close"])
+        return pdf[keep + out_cols]
+
+    return pre.groupBy(series_col).applyInPandas(per_series, schema=schema)

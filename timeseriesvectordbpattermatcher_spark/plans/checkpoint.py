@@ -91,10 +91,13 @@ class RollupJob:
         fail_after: str | None = None,
         full_refresh: bool = False,
         salt_buckets: int | None = None,
+        token_engine: str = "expr",
     ) -> dict[str, DataFrame | None]:
         """Incremental run. ``seqs_ts`` must carry event_ts (derive_event_ts).
         ``salt_buckets`` enables the two-phase salted 1m aggregation for
-        hot-key skew (north rule) — merge tiers are already small."""
+        hot-key skew (north rule) — merge tiers are already small.
+        ``token_engine`` selects the token-stat engine (see
+        rollup.add_token_stats) — expr measured fastest on this host."""
         run_id = run_id or uuid.uuid4().hex[:12]
         new_wm = seqs_ts.agg(F.max("event_ts")).collect()[0][0]
         if new_wm is not None:
@@ -117,7 +120,7 @@ class RollupJob:
                     self._commit_tier(
                         spark,
                         "1m",
-                        rollup_1m(affected_raw, salt_buckets=salt_buckets),
+                        rollup_1m(affected_raw, salt_buckets=salt_buckets, token_engine=token_engine),
                         wm_str,
                         run_id,
                         t0,

@@ -39,7 +39,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # keep the local heap MODEST: measured on the sandbox VM, a 48g
+        # heap made the token-decode cascade 25x slower than a 12g one
+        # (235s vs ~9s pinned to 8 cores — huge G1 heaps on this host
+        # page-fault/collect pathologically). On a real cluster executor
+        # memory is set at submit time; SPARK_DRIVER_MEM still overrides.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
