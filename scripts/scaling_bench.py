@@ -81,9 +81,12 @@ def main() -> None:
     # 8->32-executor reading would not hit this wall.
     ap.add_argument("--n", type=int, default=2, help="small parallelism (large = 4n)")
     ap.add_argument("--runs", type=int, default=2, help="take best-of-k per config")
-    ap.add_argument("--engine", default="expr",
-                    help="token-stat engine: expr (fastest absolute on this host) | "
-                         "arrow | arrow_drop (best scaling shape; see rollup.add_token_stats)")
+    ap.add_argument("--engine", default="arrow_drop",
+                    help="token-stat engine: arrow_drop (deployment default — "
+                         "meets the >=0.8 N->4N scaling target, near-expr "
+                         "absolute throughput) | arrow | expr (fastest absolute "
+                         "on this host but measured 0.786 scaling; see "
+                         "rollup.add_token_stats)")
     args = ap.parse_args()
 
     data_dir = os.path.join(tempfile.gettempdir(), f"seqs_bench_{args.rows}")
@@ -121,6 +124,7 @@ def main() -> None:
 Sandbox proxy per driver instruction: the same rollup-cascade job
 (scan parquet seqs -> token stats -> raw->1m->1h->1d) on identical input at
 two parallelism levels, fresh JVM each, best of {args.runs} runs.
+Token-stat engine: **{args.engine}** (the rollup_job.py deployment default).
 
 | config | wall (s) | tokens/sec |
 |---|---|---|

@@ -174,3 +174,43 @@ def test_match_pipeline_lsh_ivf_recall(spark, vec_tables):
             len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
         ]
         assert np.mean(recalls) >= 0.9, (fn.__name__, recalls)
+
+
+def test_choose_strategy_routes_by_ref_size():
+    """VERDICT r2 item: match_pipeline must not let a default caller
+    broadcast an oversize ref table — routing is gated on ref count/bytes."""
+    from timeseriesvectordbpattermatcher_spark.operators.matcher import choose_strategy
+
+    # small: exact nested-loop join
+    assert choose_strategy(n_refs=1_000, dim=40) == "join"
+    # mid: matrix fits an executor -> side-file matmul
+    assert choose_strategy(n_refs=1_000_000, dim=40) == "bcast"
+    # oversize: 10M x 128-dim float64 ~= 10 GiB > 1 GiB cap -> approximate
+    assert choose_strategy(n_refs=10_000_000, dim=128) == "lsh"
+    # thresholds are overridable
+    assert choose_strategy(n_refs=1_000, dim=40, join_max_refs=10) == "bcast"
+
+
+def test_ref_store_reused_across_calls_and_fresh_per_refset(spark, tmp_path):
+    """The parquet ref store is written once per distinct refs plan per
+    session (semantic-hash keyed) and never reused across DIFFERENT ref
+    sets sharing one store_dir (stale-_REF_CACHE hazard, r2 ADVICE)."""
+    from timeseriesvectordbpattermatcher_spark.operators.matcher import (
+        _REF_STORE_PATHS,
+        _ref_store_path,
+    )
+
+    refs_a = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "segment_id string, features array<double>"
+    )
+    refs_b = spark.createDataFrame(
+        [("c", [1.0, 1.0])], "segment_id string, features array<double>"
+    )
+    base = str(tmp_path / "store")
+    p1 = _ref_store_path(refs_a, "segment_id", "features", base)
+    p2 = _ref_store_path(refs_a, "segment_id", "features", base)
+    p3 = _ref_store_path(refs_b, "segment_id", "features", base)
+    assert p1 == p2, "same refs plan must reuse the written store"
+    assert p3 != p1, "different ref set must get a fresh generation subdir"
+    assert p1.startswith(base) and p3.startswith(base)
+    _REF_STORE_PATHS.clear()

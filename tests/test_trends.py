@@ -64,3 +64,55 @@ def test_trend_range_extended_improves_or_stops(spark, ohlcv):
     base = find_trend_range(ohlcv, anchors, span_days=20).collect()[0]
     if b["span_days"] > 20 and b["trend"] == base["trend"] == "up":
         assert b["pct_chg"] >= base["pct_chg"]
+
+
+def test_fib_levels_match_pandas_oracle(spark, ohlcv):
+    """fib_levels vs a pure-pandas oracle implementing the reference's
+    argrelextrema(less_equal/greater_equal, order=n) + ffill + level math
+    (datalib/patternReviewUtil.py:25-46)."""
+    import numpy as np
+
+    from timeseriesvectordbpattermatcher_spark.operators.trends import fib_levels
+
+    def argrel(data, cmp, order):
+        """scipy.signal.argrelextrema(cmp, order, mode='clip') re-derived in
+        numpy (scipy is not in this sandbox): i is an extremum iff
+        cmp(data[i], data[j]) for every j != i within i +/- order, clipped."""
+        idx = []
+        for i in range(len(data)):
+            lo, hi = max(0, i - order), min(len(data), i + order + 1)
+            neigh = np.r_[data[lo:i], data[i + 1:hi]]
+            if neigh.size and np.all(cmp(data[i], neigh)):
+                idx.append(i)
+        return np.array(idx, dtype=int)
+
+    n = 5
+    got = (
+        fib_levels(ohlcv, minmax_bars=n)
+        .filter("series_id='TK00'")
+        .orderBy("ts")
+        .toPandas()
+    )
+    pdf = ohlcv.filter("series_id='TK00'").orderBy("ts").toPandas()
+    data = pdf["close"].to_numpy()
+    mins = argrel(data, np.less_equal, order=n)
+    maxs = argrel(data, np.greater_equal, order=n)
+    mn = pd.Series(np.nan, index=pdf.index)
+    mn.iloc[mins] = data[mins]
+    mx = pd.Series(np.nan, index=pdf.index)
+    mx.iloc[maxs] = data[maxs]
+    mn, mx = mn.ffill(), mx.ffill()
+    diff = mx - mn
+    pd.testing.assert_series_equal(
+        got["fib_min"], mn, check_names=False, rtol=1e-12
+    )
+    pd.testing.assert_series_equal(
+        got["fib_max"], mx, check_names=False, rtol=1e-12
+    )
+    for name, exp in [
+        ("l1", mx - diff * 0.236),
+        ("l4", mx - diff * 0.618),
+        ("ul3", mx + diff * 0.5),
+        ("dl2", mn - diff * 0.382),
+    ]:
+        pd.testing.assert_series_equal(got[name], exp, check_names=False, rtol=1e-12)

@@ -80,6 +80,38 @@ def cosine_topk_join(
 # one ref matrix cached per Python worker process, keyed by its store path
 _REF_CACHE: dict[str, tuple] = {}
 
+# driver-side: store paths already written this session, keyed by
+# (store_dir, semantic hash of the refs plan) — repeated pipeline calls over
+# the same ref set reuse one parquet store instead of re-writing it per call
+_REF_STORE_PATHS: dict[tuple, str] = {}
+
+
+def _ref_store_path(refs: DataFrame, ref_id: str, ref_vec: str,
+                    store_dir: str | None) -> str:
+    """Materialize (once per session per distinct refs plan) the ref segment
+    store and return its path.
+
+    Every write generation gets a FRESH uuid-suffixed subdirectory, so the
+    executor-side ``_REF_CACHE`` (keyed by path) can never serve a stale
+    matrix after an overwrite to the same ``store_dir`` — two different ref
+    sets sharing one ``store_dir`` land in two different subdirs. Reuse is
+    keyed by the refs plan's ``semanticHash``; callers whose underlying
+    files mutate between calls under an unchanged plan should pass a fresh
+    ``store_dir`` (or clear ``_REF_STORE_PATHS``)."""
+    import os
+    import tempfile
+    import uuid
+
+    projected = refs.select(ref_id, ref_vec)
+    key = (store_dir, projected.semanticHash())
+    path = _REF_STORE_PATHS.get(key)
+    if path is None:
+        base = store_dir or tempfile.mkdtemp(prefix="ref_segment_store_")
+        path = os.path.join(base, f"gen_{uuid.uuid4().hex[:12]}")
+        projected.write.mode("errorifexists").parquet(path)
+        _REF_STORE_PATHS[key] = path
+    return path
+
 
 def _load_ref_matrix(path: str, ref_id: str, ref_vec: str):
     """Executor-side: read the ref segment store (parquet) into the
@@ -125,17 +157,15 @@ def cosine_topk_bcast(
 
     Emits exactly k rows per query — the |Q|×|R| intermediate never exists.
     Ties broken by ref id ascending (same order as ``cosine_topk_join``).
+    The parquet store is written once per session per distinct refs plan
+    (semantic-hash keyed, uuid generation subdir) and reused across calls.
     """
-    import tempfile
-
     qid_type = queries.schema[query_id].dataType.simpleString()
     rid_type = refs.schema[ref_id].dataType.simpleString()
-    if store_dir is None:
-        store_dir = tempfile.mkdtemp(prefix="ref_segment_store_")
-    refs.select(ref_id, ref_vec).write.mode("overwrite").parquet(store_dir)
+    path = _ref_store_path(refs, ref_id, ref_vec, store_dir)
 
     kk = k
-    path, rid, rvec = store_dir, ref_id, ref_vec
+    rid, rvec = ref_id, ref_vec
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         r_ids, r_mat, r_norms = _load_ref_matrix(path, rid, rvec)
@@ -209,13 +239,40 @@ def rerank(matches: DataFrame, query_id: str = "query_id") -> DataFrame:
     return matches.withColumn("rank", F.row_number().over(w))
 
 
+# auto-routing thresholds: up to JOIN_MAX_REFS the |Q|x|R| nested-loop
+# intermediate is cheap; past it the side-file matmul wins until the matrix
+# no longer fits one executor's memory (~40-dim float64 at 1 GiB ~= 3.3M
+# refs), after which only bucketed approximate search scales
+AUTO_JOIN_MAX_REFS = 20_000
+AUTO_BCAST_MAX_BYTES = 1 << 30
+
+
+def choose_strategy(
+    n_refs: int,
+    dim: int,
+    join_max_refs: int = AUTO_JOIN_MAX_REFS,
+    bcast_max_bytes: int = AUTO_BCAST_MAX_BYTES,
+) -> str:
+    """Pick the top-k strategy from the ref-set size (pure, unit-testable).
+
+    join  : small ref sets — exact broadcast nested-loop join.
+    bcast : ref matrix fits an executor — exact side-file matmul.
+    lsh   : oversize ref sets — bucketed approximate search (recall >= 0.9
+            pinned in tests/test_matcher.py)."""
+    if n_refs <= join_max_refs:
+        return "join"
+    if n_refs * dim * 8 <= bcast_max_bytes:
+        return "bcast"
+    return "lsh"
+
+
 def match_pipeline(
     queries: DataFrame,
     refs: DataFrame,
     k: int = TOP_K,
     display_k: int = DISPLAY_K,
     query_start_col: str = "query_start",
-    strategy: str = "join",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Full reference query path E2 (SURVEY.md §3): top-k search -> dedupe per
     series -> historical-only -> re-rank -> head ``display_k`` per query.
@@ -223,6 +280,10 @@ def match_pipeline(
     ``queries`` must carry (query_id, q_features, query_start date col).
 
     Strategies:
+    - ``auto``  — (default) route by ref count/bytes via
+      :func:`choose_strategy`: one cheap count+dim agg over the id/vector
+      projection gates the choice, so a caller can no longer broadcast a
+      too-large ref table by accident at 100x scale.
     - ``join``  — broadcast nested-loop + expression scoring (exact).
     - ``bcast`` — side-file ref matrix + Arrow-batch matmul (exact; the
       default scale path when the matrix fits an executor).
@@ -232,6 +293,11 @@ def match_pipeline(
     - ``ivf``   — coarse-quantizer (k-means lists) approximate top-k,
       partition-prunable on list_id.
     """
+    if strategy == "auto":
+        stats = refs.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.size("features")).alias("dim")
+        ).first()
+        strategy = choose_strategy(int(stats["n"]), int(stats["dim"] or 0))
     if strategy in ("join", "bcast"):
         topk_fn = cosine_topk_join if strategy == "join" else cosine_topk_bcast
         matches = topk_fn(queries, refs, k=k)

@@ -440,7 +440,7 @@ def divergence_screener(
     ts_col: str = "ts",
     materialize: bool = True,
 ) -> DataFrame:
-    """X9/X10 end-to-end the way the reference drives it
+    """X9/X10 end-to-end over the reference's screener grid
     (/root/reference/datalib/extremaPatternUtil.py:400-470): append the six
     aux indicator series (ta_indicators), build the price extrema table and
     one smoothed-extrema table PER indicator, then run the general
@@ -450,6 +450,15 @@ def divergence_screener(
       same window strictly rise  (ex_cond 'down,up')
     - bear: price maxima strictly rising while the aux maxima fall
       (ex_cond 'up,down')
+
+    DOCUMENTED DEVIATION from the reference (unlike the quirks preserved
+    elsewhere, e.g. stops.py's atr_minus adding 0.9*ATR): the reference
+    passes a single ``ex_cond`` (default 'up,down') to BOTH sides and its
+    mfi_bull branch scans price MAXIMA (``max_subset``,
+    extremaPatternUtil.py:430-444) — so its "bullish" legs actually test
+    rising-price/falling-indicator windows. We treat that as a bug and fix
+    the per-side semantics: bull scans price minima with 'down,up', bear
+    scans price maxima with 'up,down', uniformly across all six indicators.
 
     ONE cogroup for the whole grid: the six aux extrema tables (pure
     window exprs over one shared, optionally-materialized indicator frame)

@@ -104,6 +104,14 @@ def _add_token_stats_arrow(
             la = batch.column(names.index(tokens_col))
             offs = np.asarray(la.offsets)
             vals = np.asarray(la.values)
+            # a sliced ListArray's offsets need not start at 0 nor end at
+            # len(values) (and null slots may span nonzero extents): slice the
+            # flat buffer to this array's extent and rebase, so the final
+            # reduceat segment ends exactly at the last offset instead of
+            # silently absorbing trailing out-of-slice values
+            if len(offs) and (offs[0] != 0 or offs[-1] != len(vals)):
+                vals = vals[offs[0]:offs[-1]]
+                offs = offs - offs[0]
             starts, ends = offs[:-1], offs[1:]
             n = len(la)
             lens = ends - starts

@@ -119,3 +119,44 @@ def find_trend_range_extended(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_stopped")
     )
+
+
+def fib_levels(
+    df: DataFrame,
+    col: str = "close",
+    minmax_bars: int = 5,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Fibonacci retracement/extension levels off rolling local extrema
+    (reference: datalib/patternReviewUtil.py:25-46).
+
+    The reference marks local extrema with ``argrelextrema(np.less_equal /
+    np.greater_equal, order=n)`` (value <= / >= every neighbour within +/-n,
+    clipped at the edges) and forward-fills each extremum's value; here that
+    is value == min/max over a +/-n row frame plus locf. Levels follow the
+    reference exactly: retracements ``l1..l4 = max - diff*{0.236, 0.382,
+    0.5, 0.618}``, upward extensions ``ul1..ul4 = max + diff*...``, downward
+    extensions ``dl1..dl3 = min - diff*{0.236, 0.382, 0.5}`` where
+    ``diff = max - min`` of the forward-filled extrema. Pure window exprs,
+    one partition pass."""
+    w = Window.partitionBy(series_col).orderBy(ts_col)
+    we = w.rowsBetween(-minmax_bars, minmax_bars)
+    is_min = F.col(col) == F.min(col).over(we)
+    is_max = F.col(col) == F.max(col).over(we)
+    wl = w.rowsBetween(Window.unboundedPreceding, 0)
+    min_px = F.last(F.when(is_min, F.col(col)), ignorenulls=True).over(wl)
+    max_px = F.last(F.when(is_max, F.col(col)), ignorenulls=True).over(wl)
+    out = (
+        df.withColumn("fib_min", min_px)
+        .withColumn("fib_max", max_px)
+        .withColumn("fib_diff", F.col("fib_max") - F.col("fib_min"))
+    )
+    d = F.col("fib_diff")
+    for i, ratio in enumerate([0.236, 0.382, 0.5, 0.618], start=1):
+        out = out.withColumn(f"l{i}", F.col("fib_max") - d * ratio)
+    for i, ratio in enumerate([0.236, 0.382, 0.5, 0.618], start=1):
+        out = out.withColumn(f"ul{i}", F.col("fib_max") + d * ratio)
+    for i, ratio in enumerate([0.236, 0.382, 0.5], start=1):
+        out = out.withColumn(f"dl{i}", F.col("fib_min") - d * ratio)
+    return out

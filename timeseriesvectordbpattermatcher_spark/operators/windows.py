@@ -495,5 +495,11 @@ def perf_by_year_rollup(
         FROM {view}
         GROUP BY GROUPING SETS (({gcols}), ({base_cols}))
     """
-    out = results.sparkSession.sql(sql)
+    try:
+        # sql() resolves the view during analysis, so the returned plan no
+        # longer needs the catalog entry — drop it immediately instead of
+        # leaking one uuid view per call in long-lived sessions
+        out = results.sparkSession.sql(sql)
+    finally:
+        results.sparkSession.catalog.dropTempView(view)
     return out
