@@ -766,56 +766,31 @@ _SQL_BARS = """
 
 
 def q_candle_kernels(spark, sf_dir):
-    """W18 kernel scores over event-derived bars — classic 1/2-bar kernels
-    plus four of the round-2 additions (piercing, dark cloud, dragonfly /
-    gravestone doji); the full 26-kernel set + rank resolution is covered in
-    tests/test_candles.py."""
-    from timeseriesvectordbpattermatcher_spark.operators.candles import candle_patterns
+    """W18 over event-derived bars — the FULL ranked kernel set (every
+    pattern in the reference's rank table) plus the resolved summary
+    columns (match count, score sum, pattern list, min-rank best). The
+    oracle is the same kernel spec rendered to standalone ANSI SQL by
+    candles.candle_oracle_sql and evaluated independently by DuckDB."""
+    from timeseriesvectordbpattermatcher_spark.operators.candles import (
+        KERNELS,
+        candle_patterns,
+    )
 
     bars = _event_bars(spark, sf_dir)
     out = candle_patterns(bars)
     return out.select(
-        "series_id", "ts", "CDLDOJI", "CDLENGULFING", "CDLMARUBOZU",
-        "CDLPIERCING", "CDLDARKCLOUDCOVER", "CDLDRAGONFLYDOJI", "CDLGRAVESTONEDOJI",
+        "series_id", "ts", *list(KERNELS),
+        "candlestick_match_count", "candlestick_pattern_score",
+        "candlestick_pattern", "best_pattern",
     )
 
 
-SQL_CANDLE_KERNELS = f"""
-WITH bars AS ({_SQL_BARS}),
-l AS (
-  SELECT series_id, ts, open, high, low, close,
-         high - low AS rng,
-         abs(close - open) AS body,
-         high - greatest(open, close) AS ush,
-         least(open, close) - low AS dsh,
-         lag(open) OVER w AS o1, lag(close) OVER w AS c1,
-         lag(high) OVER w AS h1, lag(low) OVER w AS l1
-  FROM bars WINDOW w AS (PARTITION BY series_id ORDER BY ts))
-SELECT series_id, ts,
-       CASE WHEN rng > 0 AND body <= 0.1 * rng
-            THEN 100 ELSE 0 END AS "CDLDOJI",
-       CASE WHEN close > open AND c1 < o1 AND close >= o1 AND open <= c1
-                 AND body > abs(c1 - o1) THEN 100
-            WHEN close < open AND c1 > o1 AND open >= c1 AND close <= o1
-                 AND body > abs(c1 - o1) THEN -100
-            ELSE 0 END AS "CDLENGULFING",
-       CASE WHEN close > open AND rng > 0 AND body >= 0.95 * rng THEN 100
-            WHEN close < open AND rng > 0 AND body >= 0.95 * rng THEN -100
-            ELSE 0 END AS "CDLMARUBOZU",
-       CASE WHEN c1 < o1 AND close > open AND open < l1
-                 AND close > (o1 + c1) / 2 AND close < o1
-            THEN 100 ELSE 0 END AS "CDLPIERCING",
-       CASE WHEN c1 > o1 AND close < open AND open > h1
-                 AND close < (o1 + c1) / 2 AND close > o1
-            THEN -100 ELSE 0 END AS "CDLDARKCLOUDCOVER",
-       CASE WHEN rng > 0 AND body <= 0.1 * rng
-                 AND dsh >= 0.4 * rng AND ush <= 0.1 * rng
-            THEN 100 ELSE 0 END AS "CDLDRAGONFLYDOJI",
-       CASE WHEN rng > 0 AND body <= 0.1 * rng
-                 AND ush >= 0.4 * rng AND dsh <= 0.1 * rng
-            THEN -100 ELSE 0 END AS "CDLGRAVESTONEDOJI"
-FROM l
-"""
+def _candle_kernels_sql() -> str:
+    from timeseriesvectordbpattermatcher_spark.operators.candles import (
+        candle_oracle_sql,
+    )
+
+    return candle_oracle_sql(_SQL_BARS)
 
 
 def q_pattern_higher_low(spark, sf_dir):
@@ -1998,7 +1973,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props": SQL_JSON_PROPS,
         "rolling_stats": SQL_ROLLING_STATS,
         "ta_indicators": SQL_TA_INDICATORS,
-        "candle_kernels": SQL_CANDLE_KERNELS,
+        "candle_kernels": _candle_kernels_sql(),
         "box_bands": SQL_BOX_BANDS,
         "flag_debounce": SQL_FLAG_DEBOUNCE,
         "resample_3d": SQL_RESAMPLE_3D,

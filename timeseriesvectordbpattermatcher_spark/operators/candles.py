@@ -1,23 +1,32 @@
-"""W18 candlestick pattern matching + rank resolution.
+"""W18 candlestick pattern matching + rank resolution — FULL ranked set.
 
 The reference delegates kernels to pandas_ta's ``cdl_pattern()`` (TA-Lib
 port) and resolves multi-matches with a static rank table
 (/root/reference/datalib/boxCandlePatternUtil.py:4-132 rank dict, :135-227
-resolver). pandas_ta/TA-Lib are not in this sandbox, so the kernels are
-re-implemented as documented pure Spark expressions emitting TA-Lib-style
-±100 scores; the resolver preserves the reference contract exactly:
+resolver). pandas_ta/TA-Lib are not in this sandbox, so every pattern named
+by the rank table has a kernel re-implemented here as a documented SQL
+boolean expression (geometry re-derived from public TA-Lib docs; thresholds
+simplified where TA-Lib uses its tunable "candle settings" averages —
+context-dependent kernels use a documented close-vs-5-bars-back trend
+proxy). The resolver preserves the reference contract exactly:
 
 - 0 matches        -> pattern 'NO_PATTERN', match_count 0
 - 1 match          -> '<NAME>_Bull'/'_Bear' by score sign, count 1
 - multiple matches -> match_count = n, pattern_score = sum of scores,
   best pattern = min rank per the reference table (:210-214; CANDLE_RANKINGS
   below is the reference's FULL table; names absent from it -> 20, matching
-  its default at :207). 26 kernels implemented as documented lag-based
-  expressions (geometry re-derived from public TA-Lib docs — talib itself
-  is not in this sandbox; context-dependent kernels use a documented
-  close-vs-5-bars-back trend proxy).
+  its default at :207).
 
-One window pass per series: every kernel is lag-based, whole-stage codegen.
+Single source of truth: ``KERNELS`` maps each pattern to (bull_sql,
+bear_sql) condition strings over a fixed helper-column vocabulary
+(o{k}/h{k}/l{k}/c{k} lags for k=0..4 plus derived body/range/shadow/boolean
+helpers). The SAME strings drive (a) the Spark plan — ``F.expr`` over
+window-lagged helper columns, one partition pass, whole-stage codegen —
+and (b) :func:`candle_oracle_sql`, which renders an equivalent standalone
+ANSI-SQL query for an independent engine (DuckDB) to evaluate. Summary
+columns (match count, score sum, pattern list, min-rank best) are likewise
+rendered once from the spec for both engines; ``concat_ws``/``least``
+skip NULLs identically in Spark and DuckDB/Postgres semantics.
 """
 
 from __future__ import annotations
@@ -94,226 +103,466 @@ CANDLE_RANKINGS = {
 }
 DEFAULT_RANK = 20
 
+MAX_LAG = 5  # c5x for the trend proxy; OHLC lags go to 4 (5-bar patterns)
 
-def _kernels(series_col: str, ts_col: str) -> dict[str, F.Column]:
-    w = Window.partitionBy(series_col).orderBy(ts_col)
-    o, h, l, c = F.col("open"), F.col("high"), F.col("low"), F.col("close")
-    o1, c1 = F.lag("open").over(w), F.lag("close").over(w)
-    h1, l1 = F.lag("high").over(w), F.lag("low").over(w)
-    o2, c2 = F.lag("open", 2).over(w), F.lag("close", 2).over(w)
-    o3, c3 = F.lag("open", 3).over(w), F.lag("close", 3).over(w)
-    body = F.abs(c - o)
-    rng = h - l
-    up_shadow = h - F.greatest(o, c)
-    dn_shadow = F.least(o, c) - l
-    bull = c > o
-    bear = c < o
-    bull1, bear1 = c1 > o1, c1 < o1
-    bull2, bear2 = c2 > o2, c2 < o2
-    bull3, bear3 = c3 > o3, c3 < o3
-    body1 = F.abs(c1 - o1)
-    body2 = F.abs(c2 - o2)
-    mid1 = (o1 + c1) / 2
-    # doji helpers (body within 10% of range; "long" shadow >= 40% of range)
-    is_doji = (rng > 0) & (body <= 0.1 * rng)
-    long_up = up_shadow >= 0.4 * rng
-    long_dn = dn_shadow >= 0.4 * rng
-    # trend proxies for context-dependent kernels (talib tracks a short SMA
-    # trend; documented simplification: previous close vs close 5 rows back)
-    c5 = F.lag("close", 5).over(w)
-    uptrend = c1 > c5
-    # long/short line reference: mean body of the prior 10 bars
-    avg_body10 = F.avg(F.abs(F.col("close") - F.col("open"))).over(
-        w.rowsBetween(-10, -1)
+
+def _derived_helpers() -> tuple[dict[str, str], dict[str, str]]:
+    """Two layers of derived helper expressions over the base lag columns
+    o{k}/h{k}/l{k}/c{k} (k=0..4), c5x and avgbody10. Engine-portable SQL."""
+    d1: dict[str, str] = {}
+    for k in range(5):
+        d1[f"body{k}"] = f"abs(c{k} - o{k})"
+        d1[f"rng{k}"] = f"h{k} - l{k}"
+        d1[f"ush{k}"] = f"h{k} - greatest(o{k}, c{k})"
+        d1[f"dsh{k}"] = f"least(o{k}, c{k}) - l{k}"
+        d1[f"bt{k}"] = f"greatest(o{k}, c{k})"   # real-body top
+        d1[f"bb{k}"] = f"least(o{k}, c{k})"      # real-body bottom
+        d1[f"mid{k}"] = f"(o{k} + c{k}) / 2"
+        d1[f"bull{k}"] = f"c{k} > o{k}"
+        d1[f"bear{k}"] = f"c{k} < o{k}"
+    # documented trend proxy (talib consults a short-SMA context; we compare
+    # the previous close against the close 5 bars back)
+    d1["uptrend"] = "c1 > c5x"
+    d2 = {f"doji{k}": f"rng{k} > 0 AND body{k} <= 0.1 * rng{k}" for k in range(5)}
+    return d1, d2
+
+
+# name -> (bull condition SQL | None, bear condition SQL | None).
+# Every base name in CANDLE_RANKINGS has an entry (pinned by tests).
+KERNELS: dict[str, tuple[str | None, str | None]] = {
+    # ---- single-bar geometry ------------------------------------------------
+    "CDLDOJI": ("rng0 > 0 AND body0 <= 0.1 * rng0", None),
+    "CDLHAMMER": (
+        "rng0 > 0 AND dsh0 >= 2 * body0 AND ush0 <= 0.25 * body0 AND body0 > 0",
+        None,
+    ),
+    "CDLINVERTEDHAMMER": (
+        "rng0 > 0 AND ush0 >= 2 * body0 AND dsh0 <= 0.25 * body0 AND body0 > 0",
+        None,
+    ),
+    "CDLENGULFING": (
+        "bull0 AND bear1 AND c0 >= o1 AND o0 <= c1 AND body0 > body1",
+        "bear0 AND bull1 AND o0 >= c1 AND c0 <= o1 AND body0 > body1",
+    ),
+    "CDLHARAMI": (
+        "bull0 AND bear1 AND o0 > c1 AND c0 < o1",
+        "bear0 AND bull1 AND o0 < c1 AND c0 > o1",
+    ),
+    "CDLMARUBOZU": (
+        "bull0 AND rng0 > 0 AND body0 >= 0.95 * rng0",
+        "bear0 AND rng0 > 0 AND body0 >= 0.95 * rng0",
+    ),
+    "CDL3WHITESOLDIERS": (
+        "bull0 AND bull1 AND bull2 AND c0 > c1 AND c1 > c2 AND o0 > o1 "
+        "AND o0 < c1 AND o1 > o2 AND o1 < c2",
+        None,
+    ),
+    "CDL3BLACKCROWS": (
+        None,
+        "bear0 AND bear1 AND bear2 AND c0 < c1 AND c1 < c2 AND o0 < o1 "
+        "AND o0 > c1 AND o1 < o2 AND o1 > c2",
+    ),
+    "CDLMORNINGSTAR": (
+        "bear2 AND body2 > 0 AND body1 < 0.3 * body2 AND bt1 < c2 "
+        "AND bull0 AND c0 > mid2",
+        None,
+    ),
+    "CDLEVENINGSTAR": (
+        None,
+        "bull2 AND body2 > 0 AND body1 < 0.3 * body2 AND bb1 > c2 "
+        "AND bear0 AND c0 < mid2",
+    ),
+    "CDL3LINESTRIKE": (
+        "bear3 AND bear2 AND bear1 AND c3 > c2 AND c2 > c1 "
+        "AND bull0 AND o0 < c1 AND c0 > o3",
+        "bull3 AND bull2 AND bull1 AND c3 < c2 AND c2 < c1 "
+        "AND bear0 AND o0 > c1 AND c0 < o3",
+    ),
+    "CDLPIERCING": (
+        "bear1 AND bull0 AND o0 < l1 AND c0 > mid1 AND c0 < o1", None,
+    ),
+    "CDLDARKCLOUDCOVER": (
+        None, "bull1 AND bear0 AND o0 > h1 AND c0 < mid1 AND c0 > o1",
+    ),
+    "CDLHANGINGMAN": (
+        None,
+        "uptrend AND rng0 > 0 AND dsh0 >= 2 * body0 AND ush0 <= 0.25 * body0 "
+        "AND body0 > 0",
+    ),
+    "CDLSHOOTINGSTAR": (
+        None,
+        "uptrend AND rng0 > 0 AND ush0 >= 2 * body0 AND dsh0 <= 0.25 * body0 "
+        "AND body0 > 0",
+    ),
+    "CDLSPINNINGTOP": (
+        "bull0 AND rng0 > 0 AND ush0 > body0 AND dsh0 > body0",
+        "bear0 AND rng0 > 0 AND ush0 > body0 AND dsh0 > body0",
+    ),
+    "CDLHIGHWAVE": (
+        "bull0 AND rng0 > 0 AND ush0 >= 3 * body0 AND dsh0 >= 3 * body0",
+        "bear0 AND rng0 > 0 AND ush0 >= 3 * body0 AND dsh0 >= 3 * body0",
+    ),
+    "CDLBELTHOLD": (
+        "bull0 AND rng0 > 0 AND body0 >= 0.5 * rng0 AND dsh0 <= 0.05 * rng0",
+        "bear0 AND rng0 > 0 AND body0 >= 0.5 * rng0 AND ush0 <= 0.05 * rng0",
+    ),
+    "CDLCLOSINGMARUBOZU": (
+        "bull0 AND rng0 > 0 AND ush0 <= 0.05 * rng0 AND dsh0 > 0.05 * rng0 "
+        "AND body0 >= 0.5 * rng0",
+        "bear0 AND rng0 > 0 AND dsh0 <= 0.05 * rng0 AND ush0 > 0.05 * rng0 "
+        "AND body0 >= 0.5 * rng0",
+    ),
+    "CDLDRAGONFLYDOJI": ("doji0 AND dsh0 >= 0.4 * rng0 AND ush0 <= 0.1 * rng0", None),
+    "CDLGRAVESTONEDOJI": (None, "doji0 AND ush0 >= 0.4 * rng0 AND dsh0 <= 0.1 * rng0"),
+    "CDLLONGLEGGEDDOJI": ("doji0 AND ush0 >= 0.4 * rng0 AND dsh0 >= 0.4 * rng0", None),
+    "CDLTAKURI": ("doji0 AND dsh0 >= 0.6 * rng0 AND ush0 <= 0.1 * rng0", None),
+    "CDLMATCHINGLOW": ("bear1 AND bear0 AND abs(c0 - c1) <= 0.001 * abs(c1)", None),
+    "CDLHOMINGPIGEON": (
+        "bear1 AND bear0 AND o0 < o1 AND c0 > c1 AND body0 < body1", None,
+    ),
+    "CDL3INSIDE": (
+        "bear2 AND bull1 AND o1 > c2 AND c1 < o2 AND bull0 AND c0 > o2",
+        "bull2 AND bear1 AND o1 < c2 AND c1 > o2 AND bear0 AND c0 < o2",
+    ),
+    "CDLLONGLINE": (
+        "bull0 AND avgbody10 IS NOT NULL AND body0 >= 2 * avgbody10",
+        "bear0 AND avgbody10 IS NOT NULL AND body0 >= 2 * avgbody10",
+    ),
+    "CDLSHORTLINE": (
+        "bull0 AND avgbody10 IS NOT NULL AND body0 <= 0.5 * avgbody10 AND body0 > 0",
+        "bear0 AND avgbody10 IS NOT NULL AND body0 <= 0.5 * avgbody10 AND body0 > 0",
+    ),
+    # ---- round-3 additions: the remaining ranked names ----------------------
+    # upside/downside Tasuki gap: gap in trend direction, third bar retraces
+    # into (but does not close) the gap
+    "CDLTASUKIGAP": (
+        "bull2 AND bull1 AND bb1 > bt2 AND bear0 AND o0 > o1 AND o0 < c1 "
+        "AND c0 < o1 AND c0 > bt2",
+        "bear2 AND bear1 AND bt1 < bb2 AND bull0 AND o0 < o1 AND o0 > c1 "
+        "AND c0 > o1 AND c0 < bb2",
+    ),
+    # doji island gapping beyond BOTH neighbours' full ranges
+    "CDLABANDONEDBABY": (
+        "bear2 AND body2 > 0 AND doji1 AND h1 < l2 AND bull0 AND l0 > h1",
+        "bull2 AND body2 > 0 AND doji1 AND l1 > h2 AND bear0 AND h0 < l1",
+    ),
+    # 5-bar: long candle, same-color gap, two drifting bars, reversal closing
+    # inside the opening gap
+    "CDLBREAKAWAY": (
+        "bear4 AND bear3 AND bt3 < bb4 AND c2 < c3 AND bear1 AND c1 < c2 "
+        "AND bull0 AND c0 > bt3 AND c0 < bb4",
+        "bull4 AND bull3 AND bb3 > bt4 AND c2 > c3 AND bull1 AND c1 > c2 "
+        "AND bear0 AND c0 < bb3 AND c0 > bt4",
+    ),
+    # two blacks with (nearly) equal closes sandwiching a white trading above
+    "CDLSTICKSANDWICH": (
+        "bear2 AND bull1 AND bb1 > c2 AND bear0 AND abs(c0 - c2) <= 0.001 * abs(c2)",
+        None,
+    ),
+    # black then white opening below prior low, closing into but under the
+    # prior midpoint (bearish continuation)
+    "CDLTHRUSTING": (
+        None, "bear1 AND bull0 AND o0 < l1 AND c0 > c1 AND c0 < mid1",
+    ),
+    # in-neck: white closes marginally above prior close
+    "CDLINNECK": (
+        None,
+        "bear1 AND bull0 AND o0 < l1 AND c0 >= c1 AND c0 <= c1 + 0.1 * body1",
+    ),
+    # on-neck: white closes at the prior LOW
+    "CDLONNECK": (
+        None, "bear1 AND bull0 AND o0 < l1 AND abs(c0 - l1) <= 0.001 * abs(l1)",
+    ),
+    # three whites, third stalls (small body riding the second's upper end)
+    "CDLSTALLEDPATTERN": (
+        None,
+        "bull2 AND bull1 AND bull0 AND c1 > c2 AND c0 > c1 "
+        "AND body0 <= 0.3 * body1 AND o0 >= bt1 - 0.2 * body1",
+    ),
+    # long opposite candles meeting at (nearly) the same close
+    "CDLCOUNTERATTACK": (
+        "bear1 AND bull0 AND avgbody10 IS NOT NULL AND body1 > avgbody10 "
+        "AND body0 > avgbody10 AND abs(c0 - c1) <= 0.001 * abs(c1)",
+        "bull1 AND bear0 AND avgbody10 IS NOT NULL AND body1 > avgbody10 "
+        "AND body0 > avgbody10 AND abs(c0 - c1) <= 0.001 * abs(c1)",
+    ),
+    # three falling blacks, each opening at the prior close
+    "CDLIDENTICAL3CROWS": (
+        None,
+        "bear2 AND bear1 AND bear0 AND c1 < c2 AND c0 < c1 "
+        "AND abs(o1 - c2) <= 0.001 * abs(c2) AND abs(o0 - c1) <= 0.001 * abs(c1)",
+    ),
+    # morning/evening star with a doji middle
+    "CDLMORNINGDOJISTAR": (
+        "bear2 AND body2 > 0 AND doji1 AND bt1 < c2 AND bull0 AND c0 > mid2",
+        None,
+    ),
+    "CDLEVENINGDOJISTAR": (
+        None,
+        "bull2 AND body2 > 0 AND doji1 AND bb1 > c2 AND bear0 AND c0 < mid2",
+    ),
+    # up/downside gap three methods: third bar CLOSES the gap (ends within
+    # the first body)
+    "CDLXSIDEGAP3METHODS": (
+        "bull2 AND bull1 AND bb1 > bt2 AND bear0 AND o0 > bb1 AND o0 < bt1 "
+        "AND c0 < bt2 AND c0 > bb2",
+        "bear2 AND bear1 AND bt1 < bb2 AND bull0 AND o0 < bt1 AND o0 > bb1 "
+        "AND c0 > bb2 AND c0 < bt2",
+    ),
+    # three dojis, middle body gapping below (bottom) / above (top) both
+    "CDLTRISTAR": (
+        "doji2 AND doji1 AND doji0 AND bt1 < bb2 AND bt1 < bb0",
+        "doji2 AND doji1 AND doji0 AND bb1 > bt2 AND bb1 > bt0",
+    ),
+    # side-by-side whites gapping up (bullish) / down (bearish continuation)
+    "CDLGAPSIDESIDEWHITE": (
+        "bull1 AND bull0 AND bb1 > bt2 AND bb0 > bt2 AND abs(o0 - o1) <= 0.01 * abs(o1)",
+        "bull1 AND bull0 AND bt1 < bb2 AND bt0 < bb2 AND abs(o0 - o1) <= 0.01 * abs(o1)",
+    ),
+    # engulfing (outside) bar + confirming third close beyond it
+    "CDL3OUTSIDE": (
+        "bull1 AND bear2 AND c1 >= o2 AND o1 <= c2 AND body1 > body2 "
+        "AND bull0 AND c0 > c1",
+        "bear1 AND bull2 AND o1 >= c2 AND c1 <= o2 AND body1 > body2 "
+        "AND bear0 AND c0 < c1",
+    ),
+    # long-legged doji with the body near the range midpoint
+    "CDLRICKSHAWMAN": (
+        "doji0 AND ush0 >= 0.4 * rng0 AND dsh0 >= 0.4 * rng0 "
+        "AND abs((bt0 + bb0) / 2 - (h0 + l0) / 2) <= 0.1 * rng0",
+        None,
+    ),
+    # opposite-color belt-hold pair opening at the same price (continuation)
+    "CDLSEPARATINGLINES": (
+        "bear1 AND bull0 AND rng0 > 0 AND abs(o0 - o1) <= 0.001 * abs(o1) "
+        "AND dsh0 <= 0.05 * rng0",
+        "bull1 AND bear0 AND rng0 > 0 AND abs(o0 - o1) <= 0.001 * abs(o1) "
+        "AND ush0 <= 0.05 * rng0",
+    ),
+    # 5-bar ladder bottom: three stair-stepped blacks, black with clear upper
+    # shadow, white opening above the prior body
+    "CDLLADDERBOTTOM": (
+        "bear4 AND bear3 AND bear2 AND o3 < o4 AND c3 < c4 AND o2 < o3 "
+        "AND c2 < c3 AND bear1 AND ush1 >= 0.5 * body1 AND bull0 AND o0 > o1",
+        None,
+    ),
+    # doji gapping away from a long candle in trend direction
+    "CDLDOJISTAR": (
+        "bear1 AND avgbody10 IS NOT NULL AND body1 > avgbody10 AND doji0 AND bt0 < c1",
+        "bull1 AND avgbody10 IS NOT NULL AND body1 > avgbody10 AND doji0 AND bb0 > c1",
+    ),
+    # harami whose second bar is a doji (body strictly inside prior body)
+    "CDLHARAMICROSS": (
+        "bear1 AND doji0 AND bb0 > c1 AND bt0 < o1",
+        "bull1 AND doji0 AND bb0 > o1 AND bt0 < c1",
+    ),
+    # three advancing whites with shrinking bodies (weakening advance)
+    "CDLADVANCEBLOCK": (
+        None,
+        "bull2 AND bull1 AND bull0 AND c1 > c2 AND c0 > c1 AND o1 > o2 "
+        "AND o1 < c2 AND o0 > o1 AND o0 < c1 AND body1 < body2 AND body0 < body1",
+    ),
+    # unique three river bottom
+    "CDLUNIQUE3RIVER": (
+        "bear2 AND bear1 AND bt1 < bt2 AND c1 > c2 AND l1 < l2 AND bull0 "
+        "AND body0 < body1 AND o0 < c1",
+        None,
+    ),
+    # two crows: white, gapping black, black closing into the white body
+    "CDL2CROWS": (
+        None,
+        "bull2 AND bear1 AND bb1 > c2 AND bear0 AND o0 < o1 AND o0 > c1 "
+        "AND c0 < c2 AND c0 > o2",
+    ),
+    # upside gap two crows: third black engulfs the second, still above the
+    # first close
+    "CDLUPSIDEGAP2CROWS": (
+        None,
+        "bull2 AND bear1 AND bb1 > c2 AND bear0 AND o0 > o1 AND c0 < c1 AND c0 > c2",
+    ),
+    # hikkake: inside bar then a fake breakout against the eventual signal
+    "CDLHIKKAKE": (
+        "h1 < h2 AND l1 > l2 AND h0 < h1 AND l0 < l1",
+        "h1 < h2 AND l1 > l2 AND h0 > h1 AND l0 > l1",
+    ),
+    # modified hikkake: inside bar also closes near the fake-out extreme
+    "CDLHIKKAKEMOD": (
+        "h1 < h2 AND l1 > l2 AND rng1 > 0 AND c1 <= l1 + 0.25 * rng1 "
+        "AND h0 < h1 AND l0 < l1",
+        "h1 < h2 AND l1 > l2 AND rng1 > 0 AND c1 >= h1 - 0.25 * rng1 "
+        "AND h0 > h1 AND l0 > l1",
+    ),
+    # mat hold: long white, three small falling bars holding above its open,
+    # white breakout over their highs
+    "CDLMATHOLD": (
+        "bull4 AND bear3 AND bear2 AND bear1 AND c2 < c3 AND c1 < c2 "
+        "AND least(l3, l2, l1) > o4 AND bull0 AND c0 > greatest(h3, h2, h1) "
+        "AND c0 > c4",
+        None,
+    ),
+    # rising/falling three methods: three counter-trend bars contained in the
+    # first long bar's range, fifth closes beyond the first
+    "CDLRISEFALL3METHODS": (
+        "bull4 AND bear3 AND bear2 AND bear1 AND c2 < c3 AND c1 < c2 "
+        "AND least(l3, l2, l1) >= l4 AND greatest(h3, h2, h1) <= h4 "
+        "AND bull0 AND c0 > c4",
+        "bear4 AND bull3 AND bull2 AND bull1 AND c2 > c3 AND c1 > c2 "
+        "AND least(l3, l2, l1) >= l4 AND greatest(h3, h2, h1) <= h4 "
+        "AND bear0 AND c0 < c4",
+    ),
+    # marubozu pair separated by a full gap
+    "CDLKICKING": (
+        "bear1 AND rng1 > 0 AND body1 >= 0.95 * rng1 AND bull0 AND rng0 > 0 "
+        "AND body0 >= 0.95 * rng0 AND l0 > h1",
+        "bull1 AND rng1 > 0 AND body1 >= 0.95 * rng1 AND bear0 AND rng0 > 0 "
+        "AND body0 >= 0.95 * rng0 AND h0 < l1",
+    ),
+    # kicking where the SECOND marubozu is at least as long (length decides)
+    "CDLKICKINGBYLENGTH": (
+        "bear1 AND rng1 > 0 AND body1 >= 0.95 * rng1 AND bull0 AND rng0 > 0 "
+        "AND body0 >= 0.95 * rng0 AND l0 > h1 AND body0 >= body1",
+        "bull1 AND rng1 > 0 AND body1 >= 0.95 * rng1 AND bear0 AND rng0 > 0 "
+        "AND body0 >= 0.95 * rng0 AND h0 < l1 AND body0 >= body1",
+    ),
+    # concealing baby swallow: two black marubozu, gapping black with an
+    # upper shadow piercing the prior body, black fully engulfing it
+    "CDLCONCEALBABYSWALL": (
+        "bear3 AND rng3 > 0 AND body3 >= 0.9 * rng3 AND bear2 AND rng2 > 0 "
+        "AND body2 >= 0.9 * rng2 AND c2 < c3 AND bear1 AND bt1 < c2 AND h1 > c2 "
+        "AND bear0 AND o0 > h1 AND c0 < l1",
+        None,
+    ),
+    # three stars in the south: shrinking blacks with rising lows
+    "CDL3STARSINSOUTH": (
+        "bear2 AND body2 > 0 AND dsh2 >= 0.5 * body2 AND bear1 "
+        "AND body1 < body2 AND l1 > l2 AND h1 < h2 AND bear0 "
+        "AND body0 < body1 AND l0 >= l1 AND h0 <= h1",
+        None,
+    ),
+}
+
+
+def _rank(name: str, side: str) -> int:
+    return CANDLE_RANKINGS.get(f"{name}_{side}", DEFAULT_RANK)
+
+
+def kernel_score_sql(name: str) -> str:
+    """TA-Lib-style ±100 score CASE for one kernel (engine-portable)."""
+    bull, bear = KERNELS[name]
+    parts = []
+    if bull:
+        parts.append(f"WHEN {bull} THEN 100")
+    if bear:
+        parts.append(f"WHEN {bear} THEN -100")
+    return "CASE " + " ".join(parts) + " ELSE 0 END"
+
+
+def summary_sqls() -> dict[str, str]:
+    """Resolver columns over the kernel score columns (engine-portable).
+
+    best_pattern uses zero-padded '{rank:03d}|{pattern}' tags so a plain
+    string ``least`` (NULL-skipping in both Spark and DuckDB) reproduces the
+    (rank asc, name asc) tie-break of the reference's min-rank resolution;
+    ``concat_ws`` likewise skips NULLs in both engines."""
+    names = list(KERNELS)
+    cnt = " + ".join(f"(CASE WHEN {n} <> 0 THEN 1 ELSE 0 END)" for n in names)
+    total = " + ".join(names)
+    pat_args = ", ".join(
+        f"CASE WHEN {n} > 0 THEN '{n}_Bull' WHEN {n} < 0 THEN '{n}_Bear' END"
+        for n in names
     )
-
-    def score(cond_bull, cond_bear=None):
-        e = F.when(cond_bull, F.lit(100))
-        if cond_bear is not None:
-            e = e.when(cond_bear, F.lit(-100))
-        return e.otherwise(F.lit(0))
-
+    tag_args = ", ".join(
+        f"CASE WHEN {n} > 0 THEN '{_rank(n, 'Bull'):03d}|{n}_Bull' "
+        f"WHEN {n} < 0 THEN '{_rank(n, 'Bear'):03d}|{n}_Bear' END"
+        for n in names
+    )
     return {
-        # body within 10% of the range
-        "CDLDOJI": score((rng > 0) & (body <= 0.1 * rng)),
-        # long lower shadow, small body near the top
-        "CDLHAMMER": score(
-            (rng > 0) & (dn_shadow >= 2 * body) & (up_shadow <= 0.25 * body) & (body > 0)
+        "candlestick_match_count": f"({cnt})",
+        "candlestick_pattern_score": f"({total})",
+        "candlestick_pattern": (
+            f"CASE WHEN ({cnt}) = 0 THEN 'NO_PATTERN' "
+            f"ELSE concat_ws(',', {pat_args}) END"
         ),
-        "CDLINVERTEDHAMMER": score(
-            (rng > 0) & (up_shadow >= 2 * body) & (dn_shadow <= 0.25 * body) & (body > 0)
-        ),
-        # current body engulfs previous opposite body
-        "CDLENGULFING": score(
-            bull & bear1 & (c >= o1) & (o <= c1) & (body > body1),
-            bear & bull1 & (o >= c1) & (c <= o1) & (body > body1),
-        ),
-        # current body inside previous body
-        "CDLHARAMI": score(
-            bull & bear1 & (o > c1) & (c < o1),
-            bear & bull1 & (o < c1) & (c > o1),
-        ),
-        # nearly shadow-less
-        "CDLMARUBOZU": score(
-            bull & (rng > 0) & (body >= 0.95 * rng),
-            bear & (rng > 0) & (body >= 0.95 * rng),
-        ),
-        "CDL3WHITESOLDIERS": score(
-            bull & bull1 & bull2 & (c > c1) & (c1 > c2) & (o > o1) & (o < c1) & (o1 > o2) & (o1 < c2)
-        ),
-        "CDL3BLACKCROWS": score(
-            F.lit(False),
-            bear & bear1 & bear2 & (c < c1) & (c1 < c2) & (o < o1) & (o > c1) & (o1 < o2) & (o1 > c2),
-        ),
-        # big bear, small middle body below it, bull closing above 1st midpoint
-        "CDLMORNINGSTAR": score(
-            bear2 & (body2 > 0) & (body1 < 0.3 * body2) & (F.greatest(o1, c1) < c2)
-            & bull & (c > (o2 + c2) / 2)
-        ),
-        "CDLEVENINGSTAR": score(
-            F.lit(False),
-            bull2 & (body2 > 0) & (body1 < 0.3 * body2) & (F.least(o1, c1) > c2)
-            & bear & (c < (o2 + c2) / 2),
-        ),
-        # --- round-2 additions toward the reference's full ranked set ---
-        # three same-color bars then a 4th opposite bar engulfing the run
-        "CDL3LINESTRIKE": score(
-            bear3 & bear2 & bear1 & (c3 > c2) & (c2 > c1)
-            & bull & (o < c1) & (c > o3),
-            bull3 & bull2 & bull1 & (c3 < c2) & (c2 < c1)
-            & bear & (o > c1) & (c < o3),
-        ),
-        # bear then bull opening below prior low, closing above prior midpoint
-        # but below prior open
-        "CDLPIERCING": score(
-            bear1 & bull & (o < l1) & (c > mid1) & (c < o1)
-        ),
-        # bull then bear opening above prior high, closing below prior midpoint
-        # but above prior open
-        "CDLDARKCLOUDCOVER": score(
-            F.lit(False),
-            bull1 & bear & (o > h1) & (c < mid1) & (c > o1),
-        ),
-        # hammer/inverted-hammer shape in trend context
-        "CDLHANGINGMAN": score(
-            F.lit(False),
-            uptrend & (rng > 0) & (dn_shadow >= 2 * body)
-            & (up_shadow <= 0.25 * body) & (body > 0),
-        ),
-        "CDLSHOOTINGSTAR": score(
-            F.lit(False),
-            uptrend & (rng > 0) & (up_shadow >= 2 * body)
-            & (dn_shadow <= 0.25 * body) & (body > 0),
-        ),
-        # small body, both shadows longer than the body
-        "CDLSPINNINGTOP": score(
-            bull & (rng > 0) & (up_shadow > body) & (dn_shadow > body),
-            bear & (rng > 0) & (up_shadow > body) & (dn_shadow > body),
-        ),
-        # tiny body with very long shadows on both sides
-        "CDLHIGHWAVE": score(
-            bull & (rng > 0) & (up_shadow >= 3 * body) & (dn_shadow >= 3 * body),
-            bear & (rng > 0) & (up_shadow >= 3 * body) & (dn_shadow >= 3 * body),
-        ),
-        # long body opening at the extreme (<=5% shadow on the open side)
-        "CDLBELTHOLD": score(
-            bull & (rng > 0) & (body >= 0.5 * rng) & (dn_shadow <= 0.05 * rng),
-            bear & (rng > 0) & (body >= 0.5 * rng) & (up_shadow <= 0.05 * rng),
-        ),
-        # no shadow on the CLOSE side only (full marubozu excluded by >)
-        "CDLCLOSINGMARUBOZU": score(
-            bull & (rng > 0) & (up_shadow <= 0.05 * rng) & (dn_shadow > 0.05 * rng)
-            & (body >= 0.5 * rng),
-            bear & (rng > 0) & (dn_shadow <= 0.05 * rng) & (up_shadow > 0.05 * rng)
-            & (body >= 0.5 * rng),
-        ),
-        # doji variants by shadow geometry
-        "CDLDRAGONFLYDOJI": score(is_doji & long_dn & (up_shadow <= 0.1 * rng)),
-        "CDLGRAVESTONEDOJI": score(
-            F.lit(False), is_doji & long_up & (dn_shadow <= 0.1 * rng)
-        ),
-        "CDLLONGLEGGEDDOJI": score(
-            is_doji & long_up & long_dn, F.lit(False)
-        ),
-        # takuri: dragonfly with an extreme lower shadow (>= 60% of range)
-        "CDLTAKURI": score(
-            is_doji & (dn_shadow >= 0.6 * rng) & (up_shadow <= 0.1 * rng)
-        ),
-        # two bears closing at (nearly) the same level
-        "CDLMATCHINGLOW": score(
-            bear1 & bear & (F.abs(c - c1) <= 0.001 * F.abs(c1))
-        ),
-        # bear then smaller bear inside the prior body
-        "CDLHOMINGPIGEON": score(
-            bear1 & bear & (o < o1) & (c > c1) & (body < body1)
-        ),
-        # harami then a 3rd bar confirming beyond the 1st bar's close
-        "CDL3INSIDE": score(
-            bear2 & bull1 & (o1 > c2) & (c1 < o2) & bull & (c > o2),
-            bull2 & bear1 & (o1 < c2) & (c1 > o2) & bear & (c < o2),
-        ),
-        # body longer/shorter than the 10-bar mean body
-        "CDLLONGLINE": score(
-            bull & (body >= 2 * avg_body10) & avg_body10.isNotNull(),
-            bear & (body >= 2 * avg_body10) & avg_body10.isNotNull(),
-        ),
-        "CDLSHORTLINE": score(
-            bull & (body <= 0.5 * avg_body10) & (body > 0) & avg_body10.isNotNull(),
-            bear & (body <= 0.5 * avg_body10) & (body > 0) & avg_body10.isNotNull(),
-        ),
+        "best_pattern": f"substr(least({tag_args}), 5)",
     }
+
+
+def _with_helpers(df: DataFrame, series_col: str, ts_col: str) -> DataFrame:
+    """Append the base lag columns + derived helper columns (one window)."""
+    w = Window.partitionBy(series_col).orderBy(ts_col)
+    lags = []
+    for k in range(5):
+        for src in ("open", "high", "low", "close"):
+            name = f"{src[0]}{k}"
+            lags.append(
+                (F.col(src) if k == 0 else F.lag(src, k).over(w)).alias(name)
+            )
+    lags.append(F.lag("close", MAX_LAG).over(w).alias("c5x"))
+    lags.append(
+        F.avg(F.abs(F.col("close") - F.col("open")))
+        .over(w.rowsBetween(-10, -1))
+        .alias("avgbody10")
+    )
+    d1, d2 = _derived_helpers()
+    base = df.select("*", *lags)
+    base = base.select("*", *[F.expr(s).alias(n) for n, s in d1.items()])
+    return base.select("*", *[F.expr(s).alias(n) for n, s in d2.items()])
 
 
 def candle_patterns(
     df: DataFrame, series_col: str = "series_id", ts_col: str = "ts"
 ) -> DataFrame:
     """Per row: every kernel score column + the resolved summary columns
-    (candlestick_pattern, match_count, pattern_score, best_pattern)."""
-    kernels = _kernels(series_col, ts_col)
-    out = df
-    for name, expr in kernels.items():
-        out = out.withColumn(name, expr)
-
-    structs = F.array(
-        *[
-            F.struct(
-                F.col(name).alias("score"),
-                F.lit(name).alias("name"),
-                F.lit(CANDLE_RANKINGS.get(f"{name}_Bull", DEFAULT_RANK)).alias("rank_bull"),
-                F.lit(CANDLE_RANKINGS.get(f"{name}_Bear", DEFAULT_RANK)).alias("rank_bear"),
-            )
-            for name in kernels
-        ]
+    (candlestick_pattern, match_count, pattern_score, best_pattern).
+    One window pass per series; every expression stays in codegen."""
+    in_cols = list(df.columns)
+    helped = _with_helpers(df, series_col, ts_col)
+    scored = helped.select(
+        "*", *[F.expr(kernel_score_sql(n)).alias(n) for n in KERNELS]
     )
-    hits = F.filter(structs, lambda s: s.getField("score") != 0)
-    tagged = F.transform(
-        hits,
-        lambda s: F.struct(
-            F.when(s.getField("score") > 0, s.getField("rank_bull"))
-            .otherwise(s.getField("rank_bear"))
-            .alias("rank"),
-            F.concat(
-                s.getField("name"),
-                F.when(s.getField("score") > 0, F.lit("_Bull")).otherwise(F.lit("_Bear")),
-            ).alias("pattern"),
-            s.getField("score").alias("score"),
-        ),
-    )
-    n = F.size(hits)
-    total = F.aggregate(tagged, F.lit(0), lambda a, s: a + s.getField("score"))
-    best = F.array_min(tagged)  # struct compare: min rank, ties by name
-    out = (
-        out.withColumn("candlestick_match_count", n)
-        .withColumn("candlestick_pattern_score", total)
-        .withColumn(
-            "candlestick_pattern",
-            F.when(n == 0, F.lit("NO_PATTERN")).otherwise(
-                F.concat_ws(",", F.transform(tagged, lambda s: s.getField("pattern")))
-            ),
-        )
-        .withColumn("best_pattern", F.when(n > 0, best.getField("pattern")))
+    out = scored.select(
+        *in_cols,
+        *list(KERNELS),
+        *[F.expr(s).alias(n) for n, s in summary_sqls().items()],
     )
     return out
+
+
+def candle_oracle_sql(
+    bars_sql: str, series_col: str = "series_id", ts_col: str = "ts"
+) -> str:
+    """Standalone ANSI-SQL equivalent of :func:`candle_patterns` for an
+    independent engine (DuckDB runs it as the driver oracle): the same
+    KERNELS/summary expression text over the same helper vocabulary, with
+    the lag/window helpers rendered as plain SQL window functions."""
+    base_cols = []
+    for k in range(5):
+        for src in ("open", "high", "low", "close"):
+            name = f"{src[0]}{k}"
+            base_cols.append(
+                f"{src} AS {name}" if k == 0 else f"lag({src}, {k}) OVER w AS {name}"
+            )
+    base_cols.append(f"lag(close, {MAX_LAG}) OVER w AS c5x")
+    base_cols.append(
+        f"avg(abs(close - open)) OVER (PARTITION BY {series_col} ORDER BY {ts_col} "
+        "ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS avgbody10"
+    )
+    d1, d2 = _derived_helpers()
+    d1_cols = ", ".join(f"({s}) AS {n}" for n, s in d1.items())
+    d2_cols = ", ".join(f"({s}) AS {n}" for n, s in d2.items())
+    k_cols = ", ".join(f"{kernel_score_sql(n)} AS \"{n}\"" for n in KERNELS)
+    s_cols = ", ".join(f"{s} AS {n}" for n, s in summary_sqls().items())
+    kernel_names = ", ".join(f'"{n}"' for n in KERNELS)
+    return f"""
+WITH bars AS ({bars_sql}),
+base AS (
+  SELECT {series_col}, {ts_col}, {', '.join(base_cols)}
+  FROM bars WINDOW w AS (PARTITION BY {series_col} ORDER BY {ts_col})),
+d1 AS (SELECT *, {d1_cols} FROM base),
+d2 AS (SELECT *, {d2_cols} FROM d1),
+k AS (SELECT {series_col}, {ts_col}, {k_cols} FROM d2)
+SELECT {series_col}, {ts_col}, {kernel_names}, {s_cols} FROM k
+"""
 
 
 def candle_score_by_rule(
