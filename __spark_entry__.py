@@ -1697,61 +1697,98 @@ def q_pattern_screener(spark, sf_dir):
 
 def q_resumable_rollup(spark, sf_dir):
     """E1 lifecycle + crash-resume through the contract: run the snapshot-
-    checkpointed RollupJob over a deterministic seqs corpus, inject a crash
-    after the 1m commit, rerun to convergence, and return the audit trail
-    (per-tier rows/partitions/snapshot versions). Rows-only: run ids and
-    wall times are nondeterministic by nature."""
+    checkpointed RollupJob over a seqs frame derived from the driver's
+    events table, inject a crash after the 1m commit, rerun to convergence,
+    and return per-tier summaries of the POST-RESUME tier tables (row count,
+    cnt/n_tok totals, min/max stats and bucket range). Oracle-checked: the
+    crash+resume must re-converge to exactly the tables DuckDB computes from
+    the same parquet in one pass (FIXTURES.md F5 invariant 5)."""
+    import shutil
     import tempfile
 
-    from timeseriesvectordbpattermatcher_spark.operators.rollup import derive_event_ts
     from timeseriesvectordbpattermatcher_spark.plans.checkpoint import RollupJob
-    from timeseriesvectordbpattermatcher_spark.sources.synth import synth_seqs
 
-    import shutil
-
+    ev = _events(spark, sf_dir)
+    seqs_ts = ev.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("source"),
+        F.col("ts").alias("event_ts"),
+        F.floor(F.abs(F.coalesce(F.col("value"), F.lit(0.0)))).cast("int").alias("n_tok"),
+    )
     base = tempfile.mkdtemp(prefix="rollup_job_")
     try:
         job = RollupJob(base)
-        seqs = derive_event_ts(synth_seqs(spark, 5000, seed=11, with_tokens=False))
         try:
-            job.run(spark, seqs, fail_after="1m")  # crash between tier commits
+            job.run(spark, seqs_ts, fail_after="1m")  # crash between tier commits
         except RuntimeError:
             pass
-        job.run(spark, seqs)  # resume: re-converges to the single-run state
-        audit = job.audit.read(spark)
+        job.run(spark, seqs_ts)  # resume: re-converges to the single-run state
         # materialize before cleanup (the summary is 3 rows; returning a lazy
         # plan over a deleted temp dir would fail at the driver's collect)
-        rows = (
-            audit.groupBy("stage")
-            .agg(
-                F.sum("rows").alias("rows_out"),
-                F.count("*").alias("n_partitions_written"),
-                F.max("snapshot_version").alias("snapshot_version"),
+        rows = []
+        for tier in ("1m", "1h", "1d"):
+            t = job.tables[tier].read(spark)
+            rows.extend(
+                t.agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("cnt").alias("total_cnt"),
+                    F.sum("sum_n_tok").alias("total_n_tok"),
+                    F.min("min_n_tok").alias("min_n_tok"),
+                    F.max("max_n_tok").alias("max_n_tok"),
+                    F.min("bucket_ts").alias("min_bucket"),
+                    F.max("bucket_ts").alias("max_bucket"),
+                )
+                .withColumn("stage", F.lit(f"rollup_{tier}"))
+                .collect()
             )
-            .orderBy("stage")
-            .collect()
-        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
         rows,
-        "stage string, rows_out bigint, n_partitions_written bigint, snapshot_version int",
+        "n_rows bigint, total_cnt bigint, total_n_tok bigint, min_n_tok int, "
+        "max_n_tok int, min_bucket timestamp, max_bucket timestamp, stage string",
     )
 
 
-def q_vcp_patterns(spark, sf_dir):
-    """X8 volatility-contraction patterns over the deterministic OHLCV
-    fixture's extrema (rows-only: running-max walk is sequential per window,
-    /root/reference/datalib/extremaPatternLooper.py:205-272)."""
+SQL_RESUMABLE_ROLLUP = """
+WITH seqs AS (
+  SELECT event_type AS source, ts AS event_ts,
+         CAST(floor(abs(coalesce(value, 0.0))) AS INT) AS n_tok
+  FROM events),
+t1m AS (
+  SELECT source, date_trunc('minute', event_ts) AS b,
+         count(*) AS c, sum(n_tok) AS s, min(n_tok) AS mn, max(n_tok) AS mx
+  FROM seqs GROUP BY 1, 2),
+t1h AS (
+  SELECT source, date_trunc('hour', b) AS b,
+         sum(c) AS c, sum(s) AS s, min(mn) AS mn, max(mx) AS mx
+  FROM t1m GROUP BY 1, 2),
+t1d AS (
+  SELECT source, date_trunc('day', b) AS b,
+         sum(c) AS c, sum(s) AS s, min(mn) AS mn, max(mx) AS mx
+  FROM t1h GROUP BY 1, 2)
+SELECT 'rollup_1m' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(c) AS BIGINT) AS total_cnt, CAST(sum(s) AS BIGINT) AS total_n_tok,
+       CAST(min(mn) AS INT) AS min_n_tok, CAST(max(mx) AS INT) AS max_n_tok,
+       min(b) AS min_bucket, max(b) AS max_bucket FROM t1m
+UNION ALL
+SELECT 'rollup_1h', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+       CAST(sum(s) AS BIGINT), CAST(min(mn) AS INT), CAST(max(mx) AS INT),
+       min(b), max(b) FROM t1h
+UNION ALL
+SELECT 'rollup_1d', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+       CAST(sum(s) AS BIGINT), CAST(min(mn) AS INT), CAST(max(mx) AS INT),
+       min(b), max(b) FROM t1d
+"""
+
+
+def vcp_fixture_rows():
+    """Deterministic contracting-range fixture: 9 maxima (high 103, lows 100
+    between -> range 3% <= 1.1 x seeded 4%), 8th max breaks out above all
+    prior highs; 8-day spacing -> window span 112d >= 50d. Shared by the
+    contract query and the golden oracle (tests/oracle)."""
     import datetime as dt
 
-    from timeseriesvectordbpattermatcher_spark.operators.patterns import (
-        find_vcp_up_patterns,
-    )
-
-    # deterministic contracting-range fixture: 9 maxima (high 103, lows 100
-    # between -> range 3% <= 1.1 x seeded 4%), 8th max breaks out above all
-    # prior highs; 8-day spacing -> window span 112d >= 50d
     rows, t = [], dt.datetime(2024, 1, 1)
     for i in range(9):
         hi, cl = (104.0, 103.5) if i == 7 else (103.0, 102.5)
@@ -1760,8 +1797,20 @@ def q_vcp_patterns(spark, sf_dir):
         if i < 8:
             rows.append(("FIX", t, 100.5, 101.0, 100.0, 100.5, "min"))
             t += dt.timedelta(days=8)
+    return rows
+
+
+def q_vcp_patterns(spark, sf_dir):
+    """X8 volatility-contraction patterns over the deterministic OHLCV
+    fixture's extrema (golden regenerated from the independent pandas
+    oracle, tests/oracle/pandas_oracle.py:oracle_vcp_patterns;
+    /root/reference/datalib/extremaPatternLooper.py:205-272)."""
+    from timeseriesvectordbpattermatcher_spark.operators.patterns import (
+        find_vcp_up_patterns,
+    )
+
     extrema = spark.createDataFrame(
-        rows,
+        vcp_fixture_rows(),
         "series_id string, ts timestamp, open double, high double, "
         "low double, close double, minmax_type string",
     )
@@ -1787,12 +1836,19 @@ def q_divergence(spark, sf_dir):
 
 
 def q_trade_sim(spark, sf_dir):
-    """X14 stateful trade simulator: staged profit-taking + trailing stop,
-    grouped-map per (series, entry) (rows-only: sequential within group,
-    /root/reference/datalib/patternTraderUtil.py:737-836)."""
+    """X14 stateful trade simulator + D12 equity curve: staged profit-taking
+    + trailing stop, grouped-map per (series, entry)
+    (/root/reference/datalib/patternTraderUtil.py:737-836). Golden-pinned:
+    trades joined with per-entry equity-curve aggregates (bar count, final
+    total-gain pct, max retrace) and the A2 performance roll-up, so the
+    per-bar equity path and the :838-872 summary are pinned too."""
     import datetime as dt
 
-    from timeseriesvectordbpattermatcher_spark.operators.tradesim import trade_simulator
+    from timeseriesvectordbpattermatcher_spark.operators.tradesim import (
+        trade_equity_curve,
+        trade_simulator,
+        trades_performance,
+    )
     from timeseriesvectordbpattermatcher_spark.sources.synth import synth_ohlcv
 
     ohlcv = synth_ohlcv(spark, n_tickers=4, n_days=500)
@@ -1804,7 +1860,24 @@ def q_trade_sim(spark, sf_dir):
         ],
         "series_id string, entry_ts timestamp",
     )
-    return trade_simulator(ohlcv, entries)
+    trades = trade_simulator(ohlcv, entries)
+    equity = trade_equity_curve(ohlcv, entries)
+    eq_sum = equity.groupBy("series_id", "entry_ts").agg(
+        F.count("*").alias("equity_bars"),
+        F.round(F.max_by("total_gain_pct", "ts"), _R).alias("final_total_gain_pct"),
+        F.round(F.max("retrace"), _R).alias("max_retrace"),
+    )
+    perf = trades_performance(trades).select(
+        "series_id", "entry_ts",
+        F.round("total_gain", _R).alias("perf_total_gain"),
+        F.round("pct_gain", _R).alias("perf_pct_gain"),
+        F.round("pct_gain_ref", _R).alias("perf_pct_gain_ref"),
+        "trade_cnt",
+    )
+    return (
+        trades.join(eq_sum, ["series_id", "entry_ts"], "left")
+        .join(perf, ["series_id", "entry_ts"], "left")
+    )
 
 
 def q_multi_stop(spark, sf_dir):
@@ -1941,7 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "box_detection": q_box_detection,
         "trend_range": q_trend_range,
-        # rows-only (run ids / partition counts are environment-dependent)
+        # crash-inject + resume; oracle checks the converged tier tables
         "resumable_rollup": q_resumable_rollup,
     }
 
@@ -1990,6 +2063,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": SQL_COSINE_TOPK,
         "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
         "array_stats": SQL_ARRAY_STATS,
+        "resumable_rollup": SQL_RESUMABLE_ROLLUP,
     }
     for name in GOLDEN_QUERIES:
         sql[name] = _golden_sql(name if name != "matcher_golden_parity" else "matches")

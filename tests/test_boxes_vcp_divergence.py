@@ -141,3 +141,67 @@ def test_divergence_aux_interval_containment(spark):
         spark.createDataFrame(main), spark.createDataFrame(aux), ex_cond="down,up"
     ).collect()
     assert len(out) == 1
+
+
+def test_detect_boxes_forecast_fallback(spark, ohlcv):
+    """Forecast mode: every row yields a box; rows without a band match fall
+    back to the 10-bar high/low window, signame='forecast', score - 3
+    (extremaPlotter.py:85-120); detected rows keep 'box_breakout'."""
+    from timeseriesvectordbpattermatcher_spark.operators.boxes import (
+        detect_boxes_forecast,
+    )
+
+    sub = ohlcv.filter("series_id='TK00'")
+    out = detect_boxes_forecast(sub).orderBy("ts").toPandas()
+    pdf = sub.orderBy("ts").toPandas()
+    assert len(out) == len(pdf), "forecast mode emits one box per row"
+    assert set(out["signame"]) <= {"forecast", "box_breakout"}
+    fc = out[out["signame"] == "forecast"]
+    assert len(fc) > 0
+    # fallback bounds = rolling 10-bar high max / low min (min_periods=1)
+    ub_roll = pdf["high"].rolling(10, min_periods=1).max()
+    lb_roll = pdf["low"].rolling(10, min_periods=1).min()
+    idx = fc.index
+    assert np.allclose(fc["box_ub"], ub_roll.iloc[idx]), "fallback ub"
+    assert np.allclose(fc["box_lb"], lb_roll.iloc[idx]), "fallback lb"
+    assert (fc["box_score"] <= -3.0 + 1e-9 + 2.0).all()  # score - 3 (score <= ~2)
+    # detected rows agree with detect_boxes on bounds where both exist
+    det = detect_boxes(sub).toPandas().set_index("ts")
+    bb = out[out["signame"] == "box_breakout"].set_index("ts")
+    common = det.index.intersection(bb.index)
+    if len(common):
+        assert np.allclose(det.loc[common, "box_ub"], bb.loc[common, "box_ub"])
+
+
+def test_box_buy_sell_rule_truth_table(spark):
+    """Pin the reference's rule quirks (extremaPlotter.py:353-402): strong
+    rules ignore their duration flag; suggest rules threshold the 3-flag sum."""
+    from timeseriesvectordbpattermatcher_spark.operators.boxes import (
+        box_buy_sell_signals,
+    )
+
+    rows = [
+        # (vol_bias, score, rs_plus, snr_mid, duration)
+        (1.0, 3.0, True, True, 30.0),    # buy: overall 3>2, snr, dur>25
+        (1.0, 3.0, True, True, 20.0),    # dur<=25 -> no suggest_buy
+        (1.0, 5.0, True, True, 10.0),    # strong_buy despite short duration (quirk)
+        (-1.0, 2.0, False, False, 20.0), # suggest_sell: overall 3>1, !snr, dur>15
+        (-1.0, 2.0, False, False, 10.0), # dur<=15 -> strong_sell only (quirk)
+        (1.0, 5.0, True, False, 40.0),   # snr False -> no buys
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "recent_vol_bias_plus double, score double, rs_plus boolean, "
+        "snr_mid_plus boolean, duration double",
+    )
+    out = box_buy_sell_signals(df).collect()
+    got = [
+        (r["suggest_buy"], r["strong_buy"], r["suggest_sell"], r["strong_sell"])
+        for r in out
+    ]
+    assert got[0] == (True, False, False, False)
+    assert got[1] == (False, False, False, False)
+    assert got[2] == (True if 10 > 25 else False, True, False, False)
+    assert got[3] == (False, False, True, True)
+    assert got[4] == (False, False, False, True)
+    assert got[5] == (False, False, False, False)

@@ -161,3 +161,128 @@ def box_breakout_signals(
         .filter((F.col("sig_long") == 1) | (F.col("sig_short") == 1))
         .select(series_col, ts_col, "close", "sig_long", "sig_short")
     )
+
+
+def detect_boxes_forecast(
+    df: DataFrame,
+    delta_th: float = DELTA_TH,
+    def_win_size: int = 10,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """X13 forecast mode (/root/reference/datalib/extremaPlotter.py:85-120
+    ``find_box_on_plot_by_date(is_forecast=True)``): rows where the band
+    detector finds no box fall back to the last ``def_win_size``-bar
+    high-max/low-min window as the box, tagged ``signame='forecast'`` with
+    ``box_score - 3`` (:87,:91-97); detected rows keep ``'box_breakout'``
+    and additionally pay the reference's "not 3pt" penalty of -1 when either
+    near-count is zero (:102-104). The forecast path skips the tightness
+    guard (:112 ``and not is_forecast``) — every row yields a box.
+    Same single window pass as :func:`detect_boxes`."""
+    banded = add_box_bands(df, series_col=series_col, ts_col=ts_col)
+
+    ub_combos = [(n2, n1) for n2 in UB_N2 for n1 in UB_N1 if n1 > n2]
+    lb_combos = [(n2, n1) for n2 in UB_N2 for n1 in LB_N1 if n1 > n2]
+
+    def near(cond_col, short_b, long_b):
+        return cond_col & (F.abs(short_b - long_b) / long_b < delta_th)
+
+    score = F.lit(0.0)
+    for n2, n1 in ub_combos:
+        hit = banded[f"ub{n2}"] >= banded[f"u1b{n1}"]
+        score = score + F.when(near(hit, banded[f"ub{n2}"], banded[f"u1b{n1}"]), 0.1001).otherwise(0.0)
+    for n2, n1 in lb_combos:
+        hit = banded[f"lb{n2}"] <= banded[f"l1b{n1}"]
+        score = score + F.when(near(hit, banded[f"lb{n2}"], banded[f"l1b{n1}"]), 0.1000001).otherwise(0.0)
+
+    last_n2 = UB_N2[-1]
+    ub_near = sum(
+        (F.when(near(banded[f"ub{last_n2}"] >= banded[f"u1b{n1}"],
+                     banded[f"ub{last_n2}"], banded[f"u1b{n1}"]), 1).otherwise(0)
+         for n1 in UB_N1 if n1 > last_n2),
+        F.lit(0),
+    )
+    lb_near = sum(
+        (F.when(near(banded[f"lb{last_n2}"] <= banded[f"l1b{n1}"],
+                     banded[f"lb{last_n2}"], banded[f"l1b{n1}"]), 1).otherwise(0)
+         for n1 in LB_N1 if n1 > last_n2),
+        F.lit(0),
+    )
+
+    recent_max = F.lit(None).cast("double")
+    for n2, n1 in ub_combos:
+        recent_max = F.when(
+            banded[f"ub{n2}"] >= banded[f"u1b{n1}"], banded[f"ub{n2}"]
+        ).otherwise(recent_max)
+    recent_min = F.lit(None).cast("double")
+    for n2, n1 in lb_combos:
+        recent_min = F.when(
+            banded[f"lb{n2}"] <= banded[f"l1b{n1}"], banded[f"lb{n2}"]
+        ).otherwise(recent_min)
+
+    # forecast fallback window: last def_win_size bars ending at this row
+    wf = _frame(series_col, ts_col, def_win_size)
+    fb_ub = F.max("high").over(wf)
+    fb_lb = F.min("low").over(wf)
+
+    found = recent_max.isNotNull() & recent_min.isNotNull()
+    box_ub = F.when(found, recent_max).otherwise(fb_ub)
+    box_lb = F.when(found, recent_min).otherwise(fb_lb)
+    box_score = (
+        F.when(~found, score - 3.0)
+        .when((ub_near == 0) | (lb_near == 0), score - 1.0)
+        .otherwise(score)
+    )
+    signame = F.when(found, F.lit("box_breakout")).otherwise(F.lit("forecast"))
+
+    return (
+        banded.withColumn("signame", signame)
+        .withColumn("box_ub", box_ub)
+        .withColumn("box_lb", box_lb)
+        .withColumn("box_score", box_score)
+        .withColumn("ub_near_cnt", ub_near)
+        .withColumn("lb_near_cnt", lb_near)
+        .select(
+            series_col, ts_col, "signame", "box_ub", "box_lb", "box_score",
+            "ub_near_cnt", "lb_near_cnt", "atr",
+        )
+    )
+
+
+def box_buy_sell_signals(box_details: DataFrame) -> DataFrame:
+    """Buy/sell rule evaluation over a box-details table
+    (/root/reference/datalib/extremaPlotter.py:353-402 ``suggest_buy`` /
+    ``strong_buy`` / ``suggest_sell`` / ``strong_sell``).
+
+    Input columns (the reference's box_details dict fields):
+    ``recent_vol_bias_plus`` (double), ``score`` (double), ``rs_plus``
+    (boolean), ``snr_mid_plus`` (boolean), ``duration`` (days, numeric).
+
+    Reference quirks preserved: the strong rules compute an ``f5`` duration
+    flag but never test it (:366-373 strong_buy ignores duration>39, :394-401
+    strong_sell ignores duration>28); the suggest rules sum their first three
+    flags and threshold the sum (>2 buy, >1 sell) while f4/f5 gate
+    separately. Pure codegen'd expressions, no shuffle."""
+    vol = F.col("recent_vol_bias_plus")
+    score = F.col("score")
+    rs = F.col("rs_plus")
+    snr = F.col("snr_mid_plus")
+    dur = F.col("duration")
+    i = lambda c: c.cast("int")  # noqa: E731
+
+    buy_overall = i(vol >= 0) + i(score > 2) + i(rs)
+    sell_overall = i(vol < 0) + i(score < 3) + i(~rs)
+    return (
+        box_details.withColumn(
+            "suggest_buy", (buy_overall > 2) & snr & (dur > 25)
+        )
+        .withColumn(
+            "strong_buy", (vol >= 0) & (score > 4) & rs & snr  # f5 unused (quirk)
+        )
+        .withColumn(
+            "suggest_sell", (sell_overall > 1) & ~snr & (dur > 15)
+        )
+        .withColumn(
+            "strong_sell", (vol < 0) & (score < 3) & ~rs & ~snr  # f5 unused (quirk)
+        )
+    )

@@ -32,22 +32,30 @@ TRADES_SCHEMA = (
 )
 
 
-def simulate_trades_pdf(
+def simulate_trades_equity_pdf(
     pdf: pd.DataFrame,
     entry_ts,
     share_cnt: float = 100.0,
     wstop_step: float = 0.1,
     trail_stop: float = 0.05,
     longshort: str = "long",
-) -> list[dict]:
+) -> tuple[list[dict], list[dict]]:
     """Pure-pandas kernel (also the test oracle's reference implementation —
-    both run the same documented semantics)."""
+    both run the same documented semantics). Returns (trades, equity_curve).
+
+    The equity curve mirrors the reference's per-bar snapshot dict
+    (/root/reference/datalib/patternTraderUtil.py:761-775): one row per bar
+    from entry until the trade closes, recorded at the TOP of the loop —
+    i.e. pos/wstop/trade_stage/realized_gain reflect state ENTERING the bar,
+    before that bar's sells execute (reference quirk preserved). pos_cost
+    for total_gain_pct is share_cnt * entry_price (:745)."""
     sub = pdf[pdf["ts"] >= entry_ts].sort_values("ts")
     if sub.empty:
-        return []
+        return [], []
     entry_price = float(sub["close"].iloc[0])
     ilong = -1.0 if longshort == "short" else 1.0
     pos = share_cnt * ilong
+    pos_cost = entry_price * share_cnt
     q = (share_cnt / 4) * ilong
     wstop = wstop_step
     loss_stop = -trail_stop
@@ -56,6 +64,7 @@ def simulate_trades_pdf(
     peak_dd = 0.0
     realized = 0.0
     trades: list[dict] = []
+    equity: list[dict] = []
 
     def emit(ts, price, ret, size, stop_type, pos_now):
         return {
@@ -81,6 +90,26 @@ def simulate_trades_pdf(
         peak_ret = max(ret, peak_ret)
         retrace = peak_ret - ret
         peak_dd = max(peak_dd, retrace)
+        unrealized = ret * pos * entry_price
+        total_gain = unrealized + realized
+        equity.append(
+            {
+                "entry_ts": entry_ts,
+                "ts": row["ts"],
+                "unit_ret": float(ret),
+                "wstop": float(wstop),
+                "peak_ret": float(peak_ret),
+                "retrace": float(retrace),
+                "pos": float(pos),
+                "remain_pos_value": float(pos * price),
+                "trail_stop": float(trail_stop),
+                "trade_stage": int(stage),
+                "unrealized_gain": float(unrealized),
+                "realized_gain": float(realized),
+                "total_gain": float(total_gain),
+                "total_gain_pct": float(total_gain / pos_cost),
+            }
+        )
         if ret < loss_stop:
             trades.append(emit(row["ts"], price, ret, pos, "stop_loss", pos))
             pos = 0.0
@@ -96,6 +125,22 @@ def simulate_trades_pdf(
             pos = 0.0
         if pos == 0:
             break
+    return trades, equity
+
+
+def simulate_trades_pdf(
+    pdf: pd.DataFrame,
+    entry_ts,
+    share_cnt: float = 100.0,
+    wstop_step: float = 0.1,
+    trail_stop: float = 0.05,
+    longshort: str = "long",
+) -> list[dict]:
+    """Trades-only view of :func:`simulate_trades_equity_pdf`."""
+    trades, _ = simulate_trades_equity_pdf(
+        pdf, entry_ts, share_cnt=share_cnt, wstop_step=wstop_step,
+        trail_stop=trail_stop, longshort=longshort,
+    )
     return trades
 
 
@@ -136,6 +181,95 @@ def trade_simulator(
 
     return joined.groupBy(series_col, "entry_ts").applyInPandas(
         per_group, schema=TRADES_SCHEMA
+    )
+
+
+EQUITY_SCHEMA = (
+    "series_id string, entry_ts timestamp, ts timestamp, unit_ret double, "
+    "wstop double, peak_ret double, retrace double, pos double, "
+    "remain_pos_value double, trail_stop double, trade_stage int, "
+    "unrealized_gain double, realized_gain double, total_gain double, "
+    "total_gain_pct double"
+)
+
+
+def trade_equity_curve(
+    ohlcv: DataFrame,
+    entries: DataFrame,
+    share_cnt: float = 100.0,
+    wstop_step: float = 0.1,
+    trail_stop: float = 0.05,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """D12 equity curve (/root/reference/datalib/patternTraderUtil.py:761-836
+    ``equity_curve_dict`` -> ``equity_df``): one row per bar per (series,
+    entry) from entry until the trade closes — the per-bar position/
+    unrealized/realized/total-gain series a backtest consumer plots.
+    Same grouped pass shape as :func:`trade_simulator` (sequential within a
+    group, parallel across groups)."""
+    joined = ohlcv.select(series_col, ts_col, "close").join(
+        entries.select(series_col, "entry_ts"), series_col
+    )
+
+    def per_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sid, entry_ts = key
+        _, equity = simulate_trades_equity_pdf(
+            pdf.rename(columns={ts_col: "ts"}),
+            entry_ts,
+            share_cnt=share_cnt,
+            wstop_step=wstop_step,
+            trail_stop=trail_stop,
+        )
+        out = pd.DataFrame(equity)
+        if out.empty:
+            return pd.DataFrame(
+                columns=[f.split(" ")[0] for f in EQUITY_SCHEMA.split(", ")]
+            )
+        out.insert(0, "series_id", sid)
+        return out
+
+    return joined.groupBy(series_col, "entry_ts").applyInPandas(
+        per_group, schema=EQUITY_SCHEMA
+    )
+
+
+def trades_performance(trades: DataFrame, series_col: str = "series_id") -> DataFrame:
+    """A2 per-entry trades summary
+    (/root/reference/datalib/patternTraderUtil.py:838-872
+    ``get_trades_performance``): sums of gain*size / commission / days over
+    one entry's trades + derived pct_gain. Pure grouped aggregation.
+
+    Reference quirk preserved AND corrected side-by-side: the reference
+    initializes ``pos_cost = 0.01`` and its ``if pos_cost == 0`` rebase can
+    never fire (:843-849), so its ``pct_gain`` divides by the 0.01 sentinel.
+    ``pct_gain_ref`` reproduces that; ``pct_gain`` uses the real position
+    cost (first trade's before_pos x entry_price, what the code plainly
+    intended)."""
+    first_key = F.struct("exit_ts", "trade_stage")
+    agg = trades.groupBy(series_col, "entry_ts").agg(
+        F.sum(F.col("gain") * F.col("trade_size")).alias("total_gain"),
+        F.sum("commission").alias("total_commission"),
+        F.sum("days_in_trade").alias("total_days_in_trade"),
+        F.count("*").alias("trade_cnt"),
+        F.max("exit_ts").alias("exit_date"),
+        F.min_by(F.col("trade_size") + F.col("after_pos"), first_key).alias("_start_pos"),
+        F.min("entry_price").alias("_entry_price"),
+    )
+    net = F.col("total_gain") - F.col("total_commission")
+    return (
+        agg.withColumn(
+            "average_exposure_days", F.col("total_days_in_trade") / F.col("trade_cnt")
+        )
+        .withColumn("pct_gain_ref", net / F.lit(0.01))
+        .withColumn(
+            "pct_gain",
+            F.when(
+                F.col("_start_pos") * F.col("_entry_price") != 0,
+                net / (F.col("_start_pos") * F.col("_entry_price")),
+            ),
+        )
+        .drop("_start_pos", "_entry_price")
     )
 
 
