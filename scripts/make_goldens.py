@@ -1,15 +1,26 @@
 """Generate the committed golden fixtures backing the non-relational
 contract queries (``__spark_entry__.GOLDEN_QUERIES``).
 
-Each golden is the query's output at sf0.01 — the driver's correctness
-scale factor — written as ONE parquet file so DuckDB's ``read_parquet``
-can serve it as the oracle. These are REGRESSION pins: they freeze current
-behavior so any semantic drift fails the driver's rows+schema+hash gate.
-The independent correctness evidence for the same operators lives in
-pytest (pandas-oracle cross-checks in tests/test_stops.py,
-test_tradesim.py, test_dedup_textstats.py, test_matcher.py, ...).
+Two classes of golden (VERDICT r2 item 1):
 
-Regenerate deliberately only: ``python scripts/make_goldens.py --force [name ...]``.
+- **Oracle-backed** (``ORACLE_GOLDENS``): regenerated from the pure-pandas
+  reference-semantics oracles in ``tests/oracle/pandas_oracle.py`` — an
+  implementation independent of the Spark engine. The engine must then
+  hash-match these at the driver's correctness gate, so a bug in the engine
+  CANNOT be frozen into the fixture. Inputs (synth fixtures / driver
+  parquet) are shared; semantics are not.
+- **Engine-pinned** (the rest): regression pins freezing current engine
+  behavior (minhash banding, xxhash simhash, codecs, ANN recall, matcher,
+  media plumbing — semantics not expressible in pandas without
+  re-implementing the engine kernel itself). Their independent correctness
+  evidence lives in pytest (tests/test_matcher.py recall bounds,
+  test_codecs.py roundtrips, test_dedup_textstats.py jaccard oracles, ...).
+
+Usage:
+  python scripts/make_goldens.py --force [name ...]   # regenerate
+  python scripts/make_goldens.py --check              # fail if any golden
+                                                      # drifts from its
+                                                      # regenerated form
 ``matcher_golden_parity`` is served by the pre-existing
 tests/golden/matches.parquet (written by tests/test_invariants.py) and is
 never regenerated here.
@@ -26,29 +37,117 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 GOLDEN_DIR = os.path.join(REPO, "tests", "golden")
 
+ORACLE_GOLDENS = {
+    "multi_stop", "vcp_patterns", "trade_sim", "divergence",
+    "pattern_screener", "box_detection", "trend_range",
+}
+
+
+def _oracle_frame(name: str, spark):
+    """Compute one oracle-backed golden from tests/oracle (pandas only).
+    Inputs come from the same deterministic fixtures the contract query
+    uses; the SEMANTICS run in the oracle, never the engine."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from tests.oracle import pandas_oracle as po
+    from timeseriesvectordbpattermatcher_spark.sources.synth import synth_ohlcv
+
+    def ohlcv_pdf(n_tickers, n_days, seed=42):
+        return (
+            synth_ohlcv(spark, n_tickers=n_tickers, n_days=n_days, seed=seed)
+            .toPandas()
+            .sort_values(["series_id", "ts"])
+            .reset_index(drop=True)
+        )
+
+    if name == "multi_stop":
+        return po.oracle_multi_stop(ohlcv_pdf(3, 400))
+    if name == "trade_sim":
+        entries = [
+            ("TK00", dt.datetime(2019, 3, 4)),
+            ("TK01", dt.datetime(2019, 6, 3)),
+            ("TK02", dt.datetime(2019, 9, 2)),
+        ]
+        return po.oracle_trade_sim(ohlcv_pdf(4, 500), entries)
+    if name == "divergence":
+        return po.oracle_divergence(ohlcv_pdf(4, 400, seed=17))
+    if name == "box_detection":
+        return po.oracle_box_detection(ohlcv_pdf(4, 700))
+    if name == "trend_range":
+        anchors = [("TK00", dt.datetime(2019, 6, 3)), ("TK01", dt.datetime(2019, 9, 2))]
+        return po.oracle_trend_range_extended(ohlcv_pdf(3, 600), anchors)
+    if name == "vcp_patterns":
+        import __spark_entry__ as e
+
+        fixture = pd.DataFrame(
+            e.vcp_fixture_rows(),
+            columns=["series_id", "ts", "open", "high", "low", "close", "minmax_type"],
+        )
+        return po.oracle_vcp_patterns(fixture)
+    if name == "pattern_screener":
+        events = pd.read_parquet(os.path.join(SF_DIR, "events.parquet"))
+        return po.oracle_pattern_screener(events)
+    raise KeyError(name)
+
+
+def _frames_equal(a, b) -> bool:
+    import pandas as pd
+
+    if sorted(a.columns) != sorted(b.columns):
+        return False
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    try:
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        return True
+    except AssertionError:
+        return False
+
 
 def main() -> None:
+    import pandas as pd
+
     import __spark_entry__ as e
     from timeseriesvectordbpattermatcher_spark.session import get_spark
 
     force = "--force" in sys.argv
+    check = "--check" in sys.argv
     only = {a for a in sys.argv[1:] if not a.startswith("--")}
     spark = get_spark(app_name="make_goldens")
     qs = e.queries()
     os.makedirs(GOLDEN_DIR, exist_ok=True)
+    drifted = []
     for name in e.GOLDEN_QUERIES:
         if name == "matcher_golden_parity":
             continue  # served by tests/golden/matches.parquet
         if only and name not in only:
             continue
         path = os.path.join(GOLDEN_DIR, f"{name}.parquet")
-        if os.path.exists(path) and not force:
-            print(f"skip {name} (exists)")
+        if name in ORACLE_GOLDENS:
+            pdf = _oracle_frame(name, spark)
+            src = "oracle"
+        else:
+            pdf = qs[name](spark, SF_DIR).toPandas()
+            src = "engine-pin"
+        if check and os.path.exists(path):
+            if not _frames_equal(pd.read_parquet(path), pdf):
+                drifted.append(name)
+                print(f"DRIFT {name} ({src})")
+            else:
+                print(f"ok    {name} ({src})")
             continue
-        pdf = qs[name](spark, SF_DIR).toPandas()
+        if os.path.exists(path) and not force:
+            print(f"skip {name} (exists; --force to regenerate)")
+            continue
         pdf.to_parquet(path, index=False)
-        print(f"wrote {name}: {len(pdf)} rows -> {path}")
+        print(f"wrote {name} ({src}): {len(pdf)} rows -> {path}")
     spark.stop()
+    if drifted:
+        print(f"FAILED: {len(drifted)} golden(s) drifted: {drifted}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
