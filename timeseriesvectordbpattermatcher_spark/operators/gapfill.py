@@ -14,16 +14,24 @@ policies:
   (matching the reference's bfill-then-ffill composite at
   /root/reference/patternReviewUtil.py:183-184).
 
-Everything is built-in expressions: ``sequence`` + ``explode`` for the spine,
-window ``last/first ignorenulls`` for the neighbors. No Python in the row
-path.
+Everything is built-in expressions: ``sequence`` + ``explode`` for the gap
+rows, window ``last ignorenulls``/``lead`` for the neighbors. No Python in
+the row path.
 
-Scale notes: the spine explodes one row per (source, bucket) — at the 1m tier
-over a year that's ~525k buckets/source, trivially small next to the raw
-data. The join back to the rollup is an equi-join on (source, bucket_ts);
-both sides are already aggregated, so this never touches raw sequences. The
-two window passes (preceding/following) sort within (source) partitions —
-bounded by bucket count, not row count.
+Scale notes (round 3 rewrite): gap rows are generated directly from each
+observed row's ``lead(bucket_ts)`` — ``sequence(ts, next_ts - step)`` —
+instead of materializing a min-to-max spine and joining it back. That
+removes two of the three shuffles the spine plan paid (the bounds
+aggregation and the spine⋈rollup sort-merge join) and, more importantly at
+100 TB, stops computing the upstream rollup TWICE (the spine's bounds and
+the join probe were two consumers of the same un-cached aggregate). What
+remains is ONE exchange on the key: every window here (asc running, desc
+running, lead) shares the same ``partitionBy(key)`` so Catalyst reuses a
+single Exchange with per-window sorts — bounded by bucket count, not raw
+row count. All frames are RUNNING frames (unbounded-PRECEDING); Spark
+evaluates unbounded-FOLLOWING frames O(n^2)-per-partition, so "next
+observed" is a reverse-ordered running ``last`` (pinned by
+tests/test_plans.py::test_gapfill_linear_uses_running_frames_only).
 """
 
 from __future__ import annotations
@@ -60,16 +68,13 @@ def gap_fill(
       - ``c_filled`` — gap-filled value per ``method`` ('locf' | 'linear'),
     plus ``is_filled`` marking synthesized rows.
     """
-    spine = bucket_spine(rollup, tier=tier, key_col=key_col)
-    joined = spine.join(
-        rollup.select(key_col, "bucket_ts", *value_cols), [key_col, "bucket_ts"], "left"
-    ).withColumn("is_filled", F.col(value_cols[0]).isNull())
+    if method not in ("locf", "linear"):
+        raise ValueError(f"unknown gap-fill method {method!r}")
+    step_s = _TIER_SECONDS[tier]
+    step = F.expr(f"interval {step_s} seconds")
 
-    w_prev = (
-        Window.partitionBy(key_col)
-        .orderBy("bucket_ts")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = Window.partitionBy(key_col).orderBy("bucket_ts")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # "next observed" via a reverse-ordered RUNNING frame: Spark evaluates
     # (currentRow, unboundedFollowing) frames by rescanning the remainder per
     # row — O(n^2) per partition — while a running unbounded-preceding frame
@@ -81,25 +86,61 @@ def gap_fill(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    out = joined
-    ts_obs = F.when(~F.col("is_filled"), F.col("bucket_ts").cast("double"))
-    prev_ts = F.last(ts_obs, ignorenulls=True).over(w_prev)
-    next_ts = F.last(ts_obs, ignorenulls=True).over(w_next)
+    # Pre-explode neighbor state, one row per OBSERVED rollup row. "Observed"
+    # for is_filled/ts purposes means value_cols[0] is non-null (a null-valued
+    # rollup row behaves exactly like a synthesized gap row — it widens the
+    # covered range but contributes no fill value).
+    ts_obs = F.when(F.col(value_cols[0]).isNotNull(), F.col("bucket_ts").cast("double"))
+    anchored = rollup.select(key_col, "bucket_ts", *value_cols).withColumns(
+        {
+            "_nxt_bucket": F.lead("bucket_ts").over(w),
+            "_prev_ts": F.last(ts_obs, ignorenulls=True).over(w_prev),
+            "_next_ts_at": F.last(ts_obs, ignorenulls=True).over(w_next),
+        }
+    )
+    cols = {"_next_ts": F.lead("_next_ts_at").over(w)}
     for c in value_cols:
-        prev_v = F.last(c, ignorenulls=True).over(w_prev)
+        cols[f"_prev_{c}"] = F.last(c, ignorenulls=True).over(w_prev)
+        if method == "linear":
+            cols[f"_next_{c}_at"] = F.last(c, ignorenulls=True).over(w_next)
+    anchored = anchored.withColumns(cols)
+    if method == "linear":
+        anchored = anchored.withColumns(
+            {f"_next_{c}": F.lead(f"_next_{c}_at").over(w) for c in value_cols}
+        )
+
+    # Emit the anchor row plus one row per missing bucket strictly before the
+    # next observed bucket. The last row per key emits only itself.
+    gap_end = F.coalesce(F.col("_nxt_bucket") - step, F.col("bucket_ts"))
+    exploded = anchored.withColumn(
+        "_b", F.explode(F.sequence(F.col("bucket_ts"), gap_end, step))
+    )
+    is_anchor = F.col("_b") == F.col("bucket_ts")
+    obs = {c: F.when(is_anchor, F.col(c)) for c in value_cols}
+    is_filled = obs[value_cols[0]].isNull()
+
+    # For the anchor row itself the at-or-after neighbor is its own desc-running
+    # value (which already skips the anchor when its value is null); generated
+    # gap rows take the NEXT anchor's at-or-after state via the pre-computed lead.
+    prev_ts = F.col("_prev_ts")
+    next_ts = F.when(is_anchor, F.col("_next_ts_at")).otherwise(F.col("_next_ts"))
+
+    out_cols = [F.col(key_col), F.col("_b").alias("bucket_ts")]
+    out_cols += [obs[c].alias(c) for c in value_cols]
+    out_cols.append(is_filled.alias("is_filled"))
+    for c in value_cols:
+        prev_v = F.col(f"_prev_{c}")
         if method == "locf":
-            out = out.withColumn(f"{c}_filled", prev_v)
-        elif method == "linear":
-            next_v = F.last(c, ignorenulls=True).over(w_next)
-            frac = (F.col("bucket_ts").cast("double") - prev_ts) / (next_ts - prev_ts)
+            out_cols.append(prev_v.alias(f"{c}_filled"))
+        else:
+            next_v = F.when(is_anchor, F.col(f"_next_{c}_at")).otherwise(F.col(f"_next_{c}"))
+            frac = (F.col("_b").cast("double") - prev_ts) / (next_ts - prev_ts)
             interp = prev_v + (next_v - prev_v) * frac
-            out = out.withColumn(
-                f"{c}_filled",
-                F.when(~F.col("is_filled"), F.col(c))
+            out_cols.append(
+                F.when(~is_filled, obs[c])
                 .when(prev_v.isNull(), next_v)  # leading gap -> bfill
                 .when(next_v.isNull(), prev_v)  # trailing gap -> ffill
-                .otherwise(interp),
+                .otherwise(interp)
+                .alias(f"{c}_filled")
             )
-        else:
-            raise ValueError(f"unknown gap-fill method {method!r}")
-    return out
+    return exploded.select(*out_cols)
