@@ -37,11 +37,38 @@ def _cpu_calibration() -> float:
     return round(n / (time.time() - t0) / 1e6, 1)
 
 
+def _cpu_calibration_mc(procs: int = 8) -> float:
+    """All-core variant: aggregate M ops/s across ``procs`` concurrent
+    busy-loop processes.
+
+    The single-core loop measures boost-clock frequency only; this VM's
+    noisy-neighbor contention shows up as the RATIO between the two
+    (round-3 measurement: two back-to-back bench runs differed 2x on
+    sub-second queries while single-core calib moved <12%). Record both so
+    round-over-round diffs can tell engine regressions from a busy box.
+    """
+    import multiprocessing as mp
+
+    n = 20_000_000
+    t0 = time.time()
+    with mp.Pool(procs) as pool:
+        pool.map(_mc_loop, [n] * procs)
+    return round(procs * n / (time.time() - t0) / 1e6, 1)
+
+
+def _mc_loop(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_seqs = int(os.environ.get("BENCH_SEQS_ROWS", "2000000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
     cpu_calib = _cpu_calibration()
+    cpu_calib_mc = _cpu_calibration_mc()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
@@ -137,6 +164,7 @@ def main() -> None:
                 "total_tokens": int(total_tokens),
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
                 "cpu_calib_mops": cpu_calib,
+                "cpu_calib_mops_mc8": cpu_calib_mc,
             }
         )
     )
