@@ -619,7 +619,13 @@ def q_token_segmentation(spark, sf_dir):
 
 def q_matcher_pipeline(spark, sf_dir):
     """E2 query path: segment an OHLCV fixture, embed a query window,
-    broadcast cosine top-k + dedupe + historical filters (J7/P4/P5/T1)."""
+    cosine top-k + dedupe + historical filters (J7/P4/P5/T1) — run under
+    BOTH physical strategies (broadcast join and the executor-side ref
+    store), one strategy-tagged row set each. The two halves of the golden
+    are identical except the tag, so the driver's hash-compare doubles as a
+    strategy-parity gate (round-2 `matcher_golden_parity` folded in here;
+    the `tests/golden/matches.parquet` pin stays in
+    tests/test_invariants.py)."""
     from timeseriesvectordbpattermatcher_spark.operators.matcher import match_pipeline
     from timeseriesvectordbpattermatcher_spark.operators.segmentation import (
         ma_normalize,
@@ -639,9 +645,15 @@ def q_matcher_pipeline(spark, sf_dir):
             F.to_date("start_ts").alias("query_start"),
         )
     )
-    return match_pipeline(qseg, refs, strategy="bcast").select(
-        "query_id", "rank", "segment_id", F.round("score", _R).alias("score")
-    )
+    out = None
+    for strategy in ("bcast", "join"):
+        part = match_pipeline(qseg, refs, strategy=strategy).select(
+            F.lit(strategy).alias("strategy"),
+            "query_id", "rank", "segment_id",
+            F.round("score", _R).alias("score"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def q_ann_recall(spark, sf_dir):
@@ -1585,7 +1597,12 @@ WHERE a > b AND c > a AND c > e2 AND c > d AND e2 > d AND d < b
 def q_box_bands(spark, sf_dir):
     """X13 band machinery / W2 shifted frames: 10-bar rolling max/min of low
     plus the same bands shifted back one row (the reference's
-    ``rolling(n).max().shift(1)``, /root/reference/datalib/extremaPlotter.py:568-573)."""
+    ``rolling(n).max().shift(1)``, /root/reference/datalib/extremaPlotter.py:568-573),
+    PLUS the fib retracement/extension levels off rolling close extrema
+    (/root/reference/datalib/patternReviewUtil.py:25-46 via
+    operators/trends.fib_levels — folded here to stay inside the driver's
+    50-query cap; both are the same rolling-extrema band machinery)."""
+    from timeseriesvectordbpattermatcher_spark.operators.trends import fib_levels
     from timeseriesvectordbpattermatcher_spark.operators.windows import rolling
 
     bars = _event_bars(spark, sf_dir)
@@ -1593,21 +1610,46 @@ def q_box_bands(spark, sf_dir):
     out = rolling(out, "low", 10, "min", out="lb10")
     out = rolling(out, "low", 10, "max", out="u1b10", shift=1)
     out = rolling(out, "low", 10, "min", out="l1b10", shift=1)
+    out = fib_levels(out, col="close", minmax_bars=5)
     return out.select(
         "series_id", "ts",
         F.round("ub10", _R).alias("ub10"), F.round("lb10", _R).alias("lb10"),
         F.round("u1b10", _R).alias("u1b10"), F.round("l1b10", _R).alias("l1b10"),
+        F.round("fib_min", _R).alias("fib_min"),
+        F.round("fib_max", _R).alias("fib_max"),
+        F.round("l2", _R).alias("fib_l2"), F.round("l4", _R).alias("fib_l4"),
+        F.round("ul1", _R).alias("fib_ul1"), F.round("dl1", _R).alias("fib_dl1"),
     )
 
 
 SQL_BOX_BANDS = f"""
-WITH bars AS ({_SQL_BARS})
+WITH bars AS ({_SQL_BARS}),
+ext AS (
+  SELECT series_id, ts, low, close,
+         CASE WHEN close = min(close) OVER we THEN close END AS _min_mark,
+         CASE WHEN close = max(close) OVER we THEN close END AS _max_mark
+  FROM bars
+  WINDOW we AS (PARTITION BY series_id ORDER BY ts
+                ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)),
+ff AS (
+  SELECT series_id, ts, low,
+         last_value(_min_mark IGNORE NULLS) OVER wl AS fib_min,
+         last_value(_max_mark IGNORE NULLS) OVER wl AS fib_max
+  FROM ext
+  WINDOW wl AS (PARTITION BY series_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
 SELECT series_id, ts,
        CASE WHEN count(low) OVER w0 >= 10 THEN round(max(low) OVER w0, {_R}) END AS ub10,
        CASE WHEN count(low) OVER w0 >= 10 THEN round(min(low) OVER w0, {_R}) END AS lb10,
        CASE WHEN count(low) OVER w1 >= 10 THEN round(max(low) OVER w1, {_R}) END AS u1b10,
-       CASE WHEN count(low) OVER w1 >= 10 THEN round(min(low) OVER w1, {_R}) END AS l1b10
-FROM bars
+       CASE WHEN count(low) OVER w1 >= 10 THEN round(min(low) OVER w1, {_R}) END AS l1b10,
+       round(fib_min, {_R}) AS fib_min,
+       round(fib_max, {_R}) AS fib_max,
+       round(fib_max - (fib_max - fib_min) * 0.382, {_R}) AS fib_l2,
+       round(fib_max - (fib_max - fib_min) * 0.618, {_R}) AS fib_l4,
+       round(fib_max + (fib_max - fib_min) * 0.236, {_R}) AS fib_ul1,
+       round(fib_min - (fib_max - fib_min) * 0.236, {_R}) AS fib_dl1
+FROM ff
 WINDOW w0 AS (PARTITION BY series_id ORDER BY ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
        w1 AS (PARTITION BY series_id ORDER BY ts ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
 """
@@ -1637,34 +1679,203 @@ FROM bars
 """
 
 
-def q_matcher_golden_parity(spark, sf_dir):
-    """Matcher parity vs the committed golden fixture (F4 golden_matches,
-    tests/golden/matches.parquet): rerun the full E2 pipeline (segment ->
-    embed -> broadcast cosine top-k -> P4/P5 filters) and emit the match
-    rows; the DuckDB oracle reads the golden parquet directly, so the driver
-    hash-compares ids, ranks, AND scores against the pinned fixture."""
-    from timeseriesvectordbpattermatcher_spark.operators.matcher import match_pipeline
-    from timeseriesvectordbpattermatcher_spark.operators.segmentation import (
-        ma_normalize,
-        segment_series,
-    )
-    from timeseriesvectordbpattermatcher_spark.sources.synth import synth_ohlcv
+def q_box_forecast(spark, sf_dir):
+    """X13 forecast mode + buy/sell rule evaluation
+    (/root/reference/datalib/extremaPlotter.py:85-120 forecast boxes,
+    :353-402 suggest/strong buy-sell) over event-derived bars. Every bar
+    yields a box (detected 'box_breakout' or 10-bar 'forecast' fallback);
+    the four rule flags are evaluated on box-details inputs derived from
+    the same bars (volume bias vs 10-bar mean, box_score on the reference's
+    ~points scale, 20-bar relative strength, price-above-box-midline SNR,
+    bar-count duration). ATR is excluded from the projection — its Wilder
+    recursion is independently oracled in ta_indicators."""
+    from pyspark.sql import Window
 
-    ohlcv = synth_ohlcv(spark, n_tickers=6, n_days=900, seed=42)
-    refs = segment_series(ma_normalize(ohlcv))
-    qseg = (
-        segment_series(ma_normalize(ohlcv.filter("series_id = 'TK00'")))
-        .orderBy(F.desc("end_ts"))
-        .limit(1)
-        .select(
-            F.col("segment_id").alias("query_id"),
-            F.col("features").alias("q_features"),
-            F.to_date("start_ts").alias("query_start"),
+    from timeseriesvectordbpattermatcher_spark.operators.boxes import (
+        box_buy_sell_signals,
+        detect_boxes_forecast,
+    )
+
+    bars = _event_bars(spark, sf_dir)
+    fc = detect_boxes_forecast(bars, extra_cols=("close", "volume"))
+    w = Window.partitionBy("series_id").orderBy("ts")
+    det = (
+        fc.withColumn(
+            "recent_vol_bias_plus",
+            F.round(
+                F.col("volume")
+                - F.avg("volume").over(w.rowsBetween(-9, 0)),
+                _R,
+            ),
         )
+        .withColumn("score", F.col("box_score") * 10)
+        .withColumn(
+            "rs_plus",
+            F.coalesce(F.col("close") > F.lag("close", 20).over(w), F.lit(False)),
+        )
+        .withColumn(
+            "snr_mid_plus",
+            F.col("close") > (F.col("box_ub") + F.col("box_lb")) / 2,
+        )
+        .withColumn("duration", F.row_number().over(w))
     )
-    return match_pipeline(qseg, refs, strategy="join").select(
-        "query_id", "rank", "segment_id", F.round("score", 6).alias("score")
+    out = box_buy_sell_signals(det)
+    # box_score is a sum of the reference's 0.1001 / 0.1000001 marker
+    # constants, which lands EXACTLY on decimal round-half boundaries at
+    # 1e-6 (e.g. 0.1001 + 5*0.1000001 - 1 = -0.3998995) — emit it as an
+    # exact integer at 1e-7 scale instead of a rounded double.
+    return out.select(
+        "series_id", "ts", "signame",
+        F.round("box_ub", _R).alias("box_ub"),
+        F.round("box_lb", _R).alias("box_lb"),
+        F.round(F.col("box_score") * 1e7, 0).cast("long").alias("box_score_e7"),
+        "ub_near_cnt", "lb_near_cnt",
+        "suggest_buy", "strong_buy", "suggest_sell", "strong_sell",
     )
+
+
+def _box_forecast_sql() -> str:
+    """Render the forecast-box + buy/sell-rule semantics as standalone ANSI
+    SQL for DuckDB (same approach as candle_oracle_sql: the spec — combo
+    lists, loop order, constants — is shared; the evaluation engine is
+    not). Score terms are emitted in the engine's exact fold order so the
+    float sums are bit-identical."""
+    from timeseriesvectordbpattermatcher_spark.operators.boxes import (
+        DELTA_TH,
+        LB_N1,
+        UB_N1,
+        UB_N2,
+    )
+
+    ub_combos = [(n2, n1) for n2 in UB_N2 for n1 in UB_N1 if n1 > n2]
+    lb_combos = [(n2, n1) for n2 in UB_N2 for n1 in LB_N1 if n1 > n2]
+    band_ns = sorted({n for c in (ub_combos, lb_combos) for pair in c for n in pair})
+
+    band_cols, windows = [], []
+    for n in band_ns:
+        windows.append(
+            f"w{n}_0 AS (PARTITION BY series_id ORDER BY ts "
+            f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
+        )
+        windows.append(
+            f"w{n}_1 AS (PARTITION BY series_id ORDER BY ts "
+            f"ROWS BETWEEN {n} PRECEDING AND 1 PRECEDING)"
+        )
+        band_cols.append(
+            f"CASE WHEN count(low) OVER w{n}_0 >= {n} "
+            f"THEN max(low) OVER w{n}_0 END AS ub{n}"
+        )
+        band_cols.append(
+            f"CASE WHEN count(low) OVER w{n}_0 >= {n} "
+            f"THEN min(low) OVER w{n}_0 END AS lb{n}"
+        )
+        band_cols.append(
+            f"CASE WHEN count(low) OVER w{n}_1 >= {n} "
+            f"THEN max(low) OVER w{n}_1 END AS u1b{n}"
+        )
+        band_cols.append(
+            f"CASE WHEN count(low) OVER w{n}_1 >= {n} "
+            f"THEN min(low) OVER w{n}_1 END AS l1b{n}"
+        )
+    windows.append(
+        "wf AS (PARTITION BY series_id ORDER BY ts "
+        "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"
+    )
+    windows.append("wo AS (PARTITION BY series_id ORDER BY ts)")
+
+    def near(s, long_b):
+        return f"abs({s} - {long_b}) / NULLIF({long_b}, 0) < {DELTA_TH}"
+
+    score_terms = ["0.0"]
+    for n2, n1 in ub_combos:
+        score_terms.append(
+            f"CASE WHEN ub{n2} >= u1b{n1} AND {near(f'ub{n2}', f'u1b{n1}')} "
+            f"THEN 0.1001 ELSE 0.0 END"
+        )
+    for n2, n1 in lb_combos:
+        score_terms.append(
+            f"CASE WHEN lb{n2} <= l1b{n1} AND {near(f'lb{n2}', f'l1b{n1}')} "
+            f"THEN 0.1000001 ELSE 0.0 END"
+        )
+    last_n2 = UB_N2[-1]
+    ub_near = " + ".join(
+        f"CASE WHEN ub{last_n2} >= u1b{n1} AND {near(f'ub{last_n2}', f'u1b{n1}')} "
+        f"THEN 1 ELSE 0 END"
+        for n1 in UB_N1 if n1 > last_n2
+    )
+    lb_near = " + ".join(
+        f"CASE WHEN lb{last_n2} <= l1b{n1} AND {near(f'lb{last_n2}', f'l1b{n1}')} "
+        f"THEN 1 ELSE 0 END"
+        for n1 in LB_N1 if n1 > last_n2
+    )
+    # last matching combo in loop order wins -> first match in REVERSE order
+    recent_max = "CASE " + " ".join(
+        f"WHEN ub{n2} >= u1b{n1} THEN ub{n2}"
+        for n2, n1 in reversed(ub_combos)
+    ) + " END"
+    recent_min = "CASE " + " ".join(
+        f"WHEN lb{n2} <= l1b{n1} THEN lb{n2}"
+        for n2, n1 in reversed(lb_combos)
+    ) + " END"
+
+    return f"""
+WITH bars AS ({_SQL_BARS}),
+banded AS (
+  SELECT series_id, ts, close, volume,
+         {", ".join(band_cols)},
+         max(high) OVER wf AS fb_ub, min(low) OVER wf AS fb_lb
+  FROM bars
+  WINDOW {", ".join(windows)}),
+scored AS (
+  SELECT series_id, ts, close, volume,
+         {" + ".join(score_terms)} AS score,
+         {ub_near} AS ub_near_cnt,
+         {lb_near} AS lb_near_cnt,
+         {recent_max} AS recent_max,
+         {recent_min} AS recent_min,
+         fb_ub, fb_lb
+  FROM banded),
+fc AS (
+  SELECT series_id, ts, close, volume, ub_near_cnt, lb_near_cnt,
+         recent_max IS NOT NULL AND recent_min IS NOT NULL AS found,
+         CASE WHEN recent_max IS NOT NULL AND recent_min IS NOT NULL
+              THEN recent_max ELSE fb_ub END AS box_ub,
+         CASE WHEN recent_max IS NOT NULL AND recent_min IS NOT NULL
+              THEN recent_min ELSE fb_lb END AS box_lb,
+         CASE WHEN NOT (recent_max IS NOT NULL AND recent_min IS NOT NULL)
+              THEN score - 3.0
+              WHEN ub_near_cnt = 0 OR lb_near_cnt = 0 THEN score - 1.0
+              ELSE score END AS box_score
+  FROM scored),
+det AS (
+  SELECT series_id, ts, found, box_ub, box_lb, box_score,
+         ub_near_cnt, lb_near_cnt,
+         round(volume - avg(volume) OVER (PARTITION BY series_id ORDER BY ts
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), {_R}) AS vol,
+         box_score * 10 AS score10,
+         coalesce(close > lag(close, 20) OVER
+                  (PARTITION BY series_id ORDER BY ts), false) AS rs,
+         close > (box_ub + box_lb) / 2 AS snr,
+         row_number() OVER (PARTITION BY series_id ORDER BY ts) AS dur
+  FROM fc)
+SELECT series_id, ts,
+       CASE WHEN found THEN 'box_breakout' ELSE 'forecast' END AS signame,
+       round(box_ub, {_R}) AS box_ub,
+       round(box_lb, {_R}) AS box_lb,
+       CAST(round(box_score * 1e7) AS BIGINT) AS box_score_e7,
+       ub_near_cnt, lb_near_cnt,
+       ((CASE WHEN vol >= 0 THEN 1 ELSE 0 END
+         + CASE WHEN score10 > 2 THEN 1 ELSE 0 END
+         + CASE WHEN rs THEN 1 ELSE 0 END) > 2)
+         AND snr AND (dur > 25) AS suggest_buy,
+       (vol >= 0) AND (score10 > 4) AND rs AND snr AS strong_buy,
+       ((CASE WHEN vol < 0 THEN 1 ELSE 0 END
+         + CASE WHEN score10 < 3 THEN 1 ELSE 0 END
+         + CASE WHEN NOT rs THEN 1 ELSE 0 END) > 1)
+         AND (NOT snr) AND (dur > 15) AS suggest_sell,
+       (vol < 0) AND (score10 < 3) AND (NOT rs) AND (NOT snr) AS strong_sell
+FROM det
+"""
 
 
 def q_pattern_screener(spark, sf_dir):
@@ -2005,7 +2216,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "divergence": q_divergence,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
-        "matcher_golden_parity": q_matcher_golden_parity,
+        # X13 forecast boxes + buy/sell rules (real DuckDB SQL oracle; took
+        # the slot of matcher_golden_parity, folded into matcher_pipeline)
+        "box_forecast": q_box_forecast,
         "pattern_screener": q_pattern_screener,
         "token_segmentation": q_token_segmentation,
         "matcher_pipeline": q_matcher_pipeline,
@@ -2021,7 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 GOLDEN_QUERIES = [
     "multi_stop", "vcp_patterns", "trade_sim", "divergence", "minhash_dedup",
-    "simhash_pairs", "matcher_golden_parity", "pattern_screener",
+    "simhash_pairs", "pattern_screener",
     "token_segmentation", "matcher_pipeline", "ann_recall", "codec_roundtrip",
     "media_features", "box_detection", "trend_range",
 ]
@@ -2063,8 +2276,9 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": SQL_COSINE_TOPK,
         "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
         "array_stats": SQL_ARRAY_STATS,
+        "box_forecast": _box_forecast_sql(),
         "resumable_rollup": SQL_RESUMABLE_ROLLUP,
     }
     for name in GOLDEN_QUERIES:
-        sql[name] = _golden_sql(name if name != "matcher_golden_parity" else "matches")
+        sql[name] = _golden_sql(name)
     return sql

@@ -21,9 +21,6 @@ Usage:
   python scripts/make_goldens.py --check              # fail if any golden
                                                       # drifts from its
                                                       # regenerated form
-``matcher_golden_parity`` is served by the pre-existing
-tests/golden/matches.parquet (written by tests/test_invariants.py) and is
-never regenerated here.
 """
 
 from __future__ import annotations
@@ -121,8 +118,6 @@ def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     drifted = []
     for name in e.GOLDEN_QUERIES:
-        if name == "matcher_golden_parity":
-            continue  # served by tests/golden/matches.parquet
         if only and name not in only:
             continue
         path = os.path.join(GOLDEN_DIR, f"{name}.parquet")

@@ -169,6 +169,7 @@ def detect_boxes_forecast(
     def_win_size: int = 10,
     series_col: str = "series_id",
     ts_col: str = "ts",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """X13 forecast mode (/root/reference/datalib/extremaPlotter.py:85-120
     ``find_box_on_plot_by_date(is_forecast=True)``): rows where the band
@@ -244,7 +245,7 @@ def detect_boxes_forecast(
         .withColumn("lb_near_cnt", lb_near)
         .select(
             series_col, ts_col, "signame", "box_ub", "box_lb", "box_score",
-            "ub_near_cnt", "lb_near_cnt", "atr",
+            "ub_near_cnt", "lb_near_cnt", "atr", *extra_cols,
         )
     )
 
