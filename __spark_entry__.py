@@ -1697,10 +1697,14 @@ def q_box_forecast(spark, sf_dir):
     )
 
     bars = _event_bars(spark, sf_dir)
-    fc = detect_boxes_forecast(bars, extra_cols=("close", "volume"))
+    # rule-input window columns are computed BEFORE detect_boxes_forecast:
+    # its ATR grouped-map reports unknown output partitioning, so any window
+    # AFTER it would force a second series-key Exchange (pinned by
+    # tests/test_plans.py::test_box_forecast_single_exchange). Everything
+    # after the grouped map is a pure row expression.
     w = Window.partitionBy("series_id").orderBy("ts")
-    det = (
-        fc.withColumn(
+    pre = (
+        bars.withColumn(
             "recent_vol_bias_plus",
             F.round(
                 F.col("volume")
@@ -1708,16 +1712,19 @@ def q_box_forecast(spark, sf_dir):
                 _R,
             ),
         )
-        .withColumn("score", F.col("box_score") * 10)
         .withColumn(
             "rs_plus",
             F.coalesce(F.col("close") > F.lag("close", 20).over(w), F.lit(False)),
         )
-        .withColumn(
-            "snr_mid_plus",
-            F.col("close") > (F.col("box_ub") + F.col("box_lb")) / 2,
-        )
         .withColumn("duration", F.row_number().over(w))
+    )
+    fc = detect_boxes_forecast(
+        pre,
+        extra_cols=("close", "recent_vol_bias_plus", "rs_plus", "duration"),
+    )
+    det = fc.withColumn("score", F.col("box_score") * 10).withColumn(
+        "snr_mid_plus",
+        F.col("close") > (F.col("box_ub") + F.col("box_lb")) / 2,
     )
     out = box_buy_sell_signals(det)
     # box_score is a sum of the reference's 0.1001 / 0.1000001 marker

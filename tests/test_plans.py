@@ -183,3 +183,14 @@ def test_multi_stop_single_exchange(spark):
 
     plan = _plan(multi_stop_frame(synth_ohlcv(spark, n_tickers=2, n_days=60)))
     assert plan.count("Exchange ") == 1, plan[:1500]
+
+
+def test_box_forecast_single_exchange(spark):
+    """X13 forecast + buy/sell rules: the fallback window and the rule-input
+    windows all run BEFORE the ATR grouped map (which reports unknown output
+    partitioning), so the whole composition shares ONE series-key Exchange.
+    The contract query adds exactly one more for the bars aggregation."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["box_forecast"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange ") == 2, plan[:2000]  # bars agg + series key

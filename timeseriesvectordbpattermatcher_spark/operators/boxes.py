@@ -180,7 +180,15 @@ def detect_boxes_forecast(
     near-count is zero (:102-104). The forecast path skips the tightness
     guard (:112 ``and not is_forecast``) — every row yields a box.
     Same single window pass as :func:`detect_boxes`."""
-    banded = add_box_bands(df, series_col=series_col, ts_col=ts_col)
+    # fallback window FIRST: add_box_bands ends in the ATR grouped map,
+    # whose unknown output partitioning would force a second Exchange for
+    # any window computed after it (pinned by
+    # tests/test_plans.py::test_box_forecast_single_exchange)
+    wf = _frame(series_col, ts_col, def_win_size)
+    pre = df.withColumn("_fb_ub", F.max("high").over(wf)).withColumn(
+        "_fb_lb", F.min("low").over(wf)
+    )
+    banded = add_box_bands(pre, series_col=series_col, ts_col=ts_col)
 
     ub_combos = [(n2, n1) for n2 in UB_N2 for n1 in UB_N1 if n1 > n2]
     lb_combos = [(n2, n1) for n2 in UB_N2 for n1 in LB_N1 if n1 > n2]
@@ -221,10 +229,10 @@ def detect_boxes_forecast(
             banded[f"lb{n2}"] <= banded[f"l1b{n1}"], banded[f"lb{n2}"]
         ).otherwise(recent_min)
 
-    # forecast fallback window: last def_win_size bars ending at this row
-    wf = _frame(series_col, ts_col, def_win_size)
-    fb_ub = F.max("high").over(wf)
-    fb_lb = F.min("low").over(wf)
+    # forecast fallback: last def_win_size bars ending at this row
+    # (computed pre-bands, see above)
+    fb_ub = banded["_fb_ub"]
+    fb_lb = banded["_fb_lb"]
 
     found = recent_max.isNotNull() & recent_min.isNotNull()
     box_ub = F.when(found, recent_max).otherwise(fb_ub)
