@@ -205,3 +205,48 @@ def test_box_buy_sell_rule_truth_table(spark):
     assert got[3] == (False, False, True, True)
     assert got[4] == (False, False, False, True)
     assert got[5] == (False, False, False, False)
+
+
+def test_detect_boxes_forecast_short_series_all_fallback(spark):
+    """A series shorter than the smallest band window (10) can never detect
+    a box: every row must take the forecast fallback, box_ub/lb spanning
+    the partial high/low window, score = -3 penalty throughout."""
+    import datetime as dt
+
+    from timeseriesvectordbpattermatcher_spark.operators.boxes import (
+        detect_boxes_forecast,
+    )
+
+    rows = [
+        ("S", dt.datetime(2024, 1, 1) + dt.timedelta(hours=i),
+         10.0 + i, 11.0 + i, 9.0 + i, 10.5 + i, 100.0)
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, open double, high double, "
+        "low double, close double, volume double"
+    )
+    out = detect_boxes_forecast(df).orderBy("ts").collect()
+    assert len(out) == 6
+    assert all(r.signame == "forecast" for r in out)
+    # fallback window is a running 10-bar high-max / low-min
+    assert out[0].box_ub == 11.0 and out[0].box_lb == 9.0
+    assert out[5].box_ub == 16.0 and out[5].box_lb == 9.0
+    assert all(abs(r.box_score - (-3.0)) < 1e-9 for r in out)
+
+
+def test_detect_boxes_forecast_single_row(spark):
+    """One-row series: bands null, fallback = the row itself."""
+    import datetime as dt
+
+    from timeseriesvectordbpattermatcher_spark.operators.boxes import (
+        detect_boxes_forecast,
+    )
+
+    df = spark.createDataFrame(
+        [("S", dt.datetime(2024, 1, 1), 10.0, 12.0, 8.0, 11.0, 1.0)],
+        "series_id string, ts timestamp, open double, high double, "
+        "low double, close double, volume double",
+    )
+    r = detect_boxes_forecast(df).collect()[0]
+    assert r.signame == "forecast" and r.box_ub == 12.0 and r.box_lb == 8.0

@@ -116,3 +116,19 @@ def test_fib_levels_match_pandas_oracle(spark, ohlcv):
         ("dl2", mn - diff * 0.382),
     ]:
         pd.testing.assert_series_equal(got[name], exp, check_names=False, rtol=1e-12)
+
+
+def test_fib_levels_single_row_and_constant(spark):
+    """One row: the row is its own extremum both ways -> min=max=close,
+    diff 0, every level collapses onto the price. Constant series: same."""
+    import datetime as dt
+
+    from timeseriesvectordbpattermatcher_spark.operators.trends import fib_levels
+
+    rows = [("S", dt.datetime(2024, 1, 1) + dt.timedelta(days=i), 5.0)
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "series_id string, ts timestamp, close double")
+    out = fib_levels(df).orderBy("ts").collect()
+    for r in out:
+        assert r.fib_min == 5.0 and r.fib_max == 5.0 and r.fib_diff == 0.0
+        assert r.l1 == 5.0 and r.ul4 == 5.0 and r.dl3 == 5.0
