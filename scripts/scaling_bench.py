@@ -71,6 +71,42 @@ def timed_run(data: str, cpus: int, runs: int, engine: str = "expr") -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+_HOST_LOOP = r"""
+import json, time
+import multiprocessing as mp
+
+def loop(n):
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+if __name__ == "__main__":
+    import sys
+    procs = int(sys.argv[1])
+    n = 20_000_000
+    with mp.Pool(procs) as pool:
+        pool.map(loop, [n] * procs)  # warm-up / fork cost
+        t0 = time.time()
+        pool.map(loop, [n] * procs)
+        dt = time.time() - t0
+    print(json.dumps({"mops": procs * n / dt / 1e6}))
+"""
+
+
+def host_rate(procs: int) -> float:
+    """Aggregate M ops/s of ``procs`` pinned pure-Python busy loops — the
+    host's own delivered compute at that width, measured in-session so the
+    engine's scaling number can be read against the box's ceiling (boost
+    clocks make small pinned configs overperform; noisy neighbors swing
+    both)."""
+    cmd = [sys.executable, "-c", _HOST_LOOP, str(procs)]
+    if os.path.exists("/usr/bin/taskset") and (os.cpu_count() or 0) >= procs:
+        cmd = ["taskset", "-c", f"0-{procs - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])["mops"]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=12_000_000)
@@ -81,6 +117,9 @@ def main() -> None:
     # 8->32-executor reading would not hit this wall.
     ap.add_argument("--n", type=int, default=2, help="small parallelism (large = 4n)")
     ap.add_argument("--runs", type=int, default=2, help="take best-of-k per config")
+    ap.add_argument("--pairs", type=int, default=2,
+                    help="interleaved (small,large) measurement pairs; "
+                         "min-of-all per config")
     ap.add_argument("--engine", default="arrow_drop",
                     help="token-stat engine: arrow_drop (deployment default — "
                          "meets the >=0.8 N->4N scaling target, near-expr "
@@ -101,8 +140,19 @@ def main() -> None:
         subprocess.run([sys.executable, "-c", gen], check=True,
                        env={**os.environ, "PYTHONPATH": REPO}, capture_output=True)
 
-    small = timed_run(data_dir, args.n, args.runs, args.engine)
-    large = timed_run(data_dir, args.n * 4, args.runs, args.engine)
+    # interleave config pairs (small, large, small, large, ...) so a drift
+    # in clock state between measurement windows hits both configs, not
+    # just one; min-of-all per config
+    small = large = None
+    for _ in range(args.pairs):
+        s = timed_run(data_dir, args.n, args.runs, args.engine)
+        l = timed_run(data_dir, args.n * 4, args.runs, args.engine)
+        small = s if small is None or s["sec"] < small["sec"] else small
+        large = l if large is None or l["sec"] < large["sec"] else large
+    # host's own delivered compute at the two widths, same session
+    h_small = host_rate(args.n)
+    h_large = host_rate(args.n * 4)
+    host_ceiling = (h_large / h_small) / 4.0
     thr_small = small["tokens"] / small["sec"]
     thr_large = large["tokens"] / large["sec"]
     efficiency = (thr_large / thr_small) / 4.0
@@ -114,6 +164,10 @@ def main() -> None:
         f"tokens_per_sec_n{args.n}": round(thr_small, 1),
         f"tokens_per_sec_n{args.n * 4}": round(thr_large, 1),
         "scaling_efficiency": round(efficiency, 3),
+        f"host_mops_{args.n}p": round(h_small, 1),
+        f"host_mops_{args.n * 4}p": round(h_large, 1),
+        "host_ceiling": round(host_ceiling, 3),
+        "efficiency_vs_host": round(efficiency / host_ceiling, 3),
     }
     print(json.dumps(summary))
 
@@ -123,16 +177,23 @@ def main() -> None:
 
 Sandbox proxy per driver instruction: the same rollup-cascade job
 (scan parquet seqs -> token stats -> raw->1m->1h->1d) on identical input at
-two parallelism levels, fresh JVM each, best of {args.runs} runs.
+two parallelism levels, fresh JVM each, {args.pairs} interleaved
+(small,large) pairs x best-of-{args.runs} runs, min per config.
 Token-stat engine: **{args.engine}** (the rollup_job.py deployment default).
 
-| config | wall (s) | tokens/sec |
-|---|---|---|
-| local[{args.n}]  | {small['sec']:.2f} | {thr_small:,.0f} |
-| local[{args.n * 4}] | {large['sec']:.2f} | {thr_large:,.0f} |
+| config | wall (s) | tokens/sec | host busy-loop (M ops/s) |
+|---|---|---|---|
+| local[{args.n}]  | {small['sec']:.2f} | {thr_small:,.0f} | {h_small:.1f} |
+| local[{args.n * 4}] | {large['sec']:.2f} | {thr_large:,.0f} | {h_large:.1f} |
 
 - corpus: {args.rows:,} rows / {small['tokens']:,} tokens (seed 42, synth_seqs)
 - **scaling efficiency (thr_4N / thr_N) / 4 = {efficiency:.3f}**
+- host's own busy-loop ceiling at the same widths, same session:
+  {host_ceiling:.3f} -> engine efficiency vs what the box delivers =
+  **{efficiency / host_ceiling:.3f}** (pinned small configs ride boost
+  clocks and noisy neighbors swing delivered compute between sessions;
+  the busy loop has zero Spark in it, so this ratio isolates the ENGINE's
+  scaling from the box's)
 
 ### Job honesty note
 
@@ -159,15 +220,16 @@ scales — so the compute-honest window on this box is N=2->8.
 See `BENCH_r*.json` (driver-recorded, `bench.py` at sf0.1): metric =
 rollup throughput, tokens/sec, plus per-query seconds.
 """
-    # preserve the manually maintained sections (shootout, spark-submit
-    # notes, round-over-round tables) that live after the scaling block
+    # preserve the manually maintained sections (round-over-round tables,
+    # shootout, spark-submit notes) that live after the scaling block
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     tail = ""
     if os.path.exists(path):
         old = open(path).read()
-        marker = "<!-- shootout:begin -->"
-        if marker in old:
-            tail = "\n" + old[old.index(marker):]
+        for marker in ("<!-- manual:begin -->", "<!-- shootout:begin -->"):
+            if marker in old:
+                tail = "\n" + old[old.index(marker):]
+                break
     with open(path, "w") as fh:
         fh.write(md + tail)
 
