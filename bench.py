@@ -50,10 +50,15 @@ def _cpu_calibration_mc(procs: int = 8) -> float:
     import multiprocessing as mp
 
     n = 20_000_000
-    t0 = time.time()
     with mp.Pool(procs) as pool:
+        # untimed warm-up absorbs pool fork/import cost, then time only the
+        # second map — same protocol as scripts/scaling_bench.py host_rate,
+        # so the two calibration numbers are comparable
         pool.map(_mc_loop, [n] * procs)
-    return round(procs * n / (time.time() - t0) / 1e6, 1)
+        t0 = time.time()
+        pool.map(_mc_loop, [n] * procs)
+        dt = time.time() - t0
+    return round(procs * n / dt / 1e6, 1)
 
 
 def _mc_loop(n: int) -> int:

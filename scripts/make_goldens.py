@@ -127,8 +127,14 @@ def main() -> None:
         else:
             pdf = qs[name](spark, SF_DIR).toPandas()
             src = "engine-pin"
-        if check and os.path.exists(path):
-            if not _frames_equal(pd.read_parquet(path), pdf):
+        if check:
+            # check mode NEVER writes: a missing golden is a failure (a name
+            # added to GOLDEN_QUERIES without a committed fixture), not an
+            # invitation to pin the current unvetted output.
+            if not os.path.exists(path):
+                drifted.append(name)
+                print(f"MISSING {name} ({src})")
+            elif not _frames_equal(pd.read_parquet(path), pdf):
                 drifted.append(name)
                 print(f"DRIFT {name} ({src})")
             else:

@@ -71,3 +71,23 @@ def test_gapfill_on_synth(spark, seqs_2k):
     assert out.filter("is_filled").count() > 0
     # every filled row carries the previous observed value
     assert out.filter("is_filled and avg_n_tok_filled is null").count() == 0
+
+
+def test_noncanonical_spacing_does_not_crash(spark):
+    """sequence() boundary clamp: duplicate bucket rows (or a tier coarser
+    than the data's spacing) previously aborted the job with
+    IllegalArgumentException (inverted sequence bounds); such anchors must
+    emit only themselves."""
+    rows = [
+        ("a", _ts(0), 1.0),
+        ("a", _ts(0), 2.0),        # duplicate bucket
+        ("a", _ts(1), 3.0),        # minute-spaced...
+        ("a", _ts(2), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "source string, bucket_ts timestamp, v double")
+    # duplicate buckets at the 1m tier
+    out = gap_fill(df, ["v"], tier="1m", method="locf").collect()
+    assert len(out) == 4 and all(not r["is_filled"] for r in out)
+    # minute-spaced data through the 1h tier: closer than one step everywhere
+    out_h = gap_fill(df, ["v"], tier="1h", method="linear").collect()
+    assert len(out_h) == 4

@@ -214,3 +214,31 @@ def test_ref_store_reused_across_calls_and_fresh_per_refset(spark, tmp_path):
     assert p3 != p1, "different ref set must get a fresh generation subdir"
     assert p1.startswith(base) and p3.startswith(base)
     _REF_STORE_PATHS.clear()
+
+
+def test_ref_store_cleanup_registered(spark, seqs_2k):
+    """Every store written this process is queued for atexit removal —
+    a rotating-ref-set service must not accumulate parquet copies forever."""
+    import subprocess
+    import sys
+
+    code = """
+import os, sys
+sys.path.insert(0, "/root/repo")
+from timeseriesvectordbpattermatcher_spark.session import get_spark
+from timeseriesvectordbpattermatcher_spark.operators import matcher as m
+spark = get_spark(cpus=2)
+refs = spark.createDataFrame(
+    [("r1", [1.0, 0.0]), ("r2", [0.0, 1.0])], "segment_id string, features array<double>")
+p = m._ref_store_path(refs, "segment_id", "features", None)
+assert os.path.exists(p), p
+assert m._STORES_TO_CLEAN, "no cleanup registered"
+print("STORE:" + m._STORES_TO_CLEAN[0])
+spark.stop()
+"""
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    store = [l for l in out.stdout.splitlines() if l.startswith("STORE:")][0][6:]
+    import os
+    assert not os.path.exists(store), "atexit cleanup did not remove the store"

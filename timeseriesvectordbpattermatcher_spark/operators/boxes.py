@@ -61,15 +61,12 @@ def add_box_bands(
     return out
 
 
-def detect_boxes(
-    df: DataFrame,
-    delta_th: float = DELTA_TH,
-    series_col: str = "series_id",
-    ts_col: str = "ts",
-) -> DataFrame:
-    """One row per (series, ts) where a tight box is detected."""
-    banded = add_box_bands(df, series_col=series_col, ts_col=ts_col)
-
+def _band_signals(banded: DataFrame, delta_th: float):
+    """The band-agreement scoring spec, shared by :func:`detect_boxes` and
+    :func:`detect_boxes_forecast` (which must stay bit-identical — the
+    0.1001/0.1000001 constants and combo loop order are load-bearing for the
+    committed goldens). Returns (score, ub_near, lb_near, recent_max,
+    recent_min) column expressions over an ``add_box_bands`` frame."""
     ub_combos = [(n2, n1) for n2 in UB_N2 for n1 in UB_N1 if n1 > n2]
     lb_combos = [(n2, n1) for n2 in UB_N2 for n1 in LB_N1 if n1 > n2]
 
@@ -120,6 +117,18 @@ def detect_boxes(
         recent_min = F.when(
             banded[f"lb{n2}"] <= banded[f"l1b{n1}"], banded[f"lb{n2}"]
         ).otherwise(recent_min)
+    return score, ub_near, lb_near, recent_max, recent_min
+
+
+def detect_boxes(
+    df: DataFrame,
+    delta_th: float = DELTA_TH,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row per (series, ts) where a tight box is detected."""
+    banded = add_box_bands(df, series_col=series_col, ts_col=ts_col)
+    score, ub_near, lb_near, recent_max, recent_min = _band_signals(banded, delta_th)
 
     band_width = recent_max - recent_min
     tight = (F.col("atr") <= band_width) & (band_width / F.col("close") <= 0.1)
@@ -189,45 +198,7 @@ def detect_boxes_forecast(
         "_fb_lb", F.min("low").over(wf)
     )
     banded = add_box_bands(pre, series_col=series_col, ts_col=ts_col)
-
-    ub_combos = [(n2, n1) for n2 in UB_N2 for n1 in UB_N1 if n1 > n2]
-    lb_combos = [(n2, n1) for n2 in UB_N2 for n1 in LB_N1 if n1 > n2]
-
-    def near(cond_col, short_b, long_b):
-        return cond_col & (F.abs(short_b - long_b) / long_b < delta_th)
-
-    score = F.lit(0.0)
-    for n2, n1 in ub_combos:
-        hit = banded[f"ub{n2}"] >= banded[f"u1b{n1}"]
-        score = score + F.when(near(hit, banded[f"ub{n2}"], banded[f"u1b{n1}"]), 0.1001).otherwise(0.0)
-    for n2, n1 in lb_combos:
-        hit = banded[f"lb{n2}"] <= banded[f"l1b{n1}"]
-        score = score + F.when(near(hit, banded[f"lb{n2}"], banded[f"l1b{n1}"]), 0.1000001).otherwise(0.0)
-
-    last_n2 = UB_N2[-1]
-    ub_near = sum(
-        (F.when(near(banded[f"ub{last_n2}"] >= banded[f"u1b{n1}"],
-                     banded[f"ub{last_n2}"], banded[f"u1b{n1}"]), 1).otherwise(0)
-         for n1 in UB_N1 if n1 > last_n2),
-        F.lit(0),
-    )
-    lb_near = sum(
-        (F.when(near(banded[f"lb{last_n2}"] <= banded[f"l1b{n1}"],
-                     banded[f"lb{last_n2}"], banded[f"l1b{n1}"]), 1).otherwise(0)
-         for n1 in LB_N1 if n1 > last_n2),
-        F.lit(0),
-    )
-
-    recent_max = F.lit(None).cast("double")
-    for n2, n1 in ub_combos:
-        recent_max = F.when(
-            banded[f"ub{n2}"] >= banded[f"u1b{n1}"], banded[f"ub{n2}"]
-        ).otherwise(recent_max)
-    recent_min = F.lit(None).cast("double")
-    for n2, n1 in lb_combos:
-        recent_min = F.when(
-            banded[f"lb{n2}"] <= banded[f"l1b{n1}"], banded[f"lb{n2}"]
-        ).otherwise(recent_min)
+    score, ub_near, lb_near, recent_max, recent_min = _band_signals(banded, delta_th)
 
     # forecast fallback: last def_win_size bars ending at this row
     # (computed pre-bands, see above)

@@ -534,7 +534,17 @@ def candle_oracle_sql(
     """Standalone ANSI-SQL equivalent of :func:`candle_patterns` for an
     independent engine (DuckDB runs it as the driver oracle): the same
     KERNELS/summary expression text over the same helper vocabulary, with
-    the lag/window helpers rendered as plain SQL window functions."""
+    the lag/window helpers rendered as plain SQL window functions.
+
+    Independence caveat: because both engines evaluate the SAME kernel
+    condition strings, this cross-check validates the window/lag plumbing,
+    helper derivations, and the two engines' expression semantics — NOT the
+    geometry of each kernel (an inverted comparison would render identically
+    into both). Geometry is independently pinned per pattern by the
+    hand-constructed bar fixtures in tests/test_candles.py and
+    tests/test_candle_geometry.py (every kernel has a bar sequence built
+    from its textbook definition, not from the spec strings; completeness
+    asserted by test_all_kernels_have_a_geometry_fixture)."""
     base_cols = []
     for k in range(5):
         for src in ("open", "high", "low", "close"):

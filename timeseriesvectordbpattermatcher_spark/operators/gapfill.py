@@ -110,8 +110,15 @@ def gap_fill(
         )
 
     # Emit the anchor row plus one row per missing bucket strictly before the
-    # next observed bucket. The last row per key emits only itself.
-    gap_end = F.coalesce(F.col("_nxt_bucket") - step, F.col("bucket_ts"))
+    # next observed bucket. The last row per key emits only itself. The
+    # greatest() clamp keeps sequence() boundaries legal when consecutive
+    # buckets sit closer than one tier step (duplicate bucket rows, or a tier
+    # coarser than the data's spacing) — such anchors emit only themselves
+    # instead of aborting the job with IllegalArgumentException.
+    gap_end = F.greatest(
+        F.coalesce(F.col("_nxt_bucket") - step, F.col("bucket_ts")),
+        F.col("bucket_ts"),
+    )
     exploded = anchored.withColumn(
         "_b", F.explode(F.sequence(F.col("bucket_ts"), gap_end, step))
     )

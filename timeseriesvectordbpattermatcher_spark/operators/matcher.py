@@ -97,7 +97,15 @@ def _ref_store_path(refs: DataFrame, ref_id: str, ref_vec: str,
     sets sharing one ``store_dir`` land in two different subdirs. Reuse is
     keyed by the refs plan's ``semanticHash``; callers whose underlying
     files mutate between calls under an unchanged plan should pass a fresh
-    ``store_dir`` (or clear ``_REF_STORE_PATHS``)."""
+    ``store_dir`` (or clear ``_REF_STORE_PATHS``).
+
+    Every store this process writes is removed at interpreter exit (atexit),
+    so neither the mkdtemp default nor a persistent ``store_dir`` accumulates
+    one parquet copy per ref set per process lifetime — within a session the
+    footprint is bounded by the distinct ref plans actually in use (each
+    still reachable through ``_REF_STORE_PATHS`` until exit; no mid-session
+    eviction, because an alternating caller may still hold queries running
+    against an older generation)."""
     import os
     import tempfile
     import uuid
@@ -110,7 +118,25 @@ def _ref_store_path(refs: DataFrame, ref_id: str, ref_vec: str,
         path = os.path.join(base, f"gen_{uuid.uuid4().hex[:12]}")
         projected.write.mode("errorifexists").parquet(path)
         _REF_STORE_PATHS[key] = path
+        _register_store_cleanup(path if store_dir else base)
     return path
+
+
+_STORES_TO_CLEAN: list[str] = []
+
+
+def _register_store_cleanup(path: str) -> None:
+    """Remove ``path`` (a gen_ subdir, or the whole mkdtemp base) at exit.
+    Local-FS only: on a cluster with ``store_dir`` on HDFS/S3 shutil is a
+    no-op miss and lifecycle belongs to the warehouse's retention policy."""
+    if not _STORES_TO_CLEAN:
+        import atexit
+        import shutil
+
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _STORES_TO_CLEAN]
+        )
+    _STORES_TO_CLEAN.append(path)
 
 
 def _load_ref_matrix(path: str, ref_id: str, ref_vec: str):

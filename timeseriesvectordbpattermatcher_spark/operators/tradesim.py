@@ -48,7 +48,14 @@ def simulate_trades_equity_pdf(
     from entry until the trade closes, recorded at the TOP of the loop —
     i.e. pos/wstop/trade_stage/realized_gain reflect state ENTERING the bar,
     before that bar's sells execute (reference quirk preserved). pos_cost
-    for total_gain_pct is share_cnt * entry_price (:745)."""
+    for total_gain_pct is share_cnt * entry_price (:745).
+
+    Short-path sign quirk (preserved verbatim from the reference, :768):
+    ``unrealized_gain = ret * pos * entry_price`` — for ``longshort='short'``
+    both ``ret`` and ``pos`` carry the -1 factor, so a WINNING short reports
+    NEGATIVE unrealized/total gain while ``realized_gain`` (``q * (price -
+    entry)``, q<0) reports it positive. The conventions disagree only on the
+    short path; we reproduce the reference bit-for-bit rather than fix it."""
     sub = pdf[pdf["ts"] >= entry_ts].sort_values("ts")
     if sub.empty:
         return [], []
