@@ -194,3 +194,19 @@ def test_box_forecast_single_exchange(spark):
 
     plan = _plan(e.queries()["box_forecast"](spark, "/root/testdata/sf0.001"))
     assert plan.count("Exchange ") == 2, plan[:2000]  # bars agg + series key
+
+
+def test_gapfill_single_exchange(spark):
+    """W20 round-3 rewrite: gap rows come from each anchor's lead(bucket_ts)
+    — no min-to-max spine aggregation and no spine-join, so the asc window,
+    the desc running window, and the leads all reuse ONE key Exchange (same
+    partitioning, per-window sorts only). The old spine plan paid three."""
+    from timeseriesvectordbpattermatcher_spark.operators.gapfill import gap_fill
+
+    rollup = spark.createDataFrame(
+        [("s1", "2024-01-01 00:00:00", 1.0), ("s1", "2024-01-01 00:03:00", 4.0)],
+        "source string, bucket_ts string, cnt double",
+    ).withColumn("bucket_ts", F.col("bucket_ts").cast("timestamp"))
+    for method in ("locf", "linear"):
+        plan = _plan(gap_fill(rollup, ["cnt"], tier="1m", method=method))
+        assert plan.count("Exchange ") == 1, (method, plan[:1500])
