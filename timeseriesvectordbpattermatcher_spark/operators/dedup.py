@@ -349,20 +349,18 @@ def minhash_lsh_dedup(
             .groupBy(F.col("doc_a").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry a per-row changed flag through the materialization so the
+        # convergence probe is a filter/limit over already-checkpointed
+        # blocks — not a labels⨝new_labels shuffle join per iteration
         new_labels = _materialize(
-            labels.join(prop, "node", "left")
-            .select("node", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
+            labels.join(prop, "node", "left").select(
+                "node",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias("_chg"),
+            )
         )
-        # convergence probe on the already-materialized frames: any label
-        # strictly lowered this round?
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_chg").limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     losers = labels.filter(F.col("node") != F.col("label")).select(
