@@ -179,3 +179,53 @@ def test_minhash_dedup_long_chain_fixpoint(spark):
     )
     survivors = {r["doc_id"] for r in out.collect()}
     assert survivors == {"c00"}, survivors
+
+
+def test_xxhash64_parity(spark):
+    """functions/xxhash.py must reproduce F.xxhash64(longCol, lit(intC))
+    bit-exactly — the arrow minhash engine's correctness rests on it."""
+    import numpy as np
+
+    from timeseriesvectordbpattermatcher_spark.functions.xxhash import (
+        spark_xxhash64_long_int,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(-2**63, 2**63 - 1, size=1000, dtype=np.int64)
+    vals[:4] = [0, -1, 2**63 - 1, -2**63]
+    df = spark.createDataFrame([(int(v),) for v in vals], "v: long")
+    for const in (7, 8, 38, 0, -5):
+        got = np.array(
+            [r[0] for r in df.select(F.xxhash64("v", F.lit(const))).collect()],
+            dtype=np.int64,
+        )
+        want = spark_xxhash64_long_int(vals, const)
+        assert (got == want).all(), const
+
+
+def test_minhash_engines_identical(docs, spark):
+    """arrow (default) and expr signature engines must agree byte-for-byte,
+    including n_shingles and row set (null/empty texts dropped by both)."""
+    from timeseriesvectordbpattermatcher_spark.operators.dedup import (
+        minhash_signature,
+    )
+
+    edge = docs.unionByName(
+        docs.sparkSession.createDataFrame(
+            [("e_null", None), ("e_empty", ""), ("e_2w", "two words")],
+            "doc_id string, text string",
+        )
+    )
+    for num_perm, seed in ((32, 7), (16, 100)):
+        a = (
+            minhash_signature(edge, num_perm=num_perm, seed=seed, engine="arrow")
+            .orderBy("doc_id")
+            .collect()
+        )
+        e = (
+            minhash_signature(edge, num_perm=num_perm, seed=seed, engine="expr")
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert [r.asDict() for r in a] == [r.asDict() for r in e]
+        assert {r["doc_id"] for r in a} == {"d1", "d2", "d3", "d4", "d5"}  # d6/edge rows too short

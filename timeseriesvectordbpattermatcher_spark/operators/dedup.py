@@ -15,9 +15,13 @@ for a different scale/recall trade-off at 100 TB:
 - ``simhash_pairs``         64-bit SimHash + banded Hamming lookup.
 - (embedding near-dup lives in operators/similarity.py — cosine ≥ τ pairs.)
 
-All hashing is ``xxhash64`` (JVM-side, codegen'd): no Python in the row
-path; the minhash of a shingle set is ``array_min(transform(shingles,
-s -> xxhash64(s, seed_i)))`` — one expression per permutation.
+All hashing is ``xxhash64``.  Shingle strings are hashed JVM-side
+(codegen'd, one pass); the per-permutation re-mix + min runs either as pure
+expressions (``engine="expr"``: ``array_min(transform(_h, h ->
+xxhash64(h, seed_i)))``) or — the default — as a vectorized numpy kernel
+over Arrow batches that reproduces Spark's xxhash64 bit-exactly
+(``functions/xxhash.py``), because Catalyst evaluates nested HOF lambdas
+interpreted, one Python-free but slow tree-walk per element per perm.
 
 Dedup keeps the lexicographically smallest doc_id of each duplicate group —
 mirroring the reference's keep-first convention in its result dedupe
@@ -210,13 +214,28 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(df: DataFrame, num_perm: int = 32, n: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
-                      seed: int = 7) -> DataFrame:
+                      seed: int = 7, engine: str = "arrow") -> DataFrame:
     """(doc_id, minhash array<long>) — one xxhash64 min per permutation.
 
     The shingle array is materialized ONCE (Catalyst does not CSE the
     ngram subtree across the num_perm expressions — inlining it made this
     32x more expensive), and each shingle is pre-hashed once; permutations
-    re-mix the single base hash instead of re-hashing the string."""
+    re-mix the single base hash instead of re-hashing the string.
+
+    ``engine``:
+
+    - ``"arrow"`` (default): the string shingles are still hashed JVM-side
+      (one codegen'd pass), but the ``num_perm`` re-mixes + per-doc mins run
+      as numpy kernels over Arrow batches.  The expression plan evaluates
+      the per-permutation ``transform`` lambdas with the *interpreted*
+      higher-order-function path — measured ~12 s of the sf0.1 minhash run
+      for 7.7M shingles x 32 perms vs <1 s vectorized.  Signatures are
+      bit-identical to the expr engine (``functions/xxhash.py`` reproduces
+      Spark's xxhash64 chaining exactly; parity is pinned in tests).
+    - ``"expr"``: pure Catalyst expressions, fully JVM-side; the shape the
+      DuckDB-free plan tests reason about and the fallback if an Arrow
+      boundary is unwanted in a larger pipeline.
+    """
     base = df.select(
         F.col(id_col),
         F.transform(
@@ -224,17 +243,97 @@ def minhash_signature(df: DataFrame, num_perm: int = 32, n: int = 3,
             lambda s: F.xxhash64(s, F.lit(seed)),
         ).alias("_h"),
     )
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_h"), lambda h: F.xxhash64(h, F.lit(seed + p))))
-            for p in range(num_perm)
+    if engine == "expr":
+        sig = F.array(
+            *[
+                F.array_min(F.transform(F.col("_h"), lambda h: F.xxhash64(h, F.lit(seed + p))))
+                for p in range(num_perm)
+            ]
+        )
+        return (
+            base.withColumn("n_shingles", F.size("_h"))
+            .filter(F.col("n_shingles") > 0)
+            .select(id_col, "n_shingles", sig.alias("minhash"))
+        )
+    if engine != "arrow":
+        raise ValueError(f"unknown minhash engine {engine!r}")
+    return _minhash_signature_arrow(base, num_perm=num_perm, seed=seed, id_col=id_col)
+
+
+def _minhash_signature_arrow(base: DataFrame, num_perm: int, seed: int,
+                             id_col: str) -> DataFrame:
+    """mapInArrow stage: (id, _h array<long>) -> (id, n_shingles, minhash).
+
+    Per batch: one vectorized ``hashLong(h, 42)`` over every shingle hash
+    (shared by all permutations), then per permutation a constant-key
+    ``hashInt`` re-mix + ``np.minimum.reduceat`` over the list offsets.
+    Offsets are sliced/rebased before reducing and segments of dropped
+    (null/empty) docs are compacted away when they span a nonzero extent,
+    so sliced ListArrays cannot leak foreign values into a doc's min."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            base.schema[id_col],
+            T.StructField("n_shingles", T.IntegerType()),
+            T.StructField("minhash", T.ArrayType(T.LongType())),
         ]
     )
-    return (
-        base.withColumn("n_shingles", F.size("_h"))
-        .filter(F.col("n_shingles") > 0)
-        .select(id_col, "n_shingles", sig.alias("minhash"))
-    )
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from timeseriesvectordbpattermatcher_spark.functions.xxhash import (
+            _SPARK_SEED,
+            xxh64_int_const,
+            xxh64_long,
+        )
+
+        for b in batches:
+            ids, hs = b.column(0), b.column(1)
+            offs = np.asarray(hs.offsets, dtype=np.int64)
+            if len(offs) < 2:
+                continue
+            starts, ends = offs[:-1] - offs[0], offs[1:] - offs[0]
+            vals = np.asarray(hs.values, dtype=np.int64)[offs[0]: offs[-1]]
+            lengths = ends - starts
+            nulls = np.asarray(hs.is_null(), dtype=bool)
+            keep = (~nulls) & (lengths > 0)
+            if not keep.any():
+                continue
+            dropped_extent = lengths[~keep].sum()
+            if dropped_extent:
+                # a dropped slot owns values (sliced/offset-sharing array):
+                # gather only kept segments so reduceat boundaries stay exact
+                sel = np.repeat(keep, lengths)
+                vals = vals[sel]
+                kept_len = lengths[keep]
+                bounds = np.zeros(len(kept_len), dtype=np.int64)
+                np.cumsum(kept_len[:-1], out=bounds[1:])
+            else:
+                bounds = starts[keep]
+            inner = xxh64_long(vals.view(np.uint64), _SPARK_SEED)
+            nk = int(keep.sum())
+            sig = np.empty((nk, num_perm), dtype=np.int64)
+            for p in range(num_perm):
+                mixed = xxh64_int_const(seed + p, inner).view(np.int64)
+                sig[:, p] = np.minimum.reduceat(mixed, bounds)
+            idx = np.flatnonzero(keep)
+            mh = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (nk + 1) * num_perm, num_perm, dtype=np.int32)),
+                pa.array(sig.reshape(-1)),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(idx)),
+                    pa.array(lengths[keep].astype(np.int32)),
+                    mh,
+                ],
+                names=[id_col, "n_shingles", "minhash"],
+            )
+
+    return base.mapInArrow(gen, out_schema)
 
 
 def minhash_lsh_pairs(
