@@ -128,7 +128,9 @@ def ngram_jaccard_pairs(
     candidate set is a superset of the answer (lossless); candidates are
     verified exactly with ``array_intersect`` on the full gram sets. Hot
     grams are by construction high-frequency, i.e. LAST in the order — they
-    drop out of the candidate join, killing the d_g^2 term.
+    drop out of the candidate join, killing the d_g^2 term. Candidates are
+    additionally pruned with PPJoin's positional filter (Xiao et al.,
+    WWW'08) before the verify join — see the inline bound derivation.
     """
     # join on a 64-bit shingle hash, not the string: shuffle rows shrink to
     # (hash, doc_id) and the join key compare is a long compare. Collisions
@@ -177,14 +179,34 @@ def ngram_jaccard_pairs(
     )
     prefix = ranked.filter(
         F.col("_pos") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
-    ).select(id_col, "ng")
+    ).select(id_col, "ng", "_pos", "_sz")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin positional filter (Xiao et al., WWW'08): a shared gram at
+    # 1-based ranks (pa, pb) of the common frequency order bounds the true
+    # overlap by min(pa,pb) + min(sza-pa, szb-pb) — elements before the
+    # gram contribute at most min(pa,pb) matches, elements after at most
+    # min of the remainders. Jaccard >= t needs overlap >= t/(1+t)*(sza+szb),
+    # so any pair whose TIGHTEST per-gram bound falls short is pruned
+    # before the (expensive) exact array_intersect verify. Lossless:
+    # the bound is an upper bound on overlap for every shared gram.
+    ub = F.least(F.col("a._pos"), F.col("b._pos")) + F.least(
+        F.col("a._sz") - F.col("a._pos"), F.col("b._sz") - F.col("b._pos")
+    )
     cands = (
         a.join(b, (F.col("a.ng") == F.col("b.ng")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .agg(
+            F.min(ub).alias("_ub"),
+            F.first("a._sz").alias("_sza"),
+            F.first("b._sz").alias("_szb"),
+        )
+        .filter(
+            F.col("_ub")
+            >= F.lit(threshold) / (1.0 + threshold) * (F.col("_sza") + F.col("_szb"))
+        )
+        .select("doc_a", "doc_b")
     )
     # candidate rows are tiny in bytes but heavy in downstream compute
     # (array_intersect per pair) — AQE would coalesce them to a handful of
