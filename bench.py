@@ -104,12 +104,13 @@ def main() -> None:
     seqs = derive_event_ts(spark.read.parquet(corpus))
 
     def cascade_once():
-        # expr token engine: measured fastest absolute on this host
-        # (94.5M tok/s vs arrow_drop 85.8M at pinned local[8], 12M rows);
-        # the arrow engines exist for scale profiles where vectorized
-        # python reduction beats per-element HOF evaluation — see
-        # BENCH/BASELINE.md engine matrix
-        tiers = rollup_all_tiers(seqs)
+        # arrow_drop: the deployment default (scripts/rollup_job.py) — the
+        # bench measures what ships. Same-session engine shootouts at
+        # local[32]/2M rows measured arrow_drop 176.8M tok/s vs expr 91.8M
+        # (an earlier degraded-host session at pinned local[8] had expr
+        # 94.5M vs arrow_drop 85.8M — the HOF-vs-IPC balance moves with
+        # delivered CPU, the engine matrix in BENCH/BASELINE.md keeps both)
+        tiers = rollup_all_tiers(seqs, token_engine="arrow_drop")
         return tiers["1d"].agg(
             F.sum("sum_n_tok"), F.sum("tok_sum"), F.min("tok_min"), F.max("tok_max")
         ).collect()[0][0]
