@@ -229,3 +229,42 @@ def test_minhash_engines_identical(docs, spark):
         )
         assert [r.asDict() for r in a] == [r.asDict() for r in e]
         assert {r["doc_id"] for r in a} == {"d1", "d2", "d3", "d4", "d5"}  # d6/edge rows too short
+
+
+def test_jaccard_exact_threshold_boundary(spark):
+    """A pair whose jaccard EQUALS the threshold must survive the positional
+    filter: the algebraic bound t/(1+t)*(sza+szb) rounds up in FP (0.4/1.4*7
+    = 2.0000000000000004) and used to prune it (review finding)."""
+    from timeseriesvectordbpattermatcher_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    # 1-grams: A has 3 words, B has 4, sharing 2 -> jaccard 2/5 = 0.4
+    df = spark.createDataFrame(
+        [("A", "alpha beta gamma"), ("B", "alpha beta delta epsilon")],
+        "doc_id string, text string",
+    )
+    fast = ngram_jaccard_pairs(df, threshold=0.4, n=1).collect()
+    slow = ngram_jaccard_pairs(df, threshold=0.4, n=1, prefix_filter=False).collect()
+    assert len(slow) == 1 and abs(slow[0]["jaccard"] - 0.4) < 1e-12
+    assert {(r.doc_a, r.doc_b) for r in fast} == {("A", "B")}
+
+
+def test_minhash_seed_range_guard(docs):
+    """seed+p past int32 would flip Spark's literal to the hashLong kernel
+    while the arrow engine emulates hashInt — reject instead of diverging."""
+    from timeseriesvectordbpattermatcher_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signature,
+    )
+
+    with pytest.raises(ValueError, match="int32"):
+        minhash_signature(docs, num_perm=4, seed=2**31 - 2)
+    with pytest.raises(ValueError, match="int32"):
+        minhash_signature(docs, num_perm=4, seed=-(2**31) - 1)
+    # the expr fallback is reachable from the LSH entry points
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5, engine="expr").collect()
+    }
+    assert ("d1", "d2") in pairs

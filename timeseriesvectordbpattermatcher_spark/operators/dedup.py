@@ -203,8 +203,13 @@ def ngram_jaccard_pairs(
             F.first("b._sz").alias("_szb"),
         )
         .filter(
-            F.col("_ub")
-            >= F.lit(threshold) / (1.0 + threshold) * (F.col("_sza") + F.col("_szb"))
+            # compare in the SAME arithmetic as the verify step's jaccard
+            # (J(x) = x/(s-x) is monotone in x, so ub >= overlap gives
+            # J(ub) >= J(overlap)); the algebraic form t/(1+t)*s suffers FP
+            # rounding that pruned exact-threshold pairs (e.g. t=0.4, s=7:
+            # 0.4/1.4*7 = 2.0000000000000004 > the true bound 2)
+            F.col("_ub") / (F.col("_sza") + F.col("_szb") - F.col("_ub"))
+            >= F.lit(threshold)
         )
         .select("doc_a", "doc_b")
     )
@@ -258,6 +263,14 @@ def minhash_signature(df: DataFrame, num_perm: int = 32, n: int = 3,
       DuckDB-free plan tests reason about and the fallback if an Arrow
       boundary is unwanted in a larger pipeline.
     """
+    if not (-(2**31) <= seed and seed + num_perm - 1 <= 2**31 - 1):
+        # F.lit(seed + p) must stay an int32 literal: past that Spark
+        # silently switches the constant to the 8-byte hashLong kernel,
+        # and the arrow engine (which emulates the 4-byte hashInt path)
+        # would diverge bit-for-bit from the expr plan
+        raise ValueError(
+            f"minhash seed range [{seed}, {seed + num_perm - 1}] must fit int32"
+        )
     base = df.select(
         F.col(id_col),
         F.transform(
@@ -369,6 +382,7 @@ def minhash_lsh_pairs(
     seed: int = 7,
     verify: bool = True,
     materialize: bool = True,
+    engine: str = "arrow",
 ) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.
 
@@ -384,7 +398,7 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0
     r = num_perm // bands
     sigs = minhash_signature(_spread(df), num_perm=num_perm, n=n, text_col=text_col,
-                             id_col=id_col, seed=seed)
+                             id_col=id_col, seed=seed, engine=engine)
     if materialize:
         sigs = _materialize(sigs)
     band_rows = sigs.select(
