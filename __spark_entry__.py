@@ -189,7 +189,9 @@ def q_window_basics(spark, sf_dir):
     return ev2.select(
         "event_id",
         "event_type",
-        F.round(F.lead("value", 5).over(w) / F.col("value") - 1, _R).alias("fw_ret_5"),
+        # try_divide: a 0-value base yields NULL forward return instead of
+        # an ANSI DIVIDE_BY_ZERO (sf0.1 events contain value = 0.0 rows)
+        F.round(F.try_divide(F.lead("value", 5).over(w), F.col("value")) - 1, _R).alias("fw_ret_5"),
         avg20.alias("avg20"),
         sig.alias("sig_cross"),
     )
@@ -210,7 +212,7 @@ l AS (SELECT event_id, event_type, ts, value, d,
              w20 AS (PARTITION BY event_type ORDER BY ts, event_id
                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
 SELECT event_id, event_type,
-       round(lead5 / value - 1, {_R}) AS fw_ret_5,
+       round(lead5 / nullif(value, 0) - 1, {_R}) AS fw_ret_5,
        round(a20, {_R}) AS avg20,
        CASE WHEN d * dp < 0 THEN sign(d)::DOUBLE ELSE 0.0 END AS sig_cross
 FROM l

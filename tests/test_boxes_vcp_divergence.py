@@ -250,3 +250,28 @@ def test_detect_boxes_forecast_single_row(spark):
     )
     r = detect_boxes_forecast(df).collect()[0]
     assert r.signame == "forecast" and r.box_ub == 12.0 and r.box_lb == 8.0
+
+
+def test_detect_boxes_zero_price_bars(spark):
+    """A price floor of 0 (zero low/close bars exist in the sf0.1 event
+    bars) must not raise ANSI DIVIDE_BY_ZERO in the band-nearness test —
+    the reference's pandas x/0 -> inf / 0/0 -> nan both fail `< delta`,
+    i.e. near is simply False at a zero band (review of the sf0.1 sweep)."""
+    import datetime as dt
+
+    from timeseriesvectordbpattermatcher_spark.operators.boxes import (
+        detect_boxes_forecast,
+    )
+
+    rows = []
+    for i in range(40):
+        px = 0.0 if i < 25 else 5.0 + 0.01 * i
+        rows.append(
+            ("Z", dt.datetime(2020, 1, 1) + dt.timedelta(days=i),
+             px, px * 1.01 if px else 0.0, px * 0.99 if px else 0.0, px, 100.0)
+        )
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, open double, high double, "
+              "low double, close double, volume double")
+    out = detect_boxes_forecast(df).toPandas()  # full materialization
+    assert len(out) == 40

@@ -71,7 +71,10 @@ def _band_signals(banded: DataFrame, delta_th: float):
     lb_combos = [(n2, n1) for n2 in UB_N2 for n1 in LB_N1 if n1 > n2]
 
     def near(cond_col, short_b, long_b):
-        return cond_col & (F.abs(short_b - long_b) / long_b < delta_th)
+        # try_divide: a zero band (price floor 0 in the bars) gives NULL,
+        # and NULL < delta_th is False — exactly the reference's pandas
+        # behavior, where x/0 -> inf and 0/0 -> nan both fail the < test
+        return cond_col & (F.try_divide(F.abs(short_b - long_b), long_b) < delta_th)
 
     # score accumulates over ALL combos; near counts only over the last n2
     score = F.lit(0.0)
