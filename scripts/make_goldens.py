@@ -10,11 +10,14 @@ Two classes of golden (VERDICT r2 item 1):
   CANNOT be frozen into the fixture. Inputs (synth fixtures / driver
   parquet) are shared; semantics are not.
 - **Engine-pinned** (the rest): regression pins freezing current engine
-  behavior (minhash banding, xxhash simhash, codecs, ANN recall, matcher,
-  media plumbing — semantics not expressible in pandas without
-  re-implementing the engine kernel itself). Their independent correctness
-  evidence lives in pytest (tests/test_matcher.py recall bounds,
-  test_codecs.py roundtrips, test_dedup_textstats.py jaccard oracles, ...).
+  behavior (codecs, ANN recall, matcher, media plumbing, token
+  segmentation — semantics not expressible without re-implementing the
+  engine kernel itself). Their independent correctness evidence lives in
+  pytest (tests/test_matcher.py recall bounds, test_codecs.py
+  roundtrip property tests, test_similarity_multimodal.py recall, ...).
+  The minhash/simhash goldens moved OUT of this class in round 3:
+  tests/oracle/{xxh64_pure,dedup_oracle}.py re-derive the full hash +
+  banding + closure semantics engine-free.
 
 Usage:
   python scripts/make_goldens.py --force [name ...]   # regenerate
@@ -37,6 +40,10 @@ GOLDEN_DIR = os.path.join(REPO, "tests", "golden")
 ORACLE_GOLDENS = {
     "multi_stop", "vcp_patterns", "trade_sim", "divergence",
     "pattern_screener", "box_detection", "trend_range",
+    # dedup goldens: tests/oracle/dedup_oracle.py re-derives the full
+    # minhash/simhash semantics on a standalone pure-python XXH64
+    # (tests/oracle/xxh64_pure.py, parity-pinned against F.xxhash64 itself)
+    "minhash_dedup", "simhash_pairs",
 }
 
 
@@ -86,6 +93,25 @@ def _oracle_frame(name: str, spark):
     if name == "pattern_screener":
         events = pd.read_parquet(os.path.join(SF_DIR, "events.parquet"))
         return po.oracle_pattern_screener(events)
+    if name in ("minhash_dedup", "simhash_pairs"):
+        import numpy as np
+
+        from tests.oracle import dedup_oracle as do
+
+        dpdf = pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+        docs = [(str(d), t) for d, t in zip(dpdf["doc_id"], dpdf["text"])]
+        if name == "minhash_dedup":
+            return pd.DataFrame(
+                {"doc_id": do.minhash_dedup_survivors(docs, threshold=0.4)}
+            )
+        pairs = do.simhash_pairs(docs, max_hamming=3, bands=4)
+        return pd.DataFrame(
+            {
+                "doc_a": [a for a, _, _ in pairs],
+                "doc_b": [b for _, b, _ in pairs],
+                "hamming": np.array([h for _, _, h in pairs], dtype=np.int32),
+            }
+        )
     raise KeyError(name)
 
 

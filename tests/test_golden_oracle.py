@@ -27,6 +27,7 @@ def _assert_equal(golden: pd.DataFrame, fresh: pd.DataFrame):
     [
         "multi_stop", "vcp_patterns", "trade_sim", "divergence",
         "pattern_screener", "box_detection", "trend_range",
+        "minhash_dedup", "simhash_pairs",
     ],
 )
 def test_golden_matches_pandas_oracle(spark, name):
@@ -41,3 +42,81 @@ def test_golden_matches_pandas_oracle(spark, name):
     golden = pd.read_parquet(os.path.join(GOLDEN_DIR, f"{name}.parquet"))
     fresh = mg._oracle_frame(name, spark)
     _assert_equal(golden, fresh)
+
+
+def test_pure_xxh64_matches_spark(spark):
+    """tests/oracle/xxh64_pure.py is the dedup oracle's hash foundation —
+    pin it against F.xxhash64 itself (strings incl. unicode and >=32-byte
+    stripes, string+int chaining, multi-long chaining)."""
+    import random
+    import string as st
+
+    from pyspark.sql import functions as F
+
+    from tests.oracle import xxh64_pure as X
+
+    rng = random.Random(5)
+    strs = ["", "a", "abc", "abcd", "abcdefg", "x" * 8, "y" * 31, "z" * 32,
+            "w" * 33, "q" * 100, "héllo wörld", "日本語テキスト"] + [
+        "".join(rng.choices(st.printable, k=rng.randint(0, 120))) for _ in range(60)
+    ]
+    df = spark.createDataFrame([(s,) for s in strs], "s: string")
+    got = [tuple(r) for r in df.select(F.xxhash64("s"), F.xxhash64("s", F.lit(7))).collect()]
+    want = [
+        (X.to_i64(X.hash_bytes(s.encode("utf-8"), 42)), X.spark_xxhash64_str_int(s, 7))
+        for s in strs
+    ]
+    assert got == want
+    longs = [rng.randint(-2**63, 2**63 - 1) for _ in range(4)]
+    dfl = spark.createDataFrame([tuple(longs)], "a long, b long, c long, d long")
+    assert dfl.select(F.xxhash64("a", "b", "c", "d")).first()[0] == X.spark_xxhash64_longs(longs)
+
+
+def test_dedup_oracle_matches_engine(spark):
+    """The dedup oracle must reproduce the engine's signatures, verified
+    pairs, survivors, and simhash pairs on a small adversarial corpus
+    (dups, near-dups, chains, empty/null/short texts) — this is the test
+    that makes the regenerated minhash/simhash goldens meaningful."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle import dedup_oracle as do
+    from timeseriesvectordbpattermatcher_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        minhash_lsh_pairs,
+        minhash_signature,
+        simhash_pairs,
+    )
+
+    vocab = [f"w{i:03d}" for i in range(120)]
+    docs = [
+        ("a1", " ".join(vocab[0:60])),
+        ("a2", " ".join(vocab[0:60])),                 # exact dup
+        ("a3", " ".join(vocab[5:65])),                 # near dup / chain hop
+        ("a4", " ".join(vocab[10:70])),                # chain hop 2
+        ("b1", " ".join(reversed(vocab[40:110]))),
+        ("c0", "tiny"),
+        ("c1", ""),
+        ("c2", None),
+        ("c3", "Punct!!! and   CAPS?? normalize-me 42 42 42"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+
+    eng_sig = {r["doc_id"]: list(r["minhash"]) for r in minhash_signature(df).collect()}
+    ora_sig = {}
+    for d, t in docs:
+        s = do.minhash_signature(t)
+        if s is not None:
+            ora_sig[d] = s
+    assert eng_sig == ora_sig
+
+    eng_pairs = {(r["doc_a"], r["doc_b"], round(r["jaccard_est"], 9))
+                 for r in minhash_lsh_pairs(df, threshold=0.4).collect()}
+    ora_pairs = {(a, b, round(j, 9)) for a, b, j in do.minhash_pairs(docs, threshold=0.4)}
+    assert eng_pairs == ora_pairs
+
+    eng_surv = sorted(r["doc_id"] for r in minhash_lsh_dedup(df, threshold=0.4).collect())
+    assert eng_surv == sorted(do.minhash_dedup_survivors(docs, threshold=0.4))
+
+    eng_sp = sorted((r["doc_a"], r["doc_b"], r["hamming"])
+                    for r in simhash_pairs(df, max_hamming=3, bands=4).collect())
+    assert eng_sp == do.simhash_pairs(docs, max_hamming=3, bands=4)

@@ -511,7 +511,13 @@ def minhash_lsh_dedup(
 
 def simhash_col(words, bits: int = 64, seed: int = 11):
     """64-bit SimHash of a words array as a Spark expression: for each bit,
-    sign of the sum over tokens of ±1 by that token-hash bit."""
+    sign of the sum over tokens of ±1 by that token-hash bit.
+
+    A NULL words array yields a NULL simhash (the doc drops out of the
+    banded pair join) — without the guard the per-bit ``otherwise(0)``
+    would silently coerce null docs to simhash 0 and pair every null-text
+    doc with every empty-text doc (which legitimately IS 0: an empty vote
+    sum). Mirrors minhash dropping null/shingle-less docs."""
     tok_hash = F.transform(words, lambda w: F.xxhash64(w, F.lit(seed)))
     bit_cols = []
     for i in range(bits):
@@ -525,7 +531,7 @@ def simhash_col(words, bits: int = 64, seed: int = 11):
     out = F.lit(0).cast("long")
     for i, b in enumerate(bit_cols):
         out = out.bitwiseOR(F.shiftleft(b, i))
-    return out
+    return F.when(words.isNotNull(), out)
 
 
 def simhash_pairs(
