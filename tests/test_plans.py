@@ -210,3 +210,22 @@ def test_gapfill_single_exchange(spark):
     for method in ("locf", "linear"):
         plan = _plan(gap_fill(rollup, ["cnt"], tier="1m", method=method))
         assert plan.count("Exchange ") == 1, (method, plan[:1500])
+
+
+def test_minhash_signature_plans(spark):
+    """The arrow signature stage must be NARROW (MapInArrow directly over
+    the projected scan, zero Exchange — a shuffle here would move raw text
+    at corpus scale) and the expr engine must stay pure-JVM (no Python
+    nodes). The string shingle hash stays JVM-side on BOTH engines."""
+    from timeseriesvectordbpattermatcher_spark.operators.dedup import (
+        minhash_signature,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    arrow = _plan(minhash_signature(df))
+    assert "MapInArrow" in arrow
+    assert arrow.count("Exchange") == 0, "signature stage must be narrow"
+    assert "xxhash64" in arrow, "shingle string hashing must stay JVM-side"
+    expr = _plan(minhash_signature(df, engine="expr"))
+    assert "MapInArrow" not in expr and "Python" not in expr
+    assert expr.count("Exchange") == 0
