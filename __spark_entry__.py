@@ -2161,7 +2161,20 @@ def q_media_features(spark, sf_dir):
 
     media = synth_media(spark, n_rows=64, seed=42)
     out = extract_media_features(media, fake=True)
-    return out.select("media_id", "modality", F.size("feat").alias("feat_dim"), "decode_ok")
+    # pin the decoded values themselves, not just the shape: first feature +
+    # L2 norm (both computed in double, rounded like every other float in
+    # the contract) — the golden is regenerated from the engine-free decode
+    # oracle in tests/oracle/segment_oracle.py
+    fd = F.transform("feat", lambda x: x.cast("double"))
+    sumsq = F.aggregate(fd, F.lit(0.0), lambda s, v: s + v * v)
+    return out.select(
+        "media_id",
+        "modality",
+        F.size("feat").alias("feat_dim"),
+        "decode_ok",
+        F.round(F.element_at(fd, 1), _R).alias("feat0"),
+        F.round(F.sqrt(sumsq), _R).alias("feat_norm"),
+    )
 
 
 # --------------------------------------------------------------------------

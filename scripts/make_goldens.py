@@ -10,14 +10,18 @@ Two classes of golden (VERDICT r2 item 1):
   CANNOT be frozen into the fixture. Inputs (synth fixtures / driver
   parquet) are shared; semantics are not.
 - **Engine-pinned** (the rest): regression pins freezing current engine
-  behavior (codecs, ANN recall, matcher, media plumbing, token
-  segmentation — semantics not expressible without re-implementing the
-  engine kernel itself). Their independent correctness evidence lives in
-  pytest (tests/test_matcher.py recall bounds, test_codecs.py
-  roundtrip property tests, test_similarity_multimodal.py recall, ...).
-  The minhash/simhash goldens moved OUT of this class in round 3:
-  tests/oracle/{xxh64_pure,dedup_oracle}.py re-derive the full hash +
-  banding + closure semantics engine-free.
+  behavior. Their independent correctness evidence lives in pytest
+  (test_codecs.py roundtrip property tests, test_matcher.py /
+  test_similarity_multimodal.py recall bounds). Round 3 moved most
+  goldens OUT of this class: tests/oracle/{xxh64_pure,dedup_oracle}.py
+  re-derive the minhash/simhash hash + banding + closure semantics
+  engine-free, and tests/oracle/segment_oracle.py re-derives the 40-dim
+  feature spec, 64/10 segmentation, the E2 matcher query path, and the
+  multimodal fake-decode contract. Still engine-pinned: ``ann_recall``
+  (the approximate structures' recall >= 0.9 is asserted inside the
+  query itself vs an exact brute-force truth set) and
+  ``codec_roundtrip`` (lossless roundtrip is property-tested in pytest;
+  the golden pins compressed sizes).
 
 Usage:
   python scripts/make_goldens.py --force [name ...]   # regenerate
@@ -44,6 +48,11 @@ ORACLE_GOLDENS = {
     # minhash/simhash semantics on a standalone pure-python XXH64
     # (tests/oracle/xxh64_pure.py, parity-pinned against F.xxhash64 itself)
     "minhash_dedup", "simhash_pairs",
+    # segmentation/matcher/multimodal goldens: tests/oracle/segment_oracle.py
+    # re-derives the 40-dim feature spec per-row, the 64/10 segmentation
+    # (incl. the reference's prefix swap + 2*bigdrop cap), the E2 matcher
+    # query path, and the fake-decode contract — zero engine-operator imports
+    "token_segmentation", "matcher_pipeline", "media_features",
 }
 
 
@@ -93,6 +102,24 @@ def _oracle_frame(name: str, spark):
     if name == "pattern_screener":
         events = pd.read_parquet(os.path.join(SF_DIR, "events.parquet"))
         return po.oracle_pattern_screener(events)
+    if name == "token_segmentation":
+        from tests.oracle import segment_oracle as so
+        from timeseriesvectordbpattermatcher_spark.sources.synth import synth_seqs
+
+        seqs = synth_seqs(spark, 2000, seed=42).select(
+            "doc_id", "source", "tokens"
+        ).toPandas()
+        return so.oracle_token_segmentation(seqs)
+    if name == "matcher_pipeline":
+        from tests.oracle import segment_oracle as so
+
+        return so.oracle_matcher_pipeline(ohlcv_pdf(6, 900))
+    if name == "media_features":
+        from tests.oracle import segment_oracle as so
+        from timeseriesvectordbpattermatcher_spark.operators.multimodal import synth_media
+
+        media = synth_media(spark, n_rows=64, seed=42).toPandas()
+        return so.oracle_media_features(media)
     if name in ("minhash_dedup", "simhash_pairs"):
         import numpy as np
 

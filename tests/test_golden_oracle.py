@@ -28,6 +28,7 @@ def _assert_equal(golden: pd.DataFrame, fresh: pd.DataFrame):
         "multi_stop", "vcp_patterns", "trade_sim", "divergence",
         "pattern_screener", "box_detection", "trend_range",
         "minhash_dedup", "simhash_pairs",
+        "token_segmentation", "matcher_pipeline", "media_features",
     ],
 )
 def test_golden_matches_pandas_oracle(spark, name):
