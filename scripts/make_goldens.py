@@ -53,6 +53,10 @@ ORACLE_GOLDENS = {
     # (incl. the reference's prefix swap + 2*bigdrop cap), the E2 matcher
     # query path, and the fake-decode contract — zero engine-operator imports
     "token_segmentation", "matcher_pipeline", "media_features",
+    # codec golden: tests/oracle/codec_oracle.py re-implements the Gorilla
+    # XOR + DoD layouts from the published algorithm with an independent
+    # bit-packing mechanism and pins the exact compressed byte counts
+    "codec_roundtrip",
 }
 
 
@@ -120,6 +124,22 @@ def _oracle_frame(name: str, spark):
 
         media = synth_media(spark, n_rows=64, seed=42).toPandas()
         return so.oracle_media_features(media)
+    if name == "codec_roundtrip":
+        from pyspark.sql import functions as F
+
+        from tests.oracle import codec_oracle as co
+
+        # shared input: the same 1m rollup rows the contract query encodes
+        # (plain aggregate — the operator under test is the codec itself)
+        r1m = (
+            spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+            .groupBy(
+                F.col("event_type").alias("source"),
+                F.date_trunc("minute", "ts").alias("bucket_ts"),
+            )
+            .agg(F.avg("value").alias("avg_value"))
+        )
+        return co.oracle_codec_roundtrip(r1m.toPandas())
     if name in ("minhash_dedup", "simhash_pairs"):
         import numpy as np
 

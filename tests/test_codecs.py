@@ -128,3 +128,45 @@ def test_xor_roundtrip_property(vals):
 )
 def test_dod_roundtrip_property(ts):
     _roundtrip_ints(ts)
+
+
+# ---------------------------------------------------------------------------
+# engine codec == pure oracle codec (tests/oracle/codec_oracle.py): the
+# golden's compressed byte counts are pinned by an independent bit-packer,
+# so hypothesis drives both implementations to byte-identical streams
+# ---------------------------------------------------------------------------
+
+from tests.oracle import codec_oracle as co
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        min_size=0,
+        max_size=200,
+    )
+)
+def test_xor_oracle_parity(vals):
+    arr = np.asarray(vals, dtype=np.float64)
+    blob = encode_xor_floats(arr)
+    assert blob == co.encode_xor_floats_pure(arr)
+    assert np.array_equal(
+        co.decode_xor_floats_pure(blob).view(np.uint64),
+        decode_xor_floats(blob).view(np.uint64),
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62 - 1),
+        min_size=0,
+        max_size=200,
+    )
+)
+def test_dod_oracle_parity(ts):
+    arr = np.asarray(ts, dtype=np.int64)
+    blob = encode_dod_ints(arr)
+    assert blob == co.encode_dod_ints_pure(arr)
+    assert np.array_equal(co.decode_dod_ints_pure(blob), decode_dod_ints(blob))
