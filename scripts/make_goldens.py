@@ -9,19 +9,15 @@ Two classes of golden (VERDICT r2 item 1):
   hash-match these at the driver's correctness gate, so a bug in the engine
   CANNOT be frozen into the fixture. Inputs (synth fixtures / driver
   parquet) are shared; semantics are not.
-- **Engine-pinned** (the rest): regression pins freezing current engine
-  behavior. Their independent correctness evidence lives in pytest
-  (test_codecs.py roundtrip property tests, test_matcher.py /
-  test_similarity_multimodal.py recall bounds). Round 3 moved most
-  goldens OUT of this class: tests/oracle/{xxh64_pure,dedup_oracle}.py
+- **Engine-pinned**: none left. Round 3 moved every golden into the
+  oracle-backed class: tests/oracle/{xxh64_pure,dedup_oracle}.py
   re-derive the minhash/simhash hash + banding + closure semantics
-  engine-free, and tests/oracle/segment_oracle.py re-derives the 40-dim
+  engine-free; tests/oracle/segment_oracle.py re-derives the 40-dim
   feature spec, 64/10 segmentation, the E2 matcher query path, and the
-  multimodal fake-decode contract. Still engine-pinned: ``ann_recall``
-  (the approximate structures' recall >= 0.9 is asserted inside the
-  query itself vs an exact brute-force truth set) and
-  ``codec_roundtrip`` (lossless roundtrip is property-tested in pytest;
-  the golden pins compressed sizes).
+  multimodal fake-decode contract; tests/oracle/codec_oracle.py
+  re-implements the Gorilla XOR/DoD layouts with an independent
+  bit-packer; tests/oracle/ann_oracle.py re-derives the hyperplane LSH
+  and IVF quantizer from their published definitions.
 
 Usage:
   python scripts/make_goldens.py --force [name ...]   # regenerate
@@ -57,6 +53,9 @@ ORACLE_GOLDENS = {
     # XOR + DoD layouts from the published algorithm with an independent
     # bit-packing mechanism and pins the exact compressed byte counts
     "codec_roundtrip",
+    # ANN golden: tests/oracle/ann_oracle.py re-derives the hyperplane LSH
+    # and IVF quantizer from their published definitions + documented seeds
+    "ann_recall",
 }
 
 
@@ -124,6 +123,11 @@ def _oracle_frame(name: str, spark):
 
         media = synth_media(spark, n_rows=64, seed=42).toPandas()
         return so.oracle_media_features(media)
+    if name == "ann_recall":
+        from tests.oracle import ann_oracle as ao
+
+        emb = pd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        return ao.oracle_ann_recall(emb)
     if name == "codec_roundtrip":
         from pyspark.sql import functions as F
 

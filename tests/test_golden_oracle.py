@@ -29,7 +29,7 @@ def _assert_equal(golden: pd.DataFrame, fresh: pd.DataFrame):
         "pattern_screener", "box_detection", "trend_range",
         "minhash_dedup", "simhash_pairs",
         "token_segmentation", "matcher_pipeline", "media_features",
-        "codec_roundtrip",
+        "codec_roundtrip", "ann_recall",
     ],
 )
 def test_golden_matches_pandas_oracle(spark, name):
