@@ -109,7 +109,13 @@ def features_40_one(w: np.ndarray) -> np.ndarray | None:
     for b in range(7):
         f[33 + b] = (idx == b).sum() / m
 
-    return np.asarray(f, dtype=np.float64).astype(np.float32)
+    # Kats contract tail: NaN features -> 0.0; any ±inf feature rejects the
+    # whole window (functions/features.py module docstring / reference
+    # opkatsDataUtil.py:212-215)
+    arr = np.asarray(f, dtype=np.float64)
+    if np.isinf(arr).any():
+        return None
+    return np.where(np.isnan(arr), 0.0, arr).astype(np.float32)
 
 
 # --------------------------------------------------------------------------

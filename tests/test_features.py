@@ -62,3 +62,40 @@ def test_cosine_scores():
     refs = np.array([[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [2.0, 0.0]])
     s = cosine_topk_scores(q, refs)
     assert s == pytest.approx([1.0, 0.0, -1.0, 1.0])
+
+
+# ---------------------------------------------------------------------------
+# engine kernel == per-row oracle re-derivation (tests/oracle/segment_oracle):
+# the segmentation/matcher goldens rest on this spec, so drive both
+# implementations across random, adversarial, and structured windows
+# ---------------------------------------------------------------------------
+
+
+def test_features_oracle_parity_random():
+    from tests.oracle.segment_oracle import features_40_one
+
+    rng = np.random.default_rng(11)
+    wins = [
+        rng.normal(size=64),
+        rng.normal(size=2),
+        rng.normal(size=3),
+        np.full(64, 3.7),                      # constant -> skipped
+        np.concatenate([[np.inf], rng.normal(size=63)]),   # non-finite
+        np.concatenate([[np.nan], rng.normal(size=63)]),
+        rng.integers(0, 5, size=64).astype(float),         # heavy ties
+        np.arange(64, dtype=float),                        # pure trend
+        np.sin(np.arange(128) / 3.0),                      # periodic
+        rng.normal(size=64) * 1e-300,                      # denormal scale
+    ] + [rng.normal(size=rng.integers(2, 200)) for _ in range(50)]
+
+    from timeseriesvectordbpattermatcher_spark.functions.features import features_40
+
+    for w in wins:
+        batched = features_40(w[None, :])[0]
+        rowwise = features_40_one(w)
+        if rowwise is None:
+            assert np.isnan(batched).all(), "skip decision must agree"
+        else:
+            np.testing.assert_array_equal(
+                batched, rowwise, err_msg="feature values must be bit-equal"
+            )
