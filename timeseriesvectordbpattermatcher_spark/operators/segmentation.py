@@ -231,12 +231,17 @@ def segment_tokens(
                 means = mat.mean(axis=1, keepdims=True)
                 mat = np.divide(mat, means, out=mat.copy(), where=means != 0)
             feats = features_40(mat)
-            good = ~np.isnan(feats).all(axis=1)
+            good = np.where(~np.isnan(feats).all(axis=1))[0]
+            if not len(good):
+                # every window filtered (constant/degenerate docs): an empty
+                # object column can't Arrow-convert to array<float> — skip
+                # the batch instead of yielding an untyped empty frame
+                continue
             out = pd.DataFrame(
-                [seg_rows[i] for i in np.where(good)[0]],
+                [seg_rows[i] for i in good],
                 columns=["segment_id", "doc_id", "source", "start_idx", "end_idx"],
             )
-            out["features"] = [feats[i] for i in np.where(good)[0]]
+            out["features"] = [feats[i] for i in good]
             yield out
 
     return seqs.select("doc_id", "source", "tokens").mapInPandas(
