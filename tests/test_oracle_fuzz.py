@@ -179,3 +179,54 @@ def test_ann_recall_oracle_fuzz(spark):
     )
     want = oracle_ann_recall(emb2[["vec_id", "embedding"]])
     _assert_match(got, want)
+
+
+def _fuzz_corpus(seed: int, n: int = 120) -> list[tuple[str, str | None]]:
+    """Random word-salad corpus with planted near-dup chains, exotic
+    whitespace/punct, short docs, null and empty texts."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    docs: list[tuple[str, str | None]] = []
+    for i in range(n):
+        k = int(rng.integers(0, 30))
+        words = list(rng.choice(vocab, size=k)) if k else []
+        docs.append((f"d{i:04d}", " ".join(words)))
+    # planted chain: d_base ~ d_mut1 ~ d_mut2 (transitive closure food)
+    base = list(rng.choice(vocab, size=25))
+    for j, flips in enumerate((0, 1, 2)):
+        words = base.copy()
+        for f in range(flips):
+            words[f * 3] = vocab[(f * 7) % len(vocab)]
+        docs.append((f"p{j}", " ".join(words)))
+    docs.append(("null_doc", None))
+    docs.append(("empty_doc", ""))
+    docs.append(("punct_doc", "W0, w1!  W2;w3\tw4\n" + "x" * 5))
+    return docs
+
+
+@pytest.mark.parametrize("seed", [3, 77])
+def test_minhash_dedup_oracle_fuzz(spark, seed):
+    from tests.oracle import dedup_oracle as do
+    from timeseriesvectordbpattermatcher_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = _fuzz_corpus(seed)
+    sdf = spark.createDataFrame(docs, "doc_id string, text string")
+    got = sorted(r["doc_id"] for r in minhash_lsh_dedup(sdf, threshold=0.4)
+                 .select("doc_id").collect())
+    want = sorted(do.minhash_dedup_survivors(docs, threshold=0.4))
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [9, 41])
+def test_simhash_pairs_oracle_fuzz(spark, seed):
+    from tests.oracle import dedup_oracle as do
+    from timeseriesvectordbpattermatcher_spark.operators.dedup import simhash_pairs
+
+    docs = _fuzz_corpus(seed)
+    sdf = spark.createDataFrame(docs, "doc_id string, text string")
+    got = sorted(
+        (r["doc_a"], r["doc_b"], int(r["hamming"]))
+        for r in simhash_pairs(sdf, max_hamming=3, bands=4).collect()
+    )
+    want = sorted(do.simhash_pairs(docs, max_hamming=3, bands=4))
+    assert got == want
