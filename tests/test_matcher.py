@@ -242,3 +242,36 @@ spark.stop()
     store = [l for l in out.stdout.splitlines() if l.startswith("STORE:")][0][6:]
     import os
     assert not os.path.exists(store), "atexit cleanup did not remove the store"
+
+
+def test_match_pipeline_edges_all_strategies(spark):
+    """Exact-tie ordering (id asc), zero-norm refs (score 0), future refs
+    filtered, sub-k ref sets, and EMPTY ref sets — identical across the
+    join / bcast / auto strategies (empty bcast used to crash the worker
+    on a 1-D ref matrix)."""
+    from pyspark.sql import functions as F
+
+    from timeseriesvectordbpattermatcher_spark.operators.matcher import match_pipeline
+
+    qs = spark.createDataFrame(
+        [("q1", [1.0, 0.0, 0.0], "2020-01-01")],
+        "query_id string, q_features array<float>, query_start string",
+    ).withColumn("query_start", F.to_date("query_start"))
+    refs = spark.createDataFrame(
+        [("a_TK1_20190101_20190301", [1.0, 0.0, 0.0]),
+         ("a_TK2_20190101_20190301", [1.0, 0.0, 0.0]),   # exact tie
+         ("a_TK3_20190101_20190301", [0.0, 0.0, 0.0]),   # zero norm
+         ("a_TK4_20210101_20210301", [1.0, 0.0, 0.0])],  # future: filtered
+        "segment_id string, features array<float>",
+    )
+    want = [(1, "a_TK1_20190101_20190301", 1.0),
+            (2, "a_TK2_20190101_20190301", 1.0),
+            (3, "a_TK3_20190101_20190301", 0.0)]
+    for strat in ("join", "bcast", "auto"):
+        rows = match_pipeline(qs, refs, strategy=strat).orderBy("rank").collect()
+        got = [(r["rank"], r["segment_id"], round(r["score"], 6)) for r in rows]
+        assert got == want, strat
+
+    empty = spark.createDataFrame([], "segment_id string, features array<float>")
+    for strat in ("join", "bcast", "auto"):
+        assert match_pipeline(qs, empty, strategy=strat).count() == 0, strat

@@ -150,9 +150,11 @@ def _load_ref_matrix(path: str, ref_id: str, ref_vec: str):
         tbl = ds.dataset(path, format="parquet").to_table(columns=[ref_id, ref_vec])
         ids = np.array(tbl.column(ref_id).to_pylist())
         mat = np.array(tbl.column(ref_vec).to_pylist(), dtype=np.float64)
+        if len(ids) == 0:
+            mat = mat.reshape(0, 0)  # np.array([]) is 1-D; keep the matmul shape
         order = np.argsort(ids)
         ids, mat = ids[order], mat[order]
-        norms = np.linalg.norm(mat, axis=1)
+        norms = np.linalg.norm(mat, axis=1) if len(ids) else np.empty(0)
         norms = np.where(norms > 0, norms, 1.0)
         hit = (ids, mat, norms)
         _REF_CACHE.clear()  # hold at most one matrix per worker
@@ -197,6 +199,8 @@ def cosine_topk_bcast(
         r_ids, r_mat, r_norms = _load_ref_matrix(path, rid, rvec)
         n_refs = len(r_ids)
         take = min(kk, n_refs)
+        if take == 0:
+            return  # empty ref store: no matches for any query
         for pdf in batches:
             if pdf.empty:
                 continue
