@@ -151,3 +151,37 @@ def test_ivf_determinism(spark, emb, emb_queries):
     b = ivf_topk(emb_queries, emb, k=3, query_id="query_id", query_vec="q_embedding",
                  ref_id="vec_id", ref_vec="embedding").orderBy("query_id", "rank").collect()
     assert a == b
+
+
+def test_ann_paths_empty_and_null_refs(spark):
+    """Empty or all-null ref sets degrade to zero matches on every ANN path
+    (lsh/ivf used to crash on dim discovery / centroid training), and the
+    dup-pair scan returns a typed empty frame."""
+    from pyspark.sql import functions as F
+
+    from timeseriesvectordbpattermatcher_spark.operators.similarity import (
+        cosine_dup_pairs,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    q = spark.createDataFrame([(0, [1.0] * 8)], "query_id long, q_embedding array<float>")
+    kw = dict(query_id="query_id", query_vec="q_embedding",
+              ref_id="vec_id", ref_vec="embedding")
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    nulls = spark.createDataFrame([(1, None), (2, None)],
+                                  "vec_id long, embedding array<float>")
+    for refs in (empty, nulls):
+        for fn in (lsh_topk, ivf_topk):
+            out = fn(q, refs, k=5, **kw)
+            assert out.count() == 0
+            assert [f.name for f in out.schema.fields] == ["query_id", "rank", "vec_id", "score"]
+    for df in (empty, nulls):
+        out = cosine_dup_pairs(df, id_col="vec_id", vec_col="embedding")
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "score"]
+
+    # sub-k single-ref set still matches on both approximate paths
+    one = spark.createDataFrame([(7, [1.0] * 8)], "vec_id long, embedding array<float>")
+    assert lsh_topk(q, one, k=5, **kw).count() == 1
+    assert ivf_topk(q, one, k=5, **kw).count() == 1

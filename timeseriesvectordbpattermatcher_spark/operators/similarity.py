@@ -41,6 +41,17 @@ def brute_force_topk(
               ref_id=ref_id, ref_vec=ref_vec)
 
 
+def _empty_topk(queries: DataFrame, refs: DataFrame, query_id: str, ref_id: str) -> DataFrame:
+    """Typed empty (query_id, rank, ref_id, score) result for an empty or
+    all-null ref set — every approximate path degrades to zero matches the
+    way the exact join does, instead of crashing on dim discovery."""
+    qt = queries.schema[query_id].dataType.simpleString()
+    rt = refs.schema[ref_id].dataType.simpleString()
+    return refs.sparkSession.createDataFrame(
+        [], f"{query_id} {qt}, rank int, {ref_id} {rt}, score double"
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.normal(size=(n_tables, n_bits, dim))
@@ -101,7 +112,10 @@ def lsh_topk(
     with n_bits. For 100 TB refs this is the partition-pruned path: bucket
     becomes a partition column and only matching partitions are scanned.
     """
-    dim = len(refs.select(ref_vec).first()[0])
+    first = refs.select(ref_vec).filter(F.col(ref_vec).isNotNull()).first()
+    if first is None:
+        return _empty_topk(queries, refs, query_id, ref_id)
+    dim = len(first[0])
     planes = _hyperplanes(dim, n_bits, n_tables, seed)
     q_b = _with_table_buckets(queries.select(query_id, query_vec), query_vec, planes)
     r_b = _with_table_buckets(refs.select(ref_id, ref_vec), ref_vec, planes)
@@ -141,7 +155,13 @@ def cosine_dup_pairs(
     if exact:
         cands = left.join(right, F.col("id_a") < F.col("id_b"))
     else:
-        dim = len(df.select(vec_col).first()[0])
+        first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        if first is None:
+            idt = df.schema[id_col].dataType.simpleString()
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {idt}, id_b {idt}, score double"
+            )
+        dim = len(first[0])
         planes = _hyperplanes(dim, n_bits, n_tables, seed)
         b = _with_table_buckets(df.select(id_col, vec_col), vec_col, planes)
         ba = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "tbl", "bkt")
@@ -215,6 +235,8 @@ def ivf_topk(
     a probe scans nprobe/n_lists of the corpus — with the equi-join below
     Catalyst shuffles candidates only.
     """
+    if refs.select(ref_vec).filter(F.col(ref_vec).isNotNull()).first() is None:
+        return _empty_topk(queries, refs, query_id, ref_id)
     cents = train_ivf_centroids(refs, n_lists=n_lists, seed=seed, vec_col=ref_vec)
 
     @F.pandas_udf(T.IntegerType())
