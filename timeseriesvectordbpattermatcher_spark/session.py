@@ -38,7 +38,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 100k rows/batch: the Arrow-bound paths (token-stat mapInArrow,
+        # minhash signature kernel, segmentation mapInPandas) pay a fixed
+        # per-batch Python/IPC cost, so 10k-row batches left ~1.5x on the
+        # table (A/B at sf0.1: cascade 4.55s@10k -> 2.97s@100k, minhash
+        # 2.60 -> 2.04, token_segmentation 0.71 -> 0.55; codec/matcher
+        # flat). Memory: a seqs batch is ~1.1 KB/row -> ~110 MB in flight
+        # per worker — fine for multi-GB executors; jobs over wide binary
+        # payloads (multimodal) should lower this per session
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         # keep the local heap MODEST: measured on the sandbox VM, a 48g
         # heap made the token-decode cascade 25x slower than a 12g one
         # (235s vs ~9s pinned to 8 cores — huge G1 heaps on this host
