@@ -1,0 +1,148 @@
+"""spark-submit entrypoint for the end-to-end training-data curation
+pipeline: the LLM-data operators composed the way a 100 TB corpus job
+would run them.
+
+    raw docs
+      -> exact dedup          (shuffle: 16-byte md5 per row, never text)
+      -> MinHash-LSH near-dup (banded signature bucket join + fixpoint
+                               closure over edge nodes only)
+      -> text analysis        (lang-id, quality score, token counts,
+                               fingerprint — one pass, pure codegen exprs)
+      -> quality/lang filter  (pushed to the scan of the curated write)
+      -> curated parquet + one JSON stats line
+
+Every stage reports its row count — a curation job that silently drops
+data is indistinguishable from a broken one, so the stats line is the
+contract ("no silent caps"). Stage boundaries are localCheckpoints on the
+sandbox (single node); on a fault-tolerant cluster persist each stage to a
+durable table instead (same idea — see operators/dedup._materialize).
+
+Cluster:
+    scripts/make_pyfiles_zip.sh
+    spark-submit --driver-memory 8g --py-files engine.zip scripts/corpus_job.py \
+        --input /data/docs --output /tables/curated [--threshold 0.4]
+        [--min-quality 0.5] [--langs en]
+
+Local smoke (what the sandbox runs):
+    python scripts/corpus_job.py --synthetic-docs 2000 --output /tmp/curated
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def synth_docs(spark, n_rows: int, seed: int = 42):
+    """Deterministic synthetic corpus with planted exact and near
+    duplicates: ids 0..n-1; every 100th doc repeats doc i-50's text
+    verbatim (exact dup), every 100th+1 repeats it with one word changed
+    (near dup). Pure Spark exprs — no driver-side text."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, n_rows, 1, spark.sparkContext.defaultParallelism)
+    # ~40-word documents from a hashed vocabulary; word w of doc d is
+    # vocab[xxhash64(seed, base_doc(d), w) % 500]. base_doc folds the
+    # planted duplicates: d % 100 == 0/1 -> reuse doc d-50's words.
+    base = (
+        F.when((F.col("id") % 100 == 0) & (F.col("id") >= 50), F.col("id") - 50)
+        .when((F.col("id") % 100 == 1) & (F.col("id") >= 51), F.col("id") - 51)
+        .otherwise(F.col("id"))
+    )
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda w: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.lit(seed), base, w), F.lit(500)).cast("string"),
+        ),
+    )
+    # the near-dup variant flips word 0 to a doc-unique token
+    words = F.when(
+        (F.col("id") % 100 == 1) & (F.col("id") >= 51),
+        F.concat(
+            F.array(F.concat(F.lit("u"), F.col("id").cast("string"))),
+            F.slice(words, 2, 39),
+        ),
+    ).otherwise(words)
+    return df.select(
+        F.concat(F.lit("doc"), F.lpad(F.col("id").cast("string"), 8, "0")).alias("doc_id"),
+        F.concat_ws(" ", words).alias("text"),
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet dir of docs(doc_id, text, ...)")
+    ap.add_argument("--synthetic-docs", type=int, default=0,
+                    help="generate a deterministic corpus instead of reading --input")
+    ap.add_argument("--output", required=True, help="curated corpus parquet dir")
+    ap.add_argument("--threshold", type=float, default=0.4,
+                    help="MinHash-LSH jaccard threshold for near-dup removal")
+    ap.add_argument("--min-quality", type=float, default=0.5,
+                    help="minimum composite quality score to keep")
+    ap.add_argument("--langs", default="",
+                    help="comma-separated lang_pred allowlist, e.g. en,und "
+                         "(empty = keep all)")
+    ap.add_argument("--cpus", type=int, default=0, help="local[] width (0 = all)")
+    args = ap.parse_args()
+
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    from pyspark.sql import functions as F
+
+    from timeseriesvectordbpattermatcher_spark.operators.dedup import (
+        _materialize,
+        exact_dedup,
+        minhash_lsh_dedup,
+    )
+    from timeseriesvectordbpattermatcher_spark.operators.textstats import (
+        add_fingerprint,
+        add_lang_id,
+        add_quality_score,
+        add_token_counts,
+    )
+    from timeseriesvectordbpattermatcher_spark.session import get_spark
+
+    spark = get_spark(app_name="corpus_job", cpus=args.cpus or None)
+    t0 = time.time()
+
+    if args.synthetic_docs:
+        docs = synth_docs(spark, args.synthetic_docs)
+    elif args.input:
+        docs = spark.read.parquet(args.input).withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+    else:
+        ap.error("one of --input / --synthetic-docs is required")
+
+    stats: dict = {"stages": {}}
+    docs = _materialize(docs.select("doc_id", "text"))
+    stats["stages"]["raw"] = docs.count()
+
+    exact = _materialize(exact_dedup(docs))
+    stats["stages"]["exact_dedup"] = exact.count()
+
+    survivors = minhash_lsh_dedup(exact, threshold=args.threshold).select("doc_id")
+    near = _materialize(exact.join(survivors, "doc_id", "left_semi"))
+    stats["stages"]["near_dedup"] = near.count()
+
+    analyzed = add_fingerprint(add_token_counts(add_lang_id(add_quality_score(near))))
+    keep = F.col("quality") >= args.min_quality
+    langs = [s for s in args.langs.split(",") if s]
+    if langs:
+        keep = keep & F.col("lang_pred").isin(langs)
+    curated = analyzed.filter(keep)
+
+    curated.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    stats["stages"]["curated"] = out.count()
+    stats["quality_filtered"] = stats["stages"]["near_dedup"] - stats["stages"]["curated"]
+    stats["wall_sec"] = round(time.time() - t0, 2)
+    stats["output"] = args.output
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,43 @@
+"""End-to-end curation pipeline job (scripts/corpus_job.py): the composed
+LLM-data path — exact dedup -> MinHash near-dup -> text analysis ->
+quality/lang filter -> curated parquet + stats line."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_corpus_job_end_to_end(tmp_path):
+    out_dir = str(tmp_path / "curated")
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--synthetic-docs", "1000", "--output", out_dir, "--cpus", "8",
+         "--langs", "en,und"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+
+    # planted duplicates: ids 100..900 step 100 are exact copies (9 docs),
+    # ids 101..901 step 100 are one-word-changed near dups (9 docs)
+    assert stats["stages"]["raw"] == 1000
+    assert stats["stages"]["exact_dedup"] == 991
+    assert stats["stages"]["near_dedup"] == 982
+    assert stats["stages"]["curated"] <= stats["stages"]["near_dedup"]
+    assert stats["stages"]["curated"] > 900  # filter must not nuke the corpus
+
+    import pandas as pd
+
+    curated = pd.read_parquet(out_dir)
+    assert len(curated) == stats["stages"]["curated"]
+    # analysis columns rode through to the curated table
+    for col in ("quality", "lang_pred", "n_words", "fingerprint"):
+        assert col in curated.columns, col
+    assert curated["doc_id"].is_unique
+    assert (curated["quality"] >= 0.5).all()
