@@ -230,3 +230,43 @@ def test_simhash_pairs_oracle_fuzz(spark, seed):
     )
     want = sorted(do.simhash_pairs(docs, max_hamming=3, bands=4))
     assert got == want
+
+
+def test_segment_series_oracle_nulls(spark):
+    """Null price/volume rows ride the real dropna paths on both sides:
+    the 250-row MA needs a full non-null window (ma_normalize) and any
+    surviving window shorter than 64 after dropna is skipped."""
+    from tests.oracle.segment_oracle import (
+        ma_normalize_pandas,
+        segment_series_pandas,
+    )
+    from timeseriesvectordbpattermatcher_spark.operators.segmentation import (
+        ma_normalize,
+        segment_series,
+    )
+    from timeseriesvectordbpattermatcher_spark.sources.synth import synth_ohlcv
+
+    pdf = (
+        synth_ohlcv(spark, n_tickers=3, n_days=500, seed=23)
+        .toPandas()
+        .sort_values(["series_id", "ts"])
+        .reset_index(drop=True)
+    )
+    # deterministic null injection across all three value columns
+    pdf.loc[pdf.index % 97 == 0, "close"] = None
+    pdf.loc[pdf.index % 131 == 5, "open"] = None
+    pdf.loc[pdf.index % 113 == 7, "volume"] = None
+
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        segment_series(ma_normalize(sdf))
+        .select("segment_id", "series_id", "label", F.round("fw_ret", 6).alias("fw_ret"))
+        .toPandas()
+    )
+    want = segment_series_pandas(ma_normalize_pandas(pdf))
+    if len(want):
+        want = want[["segment_id", "series_id", "label", "fw_ret"]].copy()
+        want["fw_ret"] = want["fw_ret"].astype(float).round(6)
+    assert len(got) == len(want)
+    if len(got):
+        _assert_match(got, want)
