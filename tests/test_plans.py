@@ -229,3 +229,22 @@ def test_minhash_signature_plans(spark):
     expr = _plan(minhash_signature(df, engine="expr"))
     assert "MapInArrow" not in expr and "Python" not in expr
     assert expr.count("Exchange") == 0
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark):
+    """exact_dedup's scale contract: the dedup DECISION shuffles only the
+    16-byte md5 digest + id (map-side partial_min, no text column in the
+    aggregate exchange). The survivor-row recovery is an id semi join —
+    the one shuffle that carries text, elidable by bucketing the corpus
+    on doc_id (test_bucketed_join_eliminates_shuffle)."""
+    from timeseriesvectordbpattermatcher_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "y")], "doc_id string, text string"
+    )
+    plan = _plan(exact_dedup(docs))
+    assert re.search(r"Exchange hashpartitioning\(_h#\d+", plan), plan
+    assert "partial_min(doc_id" in plan, plan
+    # the digest exchange's input aggregate projects ONLY (_h, min) — text
+    # must not ride the dedup-decision shuffle
+    assert re.search(r"output=\[_h#\d+, min#\d+\]", plan), plan

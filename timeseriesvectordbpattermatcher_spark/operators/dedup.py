@@ -86,9 +86,12 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep the min-id row of every exact-content group.
 
-    One shuffle on md5(text) (16 bytes/row regardless of document size —
-    never shuffle the text itself at scale; the survivor row is recovered
-    with a self-join on the digest).
+    The dedup DECISION shuffles md5(text) + id only (16 bytes/row
+    regardless of document size, map-side partial_min — pinned by
+    tests/test_plans.py::test_exact_dedup_shuffles_digest_not_text); the
+    survivor rows are then recovered with an id semi join, the one
+    shuffle that carries text — elidable at scale by bucketing the
+    corpus on the id column.
     """
     digest = F.md5(F.col(text_col))
     survivors = (
