@@ -304,27 +304,38 @@ FROM t
 
 
 def q_pricing_summary(spark, sf_dir):
-    """A1/A2 shape (TPC-H Q1): groupwise sums/avgs with a date predicate."""
+    """A1/A2 shape (TPC-H Q1): groupwise sums/avgs with a date predicate.
+
+    Sums run over decimal(23,6)-quantized addends: decimal addition is
+    exact and order-independent, so the result is bit-identical across
+    engines and partition counts — double sums of 100k+ rows diverge from
+    any serial oracle in the 6th decimal by summation order alone (the
+    sf0.1 sweep caught exactly that). A decimal tie at the 6th digit is
+    impossible for a double input (it would need a 5^6 denominator), so
+    the quantization itself is also engine-agnostic."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: c.cast("decimal(23,6)")  # noqa: E731
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), _R).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), _R).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), _R).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), _R).alias("avg_qty"),
-            F.count("*").alias("count_order"),
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double").alias("sum_disc_price"),
+            F.round(F.sum(dec(F.col("l_quantity"))).cast("double") / n, _R).alias("avg_qty"),
+            n.alias("count_order"),
         )
     )
 
 
 SQL_PRICING_SUMMARY = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), {_R}) AS sum_qty,
-       round(sum(l_extendedprice), {_R}) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), {_R}) AS sum_disc_price,
-       round(avg(l_quantity), {_R}) AS avg_qty,
+       sum(CAST(l_quantity AS DECIMAL(23,6)))::DOUBLE AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(23,6)))::DOUBLE AS sum_base_price,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,6)))::DOUBLE AS sum_disc_price,
+       round(sum(CAST(l_quantity AS DECIMAL(23,6)))::DOUBLE / count(*), {_R}) AS avg_qty,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY 1, 2
@@ -336,11 +347,15 @@ def q_perf_by_year(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     o = o.withColumn("yr", F.year("o_orderdate"))
     o.createOrReplaceTempView("_orders_y")
+    # decimal-quantized sums: exact + order-independent across engines
+    # (see q_pricing_summary) — the 'all' row sums the whole table, where
+    # double summation order flips the 6th decimal at sf0.1
     return spark.sql(f"""
         SELECT coalesce(cast(yr as string), 'all') AS year,
-               round(avg(o_totalprice), {_R}) AS ret,
+               round(cast(sum(cast(o_totalprice as decimal(23,6))) as double)
+                     / count(*), {_R}) AS ret,
                count(*) AS tcnt,
-               round(sum(o_totalprice), {_R}) AS total_ret
+               cast(sum(cast(o_totalprice as decimal(23,6))) as double) AS total_ret
         FROM _orders_y
         GROUP BY GROUPING SETS ((yr), ())
     """)
@@ -348,9 +363,9 @@ def q_perf_by_year(spark, sf_dir):
 
 SQL_PERF_BY_YEAR = f"""
 SELECT coalesce(cast(year(o_orderdate) as varchar), 'all') AS "year",
-       round(avg(o_totalprice), {_R}) AS ret,
+       round(sum(CAST(o_totalprice AS DECIMAL(23,6)))::DOUBLE / count(*), {_R}) AS ret,
        count(*) AS tcnt,
-       round(sum(o_totalprice), {_R}) AS total_ret
+       sum(CAST(o_totalprice AS DECIMAL(23,6)))::DOUBLE AS total_ret
 FROM orders
 GROUP BY GROUPING SETS ((year(o_orderdate)), ())
 """
