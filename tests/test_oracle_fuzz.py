@@ -270,3 +270,49 @@ def test_segment_series_oracle_nulls(spark):
     assert len(got) == len(want)
     if len(got):
         _assert_match(got, want)
+
+
+@pytest.mark.parametrize("seed,tickers,days", [(8, 3, 650), (55, 5, 720)])
+def test_box_detection_oracle_fuzz(spark, seed, tickers, days):
+    from tests.oracle.pandas_oracle import oracle_box_detection
+    from timeseriesvectordbpattermatcher_spark.operators.boxes import detect_boxes
+    from timeseriesvectordbpattermatcher_spark.sources.synth import synth_ohlcv
+
+    ohlcv = synth_ohlcv(spark, n_tickers=tickers, n_days=days, seed=seed)
+    got = detect_boxes(ohlcv).toPandas()
+    want = oracle_box_detection(
+        ohlcv.toPandas().sort_values(["series_id", "ts"]).reset_index(drop=True)
+    )
+    _assert_match(got, want)
+
+
+@pytest.mark.parametrize("seed", [19, 61])
+def test_trend_range_oracle_fuzz(spark, seed):
+    import datetime as dt
+
+    from tests.oracle.pandas_oracle import oracle_trend_range_extended
+    from timeseriesvectordbpattermatcher_spark.operators.trends import (
+        find_trend_range_extended,
+    )
+    from timeseriesvectordbpattermatcher_spark.sources.synth import synth_ohlcv
+
+    ohlcv = synth_ohlcv(spark, n_tickers=3, n_days=620, seed=seed)
+    anchors = [("TK00", dt.datetime(2019, 7, 1)), ("TK02", dt.datetime(2019, 10, 6))]
+    a_df = spark.createDataFrame(anchors, "series_id string, anchor_ts timestamp")
+    got = find_trend_range_extended(ohlcv, a_df).toPandas()
+    want = oracle_trend_range_extended(
+        ohlcv.toPandas().sort_values(["series_id", "ts"]).reset_index(drop=True),
+        anchors,
+    )
+    _assert_match(got, want)
+
+
+def test_pattern_screener_oracle_fuzz(spark):
+    """Screener on the sf0.001 events table — a corpus the golden
+    (pinned at sf0.01) never saw."""
+    import __spark_entry__ as e
+    from tests.oracle.pandas_oracle import oracle_pattern_screener
+
+    got = e.queries()["pattern_screener"](spark, "/root/testdata/sf0.001").toPandas()
+    want = oracle_pattern_screener(pd.read_parquet("/root/testdata/sf0.001/events.parquet"))
+    _assert_match(got, want)
