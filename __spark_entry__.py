@@ -306,25 +306,30 @@ FROM t
 def q_pricing_summary(spark, sf_dir):
     """A1/A2 shape (TPC-H Q1): groupwise sums/avgs with a date predicate.
 
-    Sums run over decimal(23,6)-quantized addends: decimal addition is
-    exact and order-independent, so the result is bit-identical across
-    engines and partition counts — double sums of 100k+ rows diverge from
-    any serial oracle in the 6th decimal by summation order alone (the
-    sf0.1 sweep caught exactly that). A decimal tie at the 6th digit is
-    impossible for a double input (it would need a 5^6 denominator), so
-    the quantization itself is also engine-agnostic."""
+    Sums run over floor(x*1e6 + 0.5)-quantized BIGINT addends: integer
+    addition is exact and order-independent, so the result is identical
+    across engines and partition counts — double sums of 100k+ rows
+    diverge from any serial oracle in the 6th decimal by summation order
+    alone (the sf0.1 sweep caught exactly that). The quantization itself
+    is pure IEEE double arithmetic (multiply, add, floor), which both
+    engines evaluate bit-identically; a decimal(p,6) CAST was tried first
+    and rejected — its half-way ties (any double that is an odd multiple
+    of 1/128) round HALF_UP in Spark but half-even in DuckDB at large
+    magnitudes (987654.0078125 -> .007813 vs .007812)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    dec = lambda c: c.cast("decimal(23,6)")  # noqa: E731
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
     n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
-            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
-            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            .cast("double").alias("sum_disc_price"),
-            F.round(F.sum(dec(F.col("l_quantity"))).cast("double") / n, _R).alias("avg_qty"),
+            (F.sum(q6(F.col("l_quantity"))) / 1e6).alias("sum_qty"),
+            (F.sum(q6(F.col("l_extendedprice"))) / 1e6).alias("sum_base_price"),
+            (F.sum(q6(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 1e6)
+            .alias("sum_disc_price"),
+            # avg re-quantized at 1e-6 in the same tie-free double ops
+            (F.floor(F.sum(q6(F.col("l_quantity"))) / 1e6 / n * 1e6 + F.lit(0.5)) / 1e6)
+            .alias("avg_qty"),
             n.alias("count_order"),
         )
     )
@@ -332,10 +337,12 @@ def q_pricing_summary(spark, sf_dir):
 
 SQL_PRICING_SUMMARY = f"""
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(23,6)))::DOUBLE AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(23,6)))::DOUBLE AS sum_base_price,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,6)))::DOUBLE AS sum_disc_price,
-       round(sum(CAST(l_quantity AS DECIMAL(23,6)))::DOUBLE / count(*), {_R}) AS avg_qty,
+       sum(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT)) / 1e6 AS sum_qty,
+       sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT)) / 1e6 AS sum_base_price,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6 + 0.5) AS BIGINT)) / 1e6
+           AS sum_disc_price,
+       floor(sum(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT)) / 1e6
+             / count(*) * 1e6 + 0.5) / 1e6 AS avg_qty,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY 1, 2
@@ -347,25 +354,27 @@ def q_perf_by_year(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     o = o.withColumn("yr", F.year("o_orderdate"))
     o.createOrReplaceTempView("_orders_y")
-    # decimal-quantized sums: exact + order-independent across engines
-    # (see q_pricing_summary) — the 'all' row sums the whole table, where
-    # double summation order flips the 6th decimal at sf0.1
+    # floor(x*1e6+0.5)-quantized bigint sums: exact + order-independent
+    # across engines, tie-free (see q_pricing_summary) — the 'all' row
+    # sums the whole table, where double summation order flips the 6th
+    # decimal at sf0.1
     return spark.sql(f"""
         SELECT coalesce(cast(yr as string), 'all') AS year,
-               round(cast(sum(cast(o_totalprice as decimal(23,6))) as double)
-                     / count(*), {_R}) AS ret,
+               floor(sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint)) / 1e6
+                     / count(*) * 1e6 + 0.5) / 1e6 AS ret,
                count(*) AS tcnt,
-               cast(sum(cast(o_totalprice as decimal(23,6))) as double) AS total_ret
+               sum(cast(floor(o_totalprice * 1e6 + 0.5) as bigint)) / 1e6 AS total_ret
         FROM _orders_y
         GROUP BY GROUPING SETS ((yr), ())
     """)
 
 
-SQL_PERF_BY_YEAR = f"""
+SQL_PERF_BY_YEAR = """
 SELECT coalesce(cast(year(o_orderdate) as varchar), 'all') AS "year",
-       round(sum(CAST(o_totalprice AS DECIMAL(23,6)))::DOUBLE / count(*), {_R}) AS ret,
+       floor(sum(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) / 1e6
+             / count(*) * 1e6 + 0.5) / 1e6 AS ret,
        count(*) AS tcnt,
-       sum(CAST(o_totalprice AS DECIMAL(23,6)))::DOUBLE AS total_ret
+       sum(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) / 1e6 AS total_ret
 FROM orders
 GROUP BY GROUPING SETS ((year(o_orderdate)), ())
 """
@@ -749,13 +758,19 @@ def q_codec_roundtrip(spark, sf_dir):
         F.sum(F.length("ts_codec") + F.length("val_codec")).alias("compressed_bytes"),
         F.sum(F.col("n_points") * 16).alias("raw_bytes"),  # 8B ts + 8B double
     )
+    # floor(v*1e6+0.5)-quantized bigint sums: the roundtrip is bit-exact,
+    # so decoded and original values are the same multiset and integer
+    # sums match EXACTLY regardless of partition/summation order — a
+    # rounded double sum here could flip at a .0005 boundary between runs
+    # at different parallelism (same fix as q_pricing_summary)
+    q6 = lambda c: F.floor(F.col(c) * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
     back = decompress_segments(segs).groupBy("source").agg(
         F.count("*").alias("n_points"),
-        F.round(F.sum("value"), 3).alias("sum_back"),
+        F.sum(q6("value")).alias("sum_back"),
     )
     orig = r1m.groupBy("source").agg(
         F.count("*").alias("n_points_orig"),
-        F.round(F.sum("avg_value"), 3).alias("sum_orig"),
+        F.sum(q6("avg_value")).alias("sum_orig"),
     )
     return back.join(orig, "source").join(sizes, "source").select(
         "source",
@@ -764,7 +779,9 @@ def q_codec_roundtrip(spark, sf_dir):
         (F.col("sum_back") == F.col("sum_orig")).alias("sum_ok"),
         "compressed_bytes",
         "raw_bytes",
-        F.round(F.col("raw_bytes") / F.col("compressed_bytes"), 2).alias("compression_ratio"),
+        # tie-free double quantization, not round(): see q_pricing_summary
+        (F.floor(F.col("raw_bytes") / F.col("compressed_bytes") * 100 + F.lit(0.5)) / 100)
+        .alias("compression_ratio"),
     )
 
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -88,7 +89,7 @@ def main() -> int:
     ap.add_argument("--cpus", type=int, default=0, help="local[] width (0 = all)")
     args = ap.parse_args()
 
-    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark.sql import functions as F
 
     from timeseriesvectordbpattermatcher_spark.operators.dedup import (
@@ -123,8 +124,9 @@ def main() -> int:
     exact = _materialize(exact_dedup(docs))
     stats["stages"]["exact_dedup"] = exact.count()
 
-    survivors = minhash_lsh_dedup(exact, threshold=args.threshold).select("doc_id")
-    near = _materialize(exact.join(survivors, "doc_id", "left_semi"))
+    # minhash_lsh_dedup already returns the surviving ROWS (anti join of
+    # losers) — no recovery join needed
+    near = _materialize(minhash_lsh_dedup(exact, threshold=args.threshold))
     stats["stages"]["near_dedup"] = near.count()
 
     analyzed = add_fingerprint(add_token_counts(add_lang_id(add_quality_score(near))))
@@ -137,7 +139,15 @@ def main() -> int:
     curated.write.mode("overwrite").parquet(args.output)
     out = spark.read.parquet(args.output)
     stats["stages"]["curated"] = out.count()
-    stats["quality_filtered"] = stats["stages"]["near_dedup"] - stats["stages"]["curated"]
+    # split the filter attribution: quality drops vs language drops (an
+    # operator tuning --min-quality must not be shown language casualties)
+    stats["quality_filtered"] = int(
+        analyzed.filter(F.col("quality") < args.min_quality).count()
+    )
+    stats["lang_filtered"] = (
+        stats["stages"]["near_dedup"] - stats["stages"]["curated"] - stats["quality_filtered"]
+        if langs else 0
+    )
     stats["wall_sec"] = round(time.time() - t0, 2)
     stats["output"] = args.output
     print(json.dumps(stats))

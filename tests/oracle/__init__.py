@@ -9,3 +9,16 @@ recursions (EMA/ATR/PSAR folds) follow the documented numeric spec
 observation, operators/indicators.py module docstring) so IEEE-754
 determinism makes byte-equality achievable across the two implementations.
 """
+
+from decimal import ROUND_HALF_UP, Decimal
+
+
+def round_half_up(x: float, digits: int = 6) -> float:
+    """Spark-compatible rounding: F.round(double, d) feeds the double's
+    SHORTEST decimal representation into BigDecimal.setScale(d, HALF_UP)
+    (scala BigDecimal(double) = valueOf = Double.toString). Python's
+    built-in round() is HALF_EVEN and diverges on exact decimal ties
+    (any double that is an odd multiple of 2^-k can land on one), so
+    oracles must round THIS way when pinning engine output."""
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))

@@ -189,7 +189,7 @@ def decode_dod_ints_pure(data: bytes) -> np.ndarray:
 
 
 def oracle_codec_roundtrip(
-    r1m: pd.DataFrame, chunk_secs: int = 86400, round_digits: int = 3
+    r1m: pd.DataFrame, chunk_secs: int = 86400
 ) -> pd.DataFrame:
     """(source, bucket_ts, avg_value) 1m rollup rows -> the contract query's
     per-source frame: points are chunked into epoch-aligned windows, each
@@ -222,8 +222,12 @@ def oracle_codec_roundtrip(
             back_vals.append(v_back)
         n_orig = len(g)
         raw_bytes = n_orig * 16
-        sum_back = round(float(np.concatenate(back_vals).sum()), round_digits)
-        sum_orig = round(float(g["avg_value"].sum()), round_digits)
+        # floor(v*1e6+0.5)-quantized integer sums — exact and
+        # order-independent, mirroring the contract query (the roundtrip is
+        # bit-exact, so the multisets are equal and the sums match exactly)
+        q6 = lambda a: np.floor(a * 1e6 + 0.5).astype(np.int64)  # noqa: E731
+        sum_back = int(q6(np.concatenate(back_vals)).sum())
+        sum_orig = int(q6(g["avg_value"].to_numpy(dtype=np.float64)).sum())
         rows.append(
             (
                 source,
@@ -232,7 +236,8 @@ def oracle_codec_roundtrip(
                 sum_back == sum_orig,
                 comp_bytes,
                 raw_bytes,
-                round(raw_bytes / comp_bytes, 2),
+                # tie-free double quantization, matching the engine's floor
+                float(np.floor(raw_bytes / comp_bytes * 100 + 0.5) / 100),
             )
         )
     return pd.DataFrame(

@@ -304,12 +304,14 @@ def oracle_matcher_pipeline(
         if final_date <= query_start:
             kept.append((score, seg_id))
 
+    from . import round_half_up
+
     kept.sort(key=lambda t: (-t[0], t[1]))
     rows = []
     for rank, (score, seg_id) in enumerate(kept[:display_k], start=1):
         for strategy in ("bcast", "join"):
             rows.append(
-                (strategy, query_id, rank, seg_id, round(score, round_digits))
+                (strategy, query_id, rank, seg_id, round_half_up(score, round_digits))
             )
     out = pd.DataFrame(
         rows, columns=["strategy", "query_id", "rank", "segment_id", "score"]
@@ -326,6 +328,8 @@ def oracle_media_features(media_pdf: pd.DataFrame, round_digits: int = 6) -> pd.
     """Deterministic fake decode: sha256(payload)[:8] little-endian uint64
     seeds numpy's default_rng; 16 standard normals cast float32. Pins the
     first feature and the vector's L2 norm alongside dim/ok."""
+    from . import round_half_up
+
     rows = []
     for media_id, modality, payload in zip(
         media_pdf["media_id"], media_pdf["modality"], media_pdf["payload"]
@@ -340,8 +344,8 @@ def oracle_media_features(media_pdf: pd.DataFrame, round_digits: int = 6) -> pd.
                 modality,
                 int(feat.size),
                 True,
-                round(float(feat[0]), round_digits),
-                round(norm, round_digits),
+                round_half_up(float(feat[0]), round_digits),
+                round_half_up(norm, round_digits),
             )
         )
     out = pd.DataFrame(

@@ -185,3 +185,15 @@ def test_ann_paths_empty_and_null_refs(spark):
     one = spark.createDataFrame([(7, [1.0] * 8)], "vec_id long, embedding array<float>")
     assert lsh_topk(q, one, k=5, **kw).count() == 1
     assert ivf_topk(q, one, k=5, **kw).count() == 1
+
+    # MIXED null/non-null refs: null rows must be filtered, not crash the
+    # bucket/assignment UDFs' np.stack over the batch
+    mixed = spark.createDataFrame(
+        [(7, [1.0] * 8), (8, None), (9, [0.5] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    for fn in (lsh_topk, ivf_topk):
+        got = fn(q, mixed, k=5, **kw).toPandas()
+        assert set(got["vec_id"]) == {7, 9}, fn.__name__
+    dup = cosine_dup_pairs(mixed, tau=0.5, id_col="vec_id", vec_col="embedding")
+    assert [tuple(r) for r in dup.select("id_a", "id_b").collect()] == [(7, 9)]

@@ -112,7 +112,9 @@ def lsh_topk(
     with n_bits. For 100 TB refs this is the partition-pruned path: bucket
     becomes a partition column and only matching partitions are scanned.
     """
-    first = refs.select(ref_vec).filter(F.col(ref_vec).isNotNull()).first()
+    refs = refs.filter(F.col(ref_vec).isNotNull())
+    queries = queries.filter(F.col(query_vec).isNotNull())
+    first = refs.select(ref_vec).first()
     if first is None:
         return _empty_topk(queries, refs, query_id, ref_id)
     dim = len(first[0])
@@ -150,12 +152,16 @@ def cosine_dup_pairs(
     ``exact=True`` skips LSH and does the full self-join (oracle mode, for
     tests and small corpora); default uses bucketed candidates.
     """
+    # null embeddings can never be near-dups (the exact branch scores them
+    # 0.0 and drops them at tau); filtering upfront also keeps the bucket
+    # UDF's np.stack away from mixed null/non-null Arrow batches
+    df = df.filter(F.col(vec_col).isNotNull())
     left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     if exact:
         cands = left.join(right, F.col("id_a") < F.col("id_b"))
     else:
-        first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        first = df.select(vec_col).first()
         if first is None:
             idt = df.schema[id_col].dataType.simpleString()
             return df.sparkSession.createDataFrame(
@@ -235,7 +241,9 @@ def ivf_topk(
     a probe scans nprobe/n_lists of the corpus — with the equi-join below
     Catalyst shuffles candidates only.
     """
-    if refs.select(ref_vec).filter(F.col(ref_vec).isNotNull()).first() is None:
+    refs = refs.filter(F.col(ref_vec).isNotNull())
+    queries = queries.filter(F.col(query_vec).isNotNull())
+    if refs.select(ref_vec).first() is None:
         return _empty_topk(queries, refs, query_id, ref_id)
     cents = train_ivf_centroids(refs, n_lists=n_lists, seed=seed, vec_col=ref_vec)
 
