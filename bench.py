@@ -129,6 +129,25 @@ def main() -> None:
     timings["seqs_rollup_cascade"] = round(rollup_sec, 3)
     tokens_per_sec = total_tokens / rollup_sec
 
+    # JVM-only decode floor, same window: decode every token array and sum
+    # it with zero Python. The cascade is decode-bandwidth-bound (healthy
+    # hosts measure it within ~12% of this floor — BENCH/BASELINE.md), so
+    # the cascade/floor ratio separates "code got slower" from "the host's
+    # delivered decode bandwidth collapsed this window".
+    def floor_once():
+        return seqs.agg(
+            F.sum(F.size("tokens")),
+            F.sum(F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x)),
+        ).collect()[0][0]
+
+    floor_once()
+    floor_sec = None
+    for _ in range(3):
+        t0 = time.time()
+        floor_once()
+        dt = time.time() - t0
+        floor_sec = dt if floor_sec is None or dt < floor_sec else floor_sec
+
     # ---- driver-table headline queries ------------------------------------
     qs = entrymod.queries()
     headline = [
@@ -172,6 +191,8 @@ def main() -> None:
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
                 "cpu_calib_mops": cpu_calib,
                 "cpu_calib_mops_mc8": cpu_calib_mc,
+                "jvm_decode_floor_sec": round(floor_sec, 3),
+                "cascade_vs_floor": round(rollup_sec / floor_sec, 2),
             }
         )
     )
