@@ -122,3 +122,28 @@ def test_dedup_oracle_matches_engine(spark):
     eng_sp = sorted((r["doc_a"], r["doc_b"], r["hamming"])
                     for r in simhash_pairs(df, max_hamming=3, bands=4).collect())
     assert eng_sp == do.simhash_pairs(docs, max_hamming=3, bands=4)
+
+
+def test_round_half_up_matches_spark(spark):
+    """tests/oracle.round_half_up claims Spark F.round parity — pin it
+    directly over random doubles plus constructed odd/2^k half-way ties
+    (where Python's builtin banker's rounding diverges)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tests.oracle import round_half_up
+
+    rng = np.random.default_rng(29)
+    vals = list(rng.normal(scale=10, size=200)) + [
+        k / 128 for k in range(1, 40, 2)            # exact 6th-decimal ties
+    ] + [
+        987654.0 + k / 128 for k in (1, 3, 5)        # large-magnitude ties
+    ] + [
+        float(np.float32(x)) for x in rng.normal(size=50)  # float32-derived
+    ] + [0.0, -0.0078125, -1.0234375, 1e-7, -1e-7]
+    sdf = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    got = [r[0] for r in sdf.select(F.round("x", 6).alias("r")).collect()]
+    want = [round_half_up(v, 6) for v in vals]
+    assert got == want, [
+        (v, g, w) for v, g, w in zip(vals, got, want) if g != w
+    ][:5]
