@@ -91,3 +91,31 @@ def test_noncanonical_spacing_does_not_crash(spark):
     # minute-spaced data through the 1h tier: closer than one step everywhere
     out_h = gap_fill(df, ["v"], tier="1h", method="linear").collect()
     assert len(out_h) == 4
+
+
+def test_gapfill_linear_per_column_anchors(spark):
+    """Each column interpolates between ITS OWN nearest non-null neighbors:
+    a null cell inside an observed row fills (not a permanent hole), and a
+    column with different null positions than value_cols[0] must not borrow
+    the first column's time anchors (review counterexample: cnt anchors at
+    0->120 but x at -60->120 gave x_filled 12.5 instead of 15)."""
+    from pyspark.sql import functions as F
+
+    from timeseriesvectordbpattermatcher_spark.operators.gapfill import gap_fill
+
+    rows = [
+        ("s", "2024-01-01 00:59:00", 1.0, 5.0),    # t=-60s rel anchor
+        ("s", "2024-01-01 01:00:00", 1.0, None),   # x null on observed row
+        ("s", "2024-01-01 01:02:00", 1.0, 20.0),   # t=+120s
+    ]
+    df = spark.createDataFrame(rows, "source string, bucket_ts string, cnt double, x double")
+    df = df.withColumn("bucket_ts", F.to_timestamp("bucket_ts"))
+    out = {
+        r["bucket_ts"].strftime("%H:%M"): (r["cnt_filled"], r["x_filled"])
+        for r in gap_fill(df, ["cnt", "x"], tier="1m", method="linear").collect()
+    }
+    # x is linear over ITS anchors (-60s: 5.0, +120s: 20.0 => 5 + 15*t/180)
+    assert out["00:59"] == (1.0, 5.0)
+    assert out["01:00"] == (1.0, 10.0)   # null cell on observed row: filled
+    assert out["01:01"] == (1.0, 15.0)   # gap row: x uses its own anchors
+    assert out["01:02"] == (1.0, 20.0)

@@ -248,3 +248,15 @@ def test_exact_dedup_shuffles_digest_not_text(spark):
     # the digest exchange's input aggregate projects ONLY (_h, min) — text
     # must not ride the dedup-decision shuffle
     assert re.search(r"output=\[_h#\d+, min#\d+\]", plan), plan
+
+
+def test_asof_match_uses_running_frames_only(spark):
+    """asof_match_exit must take its following-exit min via a reverse-ordered
+    RUNNING frame — an unbounded-FOLLOWING frame rescans the partition
+    remainder per row (O(n^2) per series in WindowExec)."""
+    from timeseriesvectordbpattermatcher_spark.operators.windows import asof_match_exit
+
+    e = spark.createDataFrame([("a", 1)], "series_id string, entry_ts long")
+    x = spark.createDataFrame([("a", 2)], "series_id string, exit_ts long")
+    plan = _plan(asof_match_exit(e, x))
+    assert "unboundedfollowing" not in plan.lower().replace(" ", ""), plan[:2000]

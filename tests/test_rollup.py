@@ -118,3 +118,58 @@ def test_token_stats_arrow_matches_expr_bulk(spark, seqs_2k):
     a = add_token_stats(seqs_2k, engine="arrow").agg(*agg).collect()[0]
     e = add_token_stats(seqs_2k, engine="expr").agg(*agg).collect()[0]
     assert tuple(a) == tuple(e)
+
+
+def test_token_stats_arrow_matches_expr_null_elements(spark):
+    """Null ELEMENTS inside token arrays: the expr path nulls the sum
+    (aggregate fold: acc + null = null) but min/max skip nulls — the arrow
+    kernel must agree instead of coercing the child buffer to float/NaN."""
+    from timeseriesvectordbpattermatcher_spark.operators.rollup import add_token_stats
+
+    rows = [
+        ("a", [1, None, 3], 3),
+        ("b", [None], 1),            # all elements null
+        ("c", [None, None, 5], 3),
+        ("d", [4, 2], 2),            # clean row in the same batch
+        ("e", None, 0),
+        ("f", [], 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, n_tok int")
+    for engine in ("arrow", "arrow_drop"):
+        a = {
+            r["doc_id"]: (r["tok_min"], r["tok_max"], r["tok_sum"])
+            for r in add_token_stats(df, engine=engine).collect()
+        }
+        e = {
+            r["doc_id"]: (r["tok_min"], r["tok_max"], r["tok_sum"])
+            for r in add_token_stats(df, engine="expr").collect()
+        }
+        assert a == e, (engine, a, e)
+    assert e["a"] == (1, 3, None)       # null element nulls the sum only
+    assert e["b"] == (None, None, None)
+    assert e["c"] == (5, 5, None)
+    assert e["d"] == (2, 4, 6)
+
+
+def test_token_stats_unknown_engine_raises(spark):
+    import pytest as _pytest
+
+    from timeseriesvectordbpattermatcher_spark.operators.rollup import add_token_stats
+
+    df = spark.createDataFrame([("a", [1], 1)], "doc_id string, tokens array<int>, n_tok int")
+    with _pytest.raises(ValueError, match="unknown token-stat engine"):
+        add_token_stats(df, engine="arow")
+
+
+def test_rollup_salted_without_doc_id(spark):
+    """The projected token-less shape (no doc_id) must still salt."""
+    from pyspark.sql import functions as F
+
+    from timeseriesvectordbpattermatcher_spark.operators.rollup import rollup_1m
+
+    df = spark.createDataFrame(
+        [("s", "2024-01-01 00:00:30", 5), ("s", "2024-01-01 00:00:45", 7)],
+        "source string, event_ts string, n_tok int",
+    ).withColumn("event_ts", F.to_timestamp("event_ts"))
+    out = rollup_1m(df, salt_buckets=4).collect()
+    assert len(out) == 1 and out[0]["cnt"] == 2 and out[0]["sum_n_tok"] == 12

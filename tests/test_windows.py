@@ -342,3 +342,39 @@ def test_remove_overlapping_composite_key(spark):
         ).collect()
     }
     assert got == {("s|weird", "hs", 1), ("s|weird", "ihs", 5)}
+
+
+def test_rank_across_keys_excludes_nulls(spark):
+    """A null value on one series must not shift the others' ranks — the
+    reference ranks row[valid].rank()/cnt after dropping missing series."""
+    from timeseriesvectordbpattermatcher_spark.operators.windows import rank_across_keys
+
+    df = spark.createDataFrame(
+        [("d1", "A", None), ("d1", "B", 1.0), ("d1", "C", 2.0), ("d2", "D", 7.0)],
+        "ts string, series_id string, rs double",
+    )
+    got = {r["series_id"]: r["rs_rank"] for r in rank_across_keys(df, "rs").collect()}
+    assert got["A"] == -2.0          # missing -> -2 (reference quirk)
+    assert got["B"] == 0.0           # bottom of the VALID set, not mid-pack
+    assert got["C"] == 1.0
+    assert got["D"] == 0.0           # single valid row -> 0.0
+
+
+def test_perf_rollup_winrate_and_null_year(spark):
+    """winrate's denominator is the non-null return count (reference drops
+    NaN before winner/len), and a genuine null-year group must not collide
+    with the GROUPING SETS 'all' row."""
+    from timeseriesvectordbpattermatcher_spark.operators.windows import perf_by_year_rollup
+
+    rows = [
+        (2020, 0.1), (2020, -0.1), (2020, 0.2), (2020, None), (2020, None),
+        (None, 0.5),
+    ]
+    df = spark.createDataFrame(rows, "year int, fw_ret double")
+    out = {r["year"]: r for r in perf_by_year_rollup(df).collect()}
+    # null-year group stays a distinct NULL key, not merged into 'all'
+    assert set(out) == {"2020", None, "all"}
+    assert abs(out["2020"]["winrate"] - 2 / 3) < 1e-12  # nulls not losses
+    assert out["2020"]["tcnt"] == 3
+    assert out["all"]["tcnt"] == 4
+    assert out[None]["tcnt"] == 1

@@ -40,11 +40,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
+# '1d' steps by a CALENDAR day, not 86400s: rollup buckets come from
+# date_trunc('day') in session-local time, so a fixed-second spine would
+# misalign with the bucket grid across DST transitions in any non-UTC
+# session (23h/25h local days). Sub-day tiers are DST-safe in seconds.
+_TIER_STEP = {"1m": "interval 60 seconds", "1h": "interval 3600 seconds",
+              "1d": "interval 1 day"}
 
 
 def bucket_spine(rollup: DataFrame, tier: str = "1m", key_col: str = "source") -> DataFrame:
     """One row per (key, bucket) from each key's min to max observed bucket."""
-    step = F.expr(f"interval {_TIER_SECONDS[tier]} seconds")
+    step = F.expr(_TIER_STEP[tier])
     bounds = rollup.groupBy(key_col).agg(
         F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi")
     )
@@ -86,28 +92,33 @@ def gap_fill(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    # Pre-explode neighbor state, one row per OBSERVED rollup row. "Observed"
-    # for is_filled/ts purposes means value_cols[0] is non-null (a null-valued
-    # rollup row behaves exactly like a synthesized gap row — it widens the
-    # covered range but contributes no fill value).
-    ts_obs = F.when(F.col(value_cols[0]).isNotNull(), F.col("bucket_ts").cast("double"))
-    anchored = rollup.select(key_col, "bucket_ts", *value_cols).withColumns(
-        {
-            "_nxt_bucket": F.lead("bucket_ts").over(w),
-            "_prev_ts": F.last(ts_obs, ignorenulls=True).over(w_prev),
-            "_next_ts_at": F.last(ts_obs, ignorenulls=True).over(w_next),
-        }
+    # Pre-explode neighbor state, one row per rollup row. is_filled (the
+    # row-level synthesized marker) keys off value_cols[0]; fill ANCHORS are
+    # per column — each column interpolates between ITS OWN nearest non-null
+    # neighbors (ts included), so a null cell in one column neither borrows
+    # another column's time anchors (numerically wrong frac) nor blocks its
+    # own fill (a review counterexample caught both).
+    ts_obs = {
+        c: F.when(F.col(c).isNotNull(), F.col("bucket_ts").cast("double"))
+        for c in value_cols
+    }
+    anchored = rollup.select(key_col, "bucket_ts", *value_cols).withColumn(
+        "_nxt_bucket", F.lead("bucket_ts").over(w)
     )
-    cols = {"_next_ts": F.lead("_next_ts_at").over(w)}
+    cols = {}
     for c in value_cols:
         cols[f"_prev_{c}"] = F.last(c, ignorenulls=True).over(w_prev)
         if method == "linear":
+            cols[f"_prev_ts_{c}"] = F.last(ts_obs[c], ignorenulls=True).over(w_prev)
             cols[f"_next_{c}_at"] = F.last(c, ignorenulls=True).over(w_next)
+            cols[f"_next_ts_{c}_at"] = F.last(ts_obs[c], ignorenulls=True).over(w_next)
     anchored = anchored.withColumns(cols)
     if method == "linear":
-        anchored = anchored.withColumns(
-            {f"_next_{c}": F.lead(f"_next_{c}_at").over(w) for c in value_cols}
+        leads = {f"_next_{c}": F.lead(f"_next_{c}_at").over(w) for c in value_cols}
+        leads.update(
+            {f"_next_ts_{c}": F.lead(f"_next_ts_{c}_at").over(w) for c in value_cols}
         )
+        anchored = anchored.withColumns(leads)
 
     # Emit the anchor row plus one row per missing bucket strictly before the
     # next observed bucket. The last row per key emits only itself. The
@@ -126,12 +137,6 @@ def gap_fill(
     obs = {c: F.when(is_anchor, F.col(c)) for c in value_cols}
     is_filled = obs[value_cols[0]].isNull()
 
-    # For the anchor row itself the at-or-after neighbor is its own desc-running
-    # value (which already skips the anchor when its value is null); generated
-    # gap rows take the NEXT anchor's at-or-after state via the pre-computed lead.
-    prev_ts = F.col("_prev_ts")
-    next_ts = F.when(is_anchor, F.col("_next_ts_at")).otherwise(F.col("_next_ts"))
-
     out_cols = [F.col(key_col), F.col("_b").alias("bucket_ts")]
     out_cols += [obs[c].alias(c) for c in value_cols]
     out_cols.append(is_filled.alias("is_filled"))
@@ -140,11 +145,23 @@ def gap_fill(
         if method == "locf":
             out_cols.append(prev_v.alias(f"{c}_filled"))
         else:
+            # for the anchor row itself the at-or-after neighbor is its own
+            # desc-running value (which already skips the anchor when THIS
+            # column is null); generated gap rows take the next anchor's
+            # at-or-after state via the pre-computed lead
             next_v = F.when(is_anchor, F.col(f"_next_{c}_at")).otherwise(F.col(f"_next_{c}"))
+            prev_ts = F.col(f"_prev_ts_{c}")
+            next_ts = F.when(is_anchor, F.col(f"_next_ts_{c}_at")).otherwise(
+                F.col(f"_next_ts_{c}")
+            )
             frac = (F.col("_b").cast("double") - prev_ts) / (next_ts - prev_ts)
-            interp = prev_v + (next_v - prev_v) * frac
+            # next_ts > prev_ts guard: duplicate-bucket anchors can collapse
+            # both anchors onto one ts (frac 0/0 -> NaN); degrade to locf
+            interp = F.when(next_ts > prev_ts, prev_v + (next_v - prev_v) * frac).otherwise(
+                prev_v
+            )
             out_cols.append(
-                F.when(~is_filled, obs[c])
+                F.when(obs[c].isNotNull(), obs[c])  # observed cell -> keep
                 .when(prev_v.isNull(), next_v)  # leading gap -> bfill
                 .when(next_v.isNull(), prev_v)  # trailing gap -> ffill
                 .otherwise(interp)

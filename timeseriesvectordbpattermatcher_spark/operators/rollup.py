@@ -76,6 +76,10 @@ def add_token_stats(
         # array) — the right engine when downstream never reads tokens
         # again, e.g. the rollup tiers (aggregation keeps scalars only)
         return _add_token_stats_arrow(seqs, tokens_col, drop_tokens=True)
+    if engine != "expr":
+        # a typo must not silently route a token-heavy 100 TB scan onto the
+        # ~60x-slower-per-token HOF path
+        raise ValueError(f"unknown token-stat engine {engine!r}")
     t = F.col(tokens_col)
     return (
         seqs.withColumn("tok_min", F.array_min(t))
@@ -99,11 +103,24 @@ def _add_token_stats_arrow(
     from pyspark.sql import types as T
 
     def batches(it):
+        import pyarrow.compute as pc
+
         for batch in it:
             names = batch.schema.names
             la = batch.column(names.index(tokens_col))
             offs = np.asarray(la.offsets)
-            vals = np.asarray(la.values)
+            child = la.values
+            # null ELEMENTS (tokens = [1, null, 3]) match the expr path:
+            # a null element nulls the segment's sum (Spark's aggregate
+            # fold: acc + null = null) while min/max skip it (array_min/
+            # array_max semantics); np.asarray on an int child with nulls
+            # would coerce to float64/NaN and corrupt all three
+            if child.null_count:
+                emask_full = np.asarray(child.is_valid())
+                vals = np.asarray(pc.fill_null(child, 0))
+            else:
+                emask_full = None
+                vals = np.asarray(child)
             # a sliced ListArray's offsets need not start at 0 nor end at
             # len(values) (and null slots may span nonzero extents): slice the
             # flat buffer to this array's extent and rebase, so the final
@@ -111,6 +128,8 @@ def _add_token_stats_arrow(
             # silently absorbing trailing out-of-slice values
             if len(offs) and (offs[0] != 0 or offs[-1] != len(vals)):
                 vals = vals[offs[0]:offs[-1]]
+                if emask_full is not None:
+                    emask_full = emask_full[offs[0]:offs[-1]]
                 offs = offs - offs[0]
             starts, ends = offs[:-1], offs[1:]
             n = len(la)
@@ -122,13 +141,33 @@ def _add_token_stats_arrow(
             sums = np.zeros(n, dtype=np.int64)
             mins = np.zeros(n, dtype=elem_np)
             maxs = np.zeros(n, dtype=elem_np)
+            anynull = np.zeros(n, dtype=bool)
+            allnull = np.zeros(n, dtype=bool)
             if nonempty.any():
                 ne = np.flatnonzero(nonempty)
-                sums[ne] = np.add.reduceat(vals.astype(np.int64), starts[ne])
-                mins[ne] = np.minimum.reduceat(vals, starts[ne])
-                maxs[ne] = np.maximum.reduceat(vals, starts[ne])
-            mm = ~(valid & nonempty)  # empty or null -> null min/max
-            sm = ~valid               # null array -> null sum (empty -> 0)
+                if emask_full is None:
+                    sums[ne] = np.add.reduceat(vals.astype(np.int64), starts[ne])
+                    mins[ne] = np.minimum.reduceat(vals, starts[ne])
+                    maxs[ne] = np.maximum.reduceat(vals, starts[ne])
+                else:
+                    nvalid = np.add.reduceat(emask_full.astype(np.int64), starts[ne])
+                    anynull[ne] = nvalid < lens[ne]
+                    allnull[ne] = nvalid == 0
+                    sums[ne] = np.add.reduceat(
+                        np.where(emask_full, vals, 0).astype(np.int64), starts[ne]
+                    )
+                    info = (
+                        np.iinfo(elem_np) if np.issubdtype(elem_np, np.integer)
+                        else np.finfo(elem_np)
+                    )
+                    mins[ne] = np.minimum.reduceat(
+                        np.where(emask_full, vals, info.max), starts[ne]
+                    )
+                    maxs[ne] = np.maximum.reduceat(
+                        np.where(emask_full, vals, info.min), starts[ne]
+                    )
+            mm = ~(valid & nonempty) | allnull  # empty/null array or all-null elems
+            sm = ~valid | anynull               # null array or any null elem
             keep = [
                 i for i in range(batch.num_columns)
                 if not (drop_tokens and names[i] == tokens_col)
@@ -212,8 +251,15 @@ def rollup_1m(
         )
     bucketed = seqs.withColumn("bucket_ts", F.date_trunc(TIER_TRUNC["1m"], F.col(ts_col)))
     if salt_buckets and salt_buckets > 1:
+        # spread hot (key, bucket) groups: hash a row id if present, else
+        # every available column — the projected token-less shape this
+        # function explicitly supports has no doc_id to hash
+        salt_src = (
+            [F.col("doc_id")] if "doc_id" in bucketed.columns
+            else [F.col(c) for c in bucketed.columns]
+        )
         salted = bucketed.withColumn(
-            "_salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt_buckets))
+            "_salt", F.pmod(F.xxhash64(*salt_src), F.lit(salt_buckets))
         )
         partial = salted.groupBy(key_col, "bucket_ts", "_salt").agg(*_partial_aggs())
         out = partial.groupBy(key_col, "bucket_ts").agg(*_merge_aggs())

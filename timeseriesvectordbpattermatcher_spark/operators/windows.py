@@ -84,10 +84,15 @@ def pct_change(
     df: DataFrame, col: str, n: int = 1, out: str | None = None,
     series_col: str = "series_id", ts_col: str = "ts",
 ) -> DataFrame:
-    """W5: x / lag(x, n) - 1 (/root/reference/datalib/extremaPatternUtil.py:141)."""
+    """W5: x / lag(x, n) - 1 (/root/reference/datalib/extremaPatternUtil.py:141).
+
+    try_divide: a zero base yields NULL (pandas gives inf; the reference
+    drops those rows downstream) instead of an ANSI DIVIDE_BY_ZERO crash —
+    the sf0.1 sweep found real value=0 rows, and PySpark 4 is ANSI by
+    default."""
     return df.withColumn(
         out or f"{col}_pct{n}",
-        F.col(col) / F.lag(col, n).over(_w(series_col, ts_col)) - 1,
+        F.try_divide(F.col(col), F.lag(col, n).over(_w(series_col, ts_col))) - 1,
     )
 
 
@@ -96,10 +101,11 @@ def forward_return(
     series_col: str = "series_id", ts_col: str = "ts",
 ) -> DataFrame:
     """W5 look-ahead label: lead(x, n)/x - 1 — the reference's
-    ``pct_change(n).shift(-n)`` (/root/reference/katslib/opkatsDataUtil.py:89)."""
+    ``pct_change(n).shift(-n)`` (/root/reference/katslib/opkatsDataUtil.py:89).
+    try_divide: see pct_change."""
     return df.withColumn(
         out or f"fw_ret_{n}",
-        F.lead(col, n).over(_w(series_col, ts_col)) / F.col(col) - 1,
+        F.try_divide(F.lead(col, n).over(_w(series_col, ts_col)), F.col(col)) - 1,
     )
 
 
@@ -180,9 +186,20 @@ def rank_across_keys(
     out: str = "rs_rank", pct: bool = True,
 ) -> DataFrame:
     """W14: per-date cross-sectional rank of each series
-    (/root/reference/datalib/patternTraderUtil.py:106-159); missing -> -2."""
-    w = Window.partitionBy(partition_col).orderBy(F.col(col))
-    r = F.percent_rank().over(w) if pct else F.rank().over(w)
+    (/root/reference/datalib/patternTraderUtil.py:106-159); missing -> -2.
+
+    Ranks are computed over VALID rows only — the reference ranks
+    ``row[valid].rank()/cnt`` after dropping missing series, so a null on
+    one series must not shift every other series' rank. Nulls sort last,
+    rank() of non-null rows is then unaffected, and the percent
+    denominator uses the valid count (single valid row -> 0.0, Spark's
+    own single-row percent_rank convention)."""
+    w = Window.partitionBy(partition_col).orderBy(F.asc_nulls_last(col))
+    valid = F.count(col).over(Window.partitionBy(partition_col))
+    if pct:
+        r = F.when(valid > 1, (F.rank().over(w) - 1) / (valid - 1)).otherwise(F.lit(0.0))
+    else:
+        r = F.rank().over(w)
     return df.withColumn(out, F.when(F.col(col).isNotNull(), r).otherwise(F.lit(-2.0)))
 
 
@@ -355,12 +372,17 @@ def asof_match_exit(
     /root/reference/datalib/patternTraderUtil.py:556-566).
 
     Merge-as-of as ONE window pass over the unioned event stream: tag
-    entries 0 / exits 1, sort (ts, tag) per series — an exit at the same
-    ts sorts after the entry so ``>=`` matching holds — and take
-    ``min(exit ts) over [current row, unbounded following]``. No per-series
-    entries x exits product ever materializes (the previous unbounded range
-    join was O(E·X) per series); cost is one shuffle of E+X rows. A plan
-    test pins the no-cross-product shape."""
+    entries 0 / exits 1, scan each series in DESCENDING (ts, tag) order —
+    an exit at the same ts scans before its entry so ``>=`` matching
+    holds — and take the running ``min(exit ts)`` over the rows seen so
+    far. A RUNNING frame is O(n) per partition; the equivalent
+    ``[current row, unbounded following]`` min (the first version of this
+    rewrite) makes Spark's WindowExec rescan the partition remainder per
+    row — O(n^2), the same trap gapfill.py documents and
+    tests/test_plans.py pins against. No per-series entries x exits
+    product ever materializes (the round-1 unbounded range join was
+    O(E·X) per series); cost is one shuffle of E+X rows. Plan tests pin
+    both the no-cross-product shape and the running-frame-only rule."""
     e = entries.select(
         F.col(series_col), F.col(entry_ts).alias("_ts"), F.lit(0).alias("_is_exit")
     )
@@ -370,8 +392,8 @@ def asof_match_exit(
     both = e.unionByName(x)
     w = (
         Window.partitionBy(series_col)
-        .orderBy("_ts", "_is_exit")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("_ts"), F.desc("_is_exit"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     nxt = F.min(F.when(F.col("_is_exit") == 1, F.col("_ts"))).over(w)
     return (
@@ -485,13 +507,21 @@ def perf_by_year_rollup(
     base_cols = ", ".join(group_cols) if group_cols else ""
     view = f"_perf_in_{uuid.uuid4().hex[:12]}"
     results.createOrReplaceTempView(view)
+    # grouping() (not coalesce) labels the grand-total row: a genuine
+    # null-year group in the data must not collide with 'all'. winrate's
+    # denominator is the NON-NULL return count (reference drops NaN before
+    # winner/len(r), extremaPatternUtil.py:866-868) — counting null rets
+    # as losses would disagree with tcnt in the same output row.
     sql = f"""
         SELECT {base_cols + ', ' if base_cols else ''}
-               coalesce(cast({year_col} as string), 'all') AS year,
+               CASE WHEN grouping({year_col}) = 1 THEN 'all'
+                    ELSE cast({year_col} as string) END AS year,
                avg({ret_col})  AS ret,
                count({ret_col}) AS tcnt,
                sum({ret_col})  AS total_ret,
-               avg(CASE WHEN {ret_col} > 0 THEN 1.0 ELSE 0.0 END) AS winrate
+               avg(CASE WHEN {ret_col} > 0 THEN cast(1 as double)
+                        WHEN {ret_col} IS NOT NULL THEN cast(0 as double)
+                        END) AS winrate
         FROM {view}
         GROUP BY GROUPING SETS (({gcols}), ({base_cols}))
     """
