@@ -307,7 +307,9 @@ def oracle_vcp_patterns(extrema: pd.DataFrame, span_min_days: int = 50) -> pd.Da
                     ok = False
                     break
                 d = (mp["high"] - nxt["low"].iloc[0]) / nxt["low"].iloc[0]
-                if d > max(diffs) * 1.1:
+                # mirror the engine: non-finite ratio (degenerate bar)
+                # rejects the window instead of slipping past NaN > x
+                if not np.isfinite(d) or d > max(diffs) * 1.1:
                     ok = False
                     break
                 diffs.append(d)

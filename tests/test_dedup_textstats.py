@@ -268,3 +268,48 @@ def test_minhash_seed_range_guard(docs):
         for r in minhash_lsh_pairs(docs, threshold=0.5, engine="expr").collect()
     }
     assert ("d1", "d2") in pairs
+
+
+def test_exact_dedup_null_texts_not_collapsed(spark):
+    """NULL texts hash to NULL and groupBy equates NULL keys — unparsed
+    docs must pass through, not collapse into one survivor."""
+    rows = [("a", "same"), ("b", "same"), ("c", None), ("d", None), ("e", None)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert got == ["a", "c", "d", "e"]
+
+
+def test_jaccard_prefix_exact_integer_threshold(spark):
+    """FP ceil inflation: 0.3*10 = 3.0000000000000004 used to shorten the
+    prefix by one gram and silently drop exact-threshold pairs whose shared
+    grams are the corpus's hottest (last in the frequency order)."""
+    vocab = [f"u{i}" for i in range(40)]
+    hot = ["h0 h1 h2", "h1 h2 h3", "h2 h3 h4"]  # 3 shared grams, made hot below
+    # doc A: 12 words -> 10 grams, the 3 hot grams at the END of its order
+    a_words = vocab[:7] + ["h0", "h1", "h2", "h3", "h4"]
+    # doc B: exactly the 3 hot grams (5 words) -> jaccard 3/10 = threshold
+    b_words = ["h0", "h1", "h2", "h3", "h4"]
+    # filler docs make h-grams globally frequent (last in the ascending
+    # dfreq order), pushing them OUT of doc A's prefix under the old bound
+    fillers = [
+        (f"f{i}", " ".join(["h0", "h1", "h2", "h3", "h4"] + vocab[20 + i : 23 + i]))
+        for i in range(8)
+    ]
+    docs = [("A", " ".join(a_words)), ("B", " ".join(b_words))] + fillers
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    for pf in (True, False):
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in ngram_jaccard_pairs(df, threshold=0.3, prefix_filter=pf).collect()
+        }
+        assert ("A", "B") in pairs, f"prefix_filter={pf} lost the exact-threshold pair"
+    # and the two paths agree entirely
+    got_t = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(df, threshold=0.3, prefix_filter=True).collect()
+    )
+    got_f = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(df, threshold=0.3, prefix_filter=False).collect()
+    )
+    assert got_t == got_f

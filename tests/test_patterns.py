@@ -130,3 +130,50 @@ def test_all_patterns_union(extrema):
     # intervals are well-formed
     assert out.filter("start_ts > end_ts").count() == 0
     out.unpersist()
+
+
+def test_vcp_respects_series_col_name_and_type(spark):
+    """The grouped-map pattern finders must emit the CALLER's series column
+    name and type (the schema used to hardcode 'series_id string')."""
+    import datetime as dt
+
+    from timeseriesvectordbpattermatcher_spark.operators.patterns import (
+        find_vcp_up_patterns,
+    )
+
+    rows = [
+        (7, dt.datetime(2020, 1, 1), 1.0, 2.0, 0.5, 1.5, "max"),
+        (7, dt.datetime(2020, 2, 1), 1.0, 2.0, 0.5, 1.5, "min"),
+    ]
+    df = spark.createDataFrame(
+        rows, "ticker long, ts timestamp, open double, high double, low double, close double, minmax_type string"
+    )
+    out = find_vcp_up_patterns(df, series_col="ticker")
+    assert out.schema["ticker"].dataType.simpleString() == "bigint"
+    assert out.count() == 0  # too few extrema — but the schema resolves
+
+
+def test_vcp_rejects_nonfinite_range_ratio(spark):
+    """A zero-price bar's (high-low)/low = NaN must REJECT the window, not
+    slip past the contraction test (NaN > x is False)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from timeseriesvectordbpattermatcher_spark.operators.patterns import (
+        find_vcp_up_patterns,
+    )
+
+    # 9 maxima interleaved with minima, tight contractions, breakout close;
+    # one degenerate min bar (low=0) inside the window
+    rows = []
+    base = dt.datetime(2020, 1, 1)
+    for i in range(9):
+        t = base + dt.timedelta(days=14 * i)
+        rows.append(("S", t, 10.0, 10.0 + 0.2, 9.9, 10.0 + (2.0 if i == 8 else 0.0), "max"))
+        lo = 0.0 if i == 3 else 9.8  # degenerate bar
+        rows.append(("S", t + dt.timedelta(days=7), 9.9, 10.0, lo, 9.9, "min"))
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, open double, high double, low double, close double, minmax_type string"
+    )
+    assert find_vcp_up_patterns(df, span_min_days=10).count() == 0

@@ -11,7 +11,7 @@ for a different scale/recall trade-off at 100 TB:
 - ``minhash_lsh_pairs``     shingle -> k minhashes -> b bands -> bucket
                             self-join: candidates only collide within a band
                             bucket, so the join is linear-ish in practice.
-                            Collisions are then *verified* with exact Jaccard.
+                            Collisions are verified by signature-estimated Jaccard.
 - ``simhash_pairs``         64-bit SimHash + banded Hamming lookup.
 - (embedding near-dup lives in operators/similarity.py — cosine ≥ τ pairs.)
 
@@ -92,14 +92,22 @@ def exact_dedup(
     survivor rows are then recovered with an id semi join, the one
     shuffle that carries text — elidable at scale by bucketing the
     corpus on the id column.
+
+    NULL texts are NOT duplicates of each other (md5(NULL) is NULL and
+    groupBy equates NULL keys, which would collapse every unparsed doc
+    into one survivor) — null-text rows pass through untouched, matching
+    the minhash/simhash operators' null handling.
     """
     digest = F.md5(F.col(text_col))
     survivors = (
-        df.select(F.col(id_col), digest.alias("_h"))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), digest.alias("_h"))
         .groupBy("_h")
         .agg(F.min(id_col).alias(id_col))
     )
-    return df.join(survivors, id_col, "left_semi")
+    return df.filter(F.col(text_col).isNull()).unionByName(
+        df.join(survivors, id_col, "left_semi")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -141,8 +149,7 @@ def ngram_jaccard_pairs(
     # would need two distinct shingles in the corpus sharing an xxhash64
     # (~n^2/2^65 — immaterial); the per-doc set size uses the same hashed
     # space so intersection/union stay consistent.
-    if materialize:
-        df = _spread(df)
+    df = _spread(df)  # parallelize the parse regardless of materialization
     grams = df.select(
         F.col(id_col),
         F.explode(
@@ -181,8 +188,21 @@ def ngram_jaccard_pairs(
         .withColumn("_pos", F.row_number().over(w_doc))
         .withColumn("_sz", F.count("*").over(Window.partitionBy(id_col)))
     )
+    # minimal qualifying overlap o_min = smallest integer o with o/sz >= t
+    # IN THE VERIFY STEP'S OWN DOUBLE ARITHMETIC (a pair at the boundary has
+    # |B| = o and jaccard exactly o/sz). A bare ceil(t*sz) inflates at
+    # exact-integer products (0.3*10 = 3.0000000000000004 -> ceil 4), which
+    # SHORTENS the prefix by one gram and silently drops exact-threshold
+    # pairs — the same FP class the positional filter below was fixed for.
+    # The ±1 correction around the FP ceil makes the bound verify-exact.
+    approx = F.ceil(F.lit(threshold) * F.col("_sz"))
+    o_min = (
+        F.when((approx - 1) / F.col("_sz") >= threshold, approx - 1)
+        .when(approx / F.col("_sz") >= threshold, approx)
+        .otherwise(approx + 1)
+    )
     prefix = ranked.filter(
-        F.col("_pos") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+        F.col("_pos") <= F.col("_sz") - o_min + 1
     ).select(id_col, "ng", "_pos", "_sz")
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin positional filter (Xiao et al., WWW'08): a shared gram at
@@ -388,7 +408,9 @@ def minhash_lsh_pairs(
     materialize: bool = True,
     engine: str = "arrow",
 ) -> DataFrame:
-    """LSH candidate generation + exact-Jaccard verification.
+    """LSH candidate generation + signature-estimated-Jaccard verification
+    (matches/num_perm — probabilistic, NOT the exact gram-set Jaccard;
+    precision-sensitive dedup should use ngram_jaccard_pairs).
 
     b bands of r = num_perm/b rows; a pair collides if any band's slice of
     the signatures hashes equal. With b=8, r=4 the collision curve crosses
@@ -434,7 +456,7 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cands
-    # exact verification via estimated jaccard from full signatures
+    # verification via the signature-ESTIMATED jaccard (matches/num_perm)
     sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("minhash").alias("mh_a"))
     sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("minhash").alias("mh_b"))
     est = (

@@ -20,6 +20,7 @@ fixtures pin our semantics and note the reference quirk.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -97,29 +98,14 @@ def find_hs_patterns(df: DataFrame, tol_shoulder: float = 0.02,
     return _emit(df, 5, "hs", cond, span_days, series_col, ts_col)
 
 
-def _monotone_up(vals: list[Column], max_step: float = 0.10) -> Column:
-    cond = F.lit(True)
-    for lo, hi in zip(vals, vals[1:]):
-        cond = cond & (lo < hi) & (hi <= lo * (1 + max_step))
-    return cond
-
-
-def _monotone_down(vals: list[Column], tol_mid: float | None = None) -> Column:
-    cond = F.lit(True)
-    for hi, lo in zip(vals, vals[1:]):
-        cond = cond & (hi > lo)
-    return cond
-
-
 def find_higher_low_patterns(df: DataFrame, span_days: int = 100,
                              series_col: str = "series_id", ts_col: str = "ts") -> DataFrame:
     """X4: 4 successive minima strictly ascending
     (/root/reference/datalib/extremaPatternLooper.py:65-79)."""
-    vals, typs, t0 = _lags(4, series_col=series_col, ts_col=ts_col)
-    all_min = F.lit(True)
-    for t in typs:
-        all_min = all_min & (t == "min")
-    cond = all_min & (vals[0] < vals[1]) & (vals[1] < vals[2]) & (vals[2] < vals[3])
+    # input is pre-filtered to minima, so lagged-type conjuncts are
+    # tautological (NULL lags already excluded by _emit's t0 guard)
+    vals, _typs, t0 = _lags(4, series_col=series_col, ts_col=ts_col)
+    cond = (vals[0] < vals[1]) & (vals[1] < vals[2]) & (vals[2] < vals[3])
     return _emit(df.filter(F.col("minmax_type") == "min"), 4, "higher_low",
                  cond, span_days, series_col, ts_col)
 
@@ -127,11 +113,8 @@ def find_higher_low_patterns(df: DataFrame, span_days: int = 100,
 def find_higher_high_patterns(df: DataFrame, span_days: int = 100,
                               series_col: str = "series_id", ts_col: str = "ts") -> DataFrame:
     """X5: 4 successive maxima strictly ascending (:81-97)."""
-    vals, typs, t0 = _lags(4, series_col=series_col, ts_col=ts_col)
-    all_max = F.lit(True)
-    for t in typs:
-        all_max = all_max & (t == "max")
-    cond = all_max & (vals[0] < vals[1]) & (vals[1] < vals[2]) & (vals[2] < vals[3])
+    vals, _typs, t0 = _lags(4, series_col=series_col, ts_col=ts_col)
+    cond = (vals[0] < vals[1]) & (vals[1] < vals[2]) & (vals[2] < vals[3])
     return _emit(df.filter(F.col("minmax_type") == "max"), 4, "higher_high",
                  cond, span_days, series_col, ts_col)
 
@@ -139,11 +122,8 @@ def find_higher_high_patterns(df: DataFrame, span_days: int = 100,
 def find_lower_high_patterns(df: DataFrame, tol: float = 0.02, span_days: int = 100,
                              series_col: str = "series_id", ts_col: str = "ts") -> DataFrame:
     """X6: 4 maxima strictly descending with |b-c| <= 2% (:99-115)."""
-    (a, b, c, d), typs, t0 = _lags(4, series_col=series_col, ts_col=ts_col)
-    all_max = F.lit(True)
-    for t in typs:
-        all_max = all_max & (t == "max")
-    cond = all_max & (a > b) & (b > c) & (c > d) & _pct_close(b, c, tol)
+    (a, b, c, d), _typs, t0 = _lags(4, series_col=series_col, ts_col=ts_col)
+    cond = (a > b) & (b > c) & (c > d) & _pct_close(b, c, tol)
     return _emit(df.filter(F.col("minmax_type") == "max"), 4, "lower_high",
                  cond, span_days, series_col, ts_col)
 
@@ -151,11 +131,8 @@ def find_lower_high_patterns(df: DataFrame, tol: float = 0.02, span_days: int = 
 def find_lower_low_patterns(df: DataFrame, tol: float = 0.02, span_days: int = 100,
                             series_col: str = "series_id", ts_col: str = "ts") -> DataFrame:
     """X7: 4 minima strictly descending with |b-c| <= 2% (:118-134)."""
-    (a, b, c, d), typs, t0 = _lags(4, series_col=series_col, ts_col=ts_col)
-    all_min = F.lit(True)
-    for t in typs:
-        all_min = all_min & (t == "min")
-    cond = all_min & (a > b) & (b > c) & (c > d) & _pct_close(b, c, tol)
+    (a, b, c, d), _typs, t0 = _lags(4, series_col=series_col, ts_col=ts_col)
+    cond = (a > b) & (b > c) & (c > d) & _pct_close(b, c, tol)
     return _emit(df.filter(F.col("minmax_type") == "min"), 4, "lower_low",
                  cond, span_days, series_col, ts_col)
 
@@ -233,7 +210,15 @@ def all_patterns(extrema: DataFrame, series_col: str = "series_id",
 # X8: VCP (volatility-contraction) breakout — sequential running-max check
 # ---------------------------------------------------------------------------
 
-VCP_SCHEMA = "series_id string, pattern string, start_ts timestamp, end_ts timestamp, bullbear int"
+def _pattern_schema(df: "DataFrame", series_col: str) -> str:
+    """Output schema for the grouped-map pattern finders: the series column
+    keeps the CALLER'S name and type (hardcoding 'series_id string' broke
+    series_col='ticker' and integer ids — review finding)."""
+    sid_type = df.schema[series_col].dataType.simpleString()
+    return (
+        f"{series_col} {sid_type}, pattern string, "
+        "start_ts timestamp, end_ts timestamp, bullbear int"
+    )
 
 
 def find_vcp_up_patterns(
@@ -253,7 +238,13 @@ def find_vcp_up_patterns(
     Sequential running-max per window -> grouped-map per series (extrema
     tables are ~5% of raw rows; parallel across series). ``max_cap``
     reproduces the reference's early-exit after >5 patterns (T4,
-    order-dependent — off by default, fixtures pin the uncapped set)."""
+    order-dependent — off by default, fixtures pin the uncapped set).
+
+    Preserved reference quirk (unlike the divergence family, which fixed
+    it): the loop never evaluates the window ENDING at the final maximum
+    (``range(size, len)`` not ``len+1`` — extremaPatternLooper.py:249), so
+    the freshest possible signal is structurally unreachable; goldens and
+    the pandas oracle pin this loop shape."""
     import pandas as pd
 
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -280,7 +271,10 @@ def find_vcp_up_patterns(
                     ok = False
                     break
                 d = (mp["high"] - nxt["low"].iloc[0]) / nxt["low"].iloc[0]
-                if d > max(diffs) * 1.1:
+                # non-finite ratio (zero/negative-price bar) must REJECT
+                # the window: NaN > x is False, so it would otherwise slip
+                # into diffs and count as a contraction
+                if not np.isfinite(d) or d > max(diffs) * 1.1:
                     ok = False
                     break
                 diffs.append(d)
@@ -290,9 +284,11 @@ def find_vcp_up_patterns(
                 rows.append((sid, "vcp_up", sd, ed, 1))
                 if max_cap is not None and len(rows) > max_cap:
                     break
-        return pd.DataFrame(rows, columns=["series_id", "pattern", "start_ts", "end_ts", "bullbear"])
+        return pd.DataFrame(rows, columns=[series_col, "pattern", "start_ts", "end_ts", "bullbear"])
 
-    return extrema.groupBy(series_col).applyInPandas(per_series, schema=VCP_SCHEMA)
+    return extrema.groupBy(series_col).applyInPandas(
+        per_series, schema=_pattern_schema(extrema, series_col)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -300,9 +296,7 @@ def find_vcp_up_patterns(
 # inside the same interval monotone the other way (cogrouped map, J4 join)
 # ---------------------------------------------------------------------------
 
-DIV_SCHEMA = (
-    "series_id string, pattern string, start_ts timestamp, end_ts timestamp, bullbear int"
-)
+
 
 
 def _monotone(vals, direction: str) -> bool:
@@ -382,7 +376,7 @@ def find_divergence_patterns(
             ex_cond=ex_cond, main_size=main_size, span_days=span_days,
             series_col=series_col, ts_col=ts_col,
         )
-        return pd.DataFrame(rows, columns=["series_id", "pattern", "start_ts", "end_ts", "bullbear"])
+        return pd.DataFrame(rows, columns=[series_col, "pattern", "start_ts", "end_ts", "bullbear"])
 
     # re-alias every column on both sides: when main and aux derive from the
     # SAME parent plan (the screener builds both from one ta_indicators
@@ -394,7 +388,10 @@ def find_divergence_patterns(
     return (
         _rewrap(main_extrema).groupBy(series_col)
         .cogroup(_rewrap(aux_extrema).groupBy(series_col))
-        .applyInPandas(lambda m, a: per_series(m, a), schema=DIV_SCHEMA)
+        .applyInPandas(
+            lambda m, a: per_series(m, a),
+            schema=_pattern_schema(main_extrema, series_col),
+        )
     )
 
 
@@ -520,7 +517,7 @@ def divergence_screener(
                         series_col=series_col, ts_col=ts_col,
                     )
         return pd.DataFrame(
-            rows, columns=["series_id", "pattern", "start_ts", "end_ts", "bullbear"]
+            rows, columns=[series_col, "pattern", "start_ts", "end_ts", "bullbear"]
         )
 
     def _rewrap(d: DataFrame) -> DataFrame:
@@ -529,5 +526,5 @@ def divergence_screener(
     return (
         _rewrap(price_ex).groupBy(series_col)
         .cogroup(_rewrap(aux_all).groupBy(series_col))
-        .applyInPandas(per_series, schema=DIV_SCHEMA)
+        .applyInPandas(per_series, schema=_pattern_schema(price_ex, series_col))
     )
