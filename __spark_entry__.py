@@ -1895,7 +1895,6 @@ fc AS (
               THEN recent_min ELSE fb_lb END AS box_lb,
          CASE WHEN NOT (recent_max IS NOT NULL AND recent_min IS NOT NULL)
               THEN score - 3.0
-              WHEN ub_near_cnt = 0 OR lb_near_cnt = 0 THEN score - 1.0
               ELSE score END AS box_score
   FROM scored),
 det AS (

@@ -48,7 +48,7 @@ def atr_series(g: pd.DataFrame, n: int) -> pd.Series:
 
 def psar_series(high: np.ndarray, low: np.ndarray,
                 af_start: float = 0.02, af_step: float = 0.02,
-                af_max: float = 0.2) -> np.ndarray:
+                af_max: float = 0.2, return_trend: bool = False):
     """Wilder parabolic SAR (public algorithm; reference consumes
     pandas_ta.psar at /root/reference/datalib/taStopEstimater.py:93-103):
     seed trend by comparing the first two bars' midpoints, clamp the SAR to
@@ -56,11 +56,12 @@ def psar_series(high: np.ndarray, low: np.ndarray,
     n = len(high)
     out = np.full(n, np.nan)
     if n < 2:
-        return out
+        return (out, np.zeros(n, dtype=bool)) if return_trend else out
     uptrend = high[1] + low[1] >= high[0] + low[0]
     sar = low[0] if uptrend else high[0]
     ep = high[0] if uptrend else low[0]
     af = af_start
+    trend = np.zeros(n, dtype=bool)
     for i in range(1, n):
         sar = sar + af * (ep - sar)
         if uptrend:
@@ -76,6 +77,9 @@ def psar_series(high: np.ndarray, low: np.ndarray,
             elif low[i] < ep:
                 ep, af = low[i], min(af + af_step, af_max)
         out[i] = sar
+        trend[i] = uptrend
+    if return_trend:
+        return out, trend
     return out
 
 
@@ -111,9 +115,12 @@ def oracle_multi_stop(pdf: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts").reset_index(drop=True)
         atr = atr_series(g, 14)
         atr30 = atr_series(g, 30)
-        psar = pd.Series(
-            psar_series(g["high"].to_numpy(), g["low"].to_numpy()), index=g.index
+        # LONG-leg PSAR (pandas_ta PSARl, NaN in downtrends) — what the
+        # reference's stop estimator consumes (taStopEstimater.py:97-98)
+        sar_vals, up = psar_series(
+            g["high"].to_numpy(), g["low"].to_numpy(), return_trend=True
         )
+        psar = pd.Series(np.where(up, sar_vals, np.nan), index=g.index)
         ma30 = rolling_mean(g["close"], 30)
         # sample stddev over full 30-bar windows only
         sd = np.full(len(g), np.nan)

@@ -22,11 +22,11 @@ Everything is pure window expressions — one pass, no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .tradesim import psar  # noqa: F401  (re-export convenience)
-from .windows import _frame, _w, true_range
+from .windows import _frame
 
 DAY_LIST = [10, 15, 20, 25, 30]
 UB_N2 = [10, 15]
@@ -164,9 +164,14 @@ def box_breakout_signals(
 ) -> DataFrame:
     """Breakout entries (/root/reference/datalib/extremaPlotter.py:576-593):
     long when Close > yesterday's nbars-high, short when Close < yesterday's
-    nbars-low."""
-    ub = F.max("high").over(_frame(series_col, ts_col, nbars, shift=1))
-    lb = F.min("low").over(_frame(series_col, ts_col, nbars, shift=1))
+    nbars-low. pandas min_periods semantics: the reference's
+    ``rolling(nbars).max().shift(1)`` is NaN through the warm-up, so no
+    signal can fire before ``nbars`` full bars (an unguarded partial window
+    fired on nearly every rising bar of the warm-up)."""
+    wsh = _frame(series_col, ts_col, nbars, shift=1)
+    full = F.count("high").over(wsh) >= nbars
+    ub = F.when(full, F.max("high").over(wsh))
+    lb = F.when(full, F.min("low").over(wsh))
     return (
         df.withColumn("sig_long", (F.col("close") > ub).cast("int"))
         .withColumn("sig_short", (F.col("close") < lb).cast("int"))
@@ -187,10 +192,11 @@ def detect_boxes_forecast(
     ``find_box_on_plot_by_date(is_forecast=True)``): rows where the band
     detector finds no box fall back to the last ``def_win_size``-bar
     high-max/low-min window as the box, tagged ``signame='forecast'`` with
-    ``box_score - 3`` (:87,:91-97); detected rows keep ``'box_breakout'``
-    and additionally pay the reference's "not 3pt" penalty of -1 when either
-    near-count is zero (:102-104). The forecast path skips the tightness
-    guard (:112 ``and not is_forecast``) — every row yields a box.
+    ``box_score - 3`` (:87,:91-97); detected rows keep ``'box_breakout'``.
+    The reference's "not 3pt" -1 penalty does NOT apply here: :102 guards
+    it with ``and not is_forecast`` (a review caught this operator paying
+    it anyway). The forecast path likewise skips the tightness guard
+    (:112 ``and not is_forecast``) — every row yields a box.
     Same single window pass as :func:`detect_boxes`."""
     # fallback window FIRST: add_box_bands ends in the ATR grouped map,
     # whose unknown output partitioning would force a second Exchange for
@@ -211,11 +217,7 @@ def detect_boxes_forecast(
     found = recent_max.isNotNull() & recent_min.isNotNull()
     box_ub = F.when(found, recent_max).otherwise(fb_ub)
     box_lb = F.when(found, recent_min).otherwise(fb_lb)
-    box_score = (
-        F.when(~found, score - 3.0)
-        .when((ub_near == 0) | (lb_near == 0), score - 1.0)
-        .otherwise(score)
-    )
+    box_score = F.when(~found, score - 3.0).otherwise(score)
     signame = F.when(found, F.lit("box_breakout")).otherwise(F.lit("forecast"))
 
     return (

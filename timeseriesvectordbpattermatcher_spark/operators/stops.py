@@ -63,13 +63,17 @@ def multi_stop_frame(
     from .tradesim import psar_walk
 
     w = _w(series_col, ts_col)
-    f30 = w.rowsBetween(-(nbars - 1), 0)
+    # the bb block is ALWAYS 30 bars: the reference's helper reassigns
+    # nbars=30 inside its body (taStopEstimater.py:191), so the parameter
+    # only drives the chandelier/nday windows it is actually passed to
+    bb_n = 30
+    f30 = w.rowsBetween(-(bb_n - 1), 0)
     f50 = w.rowsBetween(-49, 0)
     f20 = w.rowsBetween(-19, 0)
     c = F.col("close")
 
-    ma30 = F.when(F.count("close").over(f30) >= nbars, F.avg("close").over(f30))
-    sd30 = F.when(F.count("close").over(f30) >= nbars, F.stddev_samp("close").over(f30))
+    ma30 = F.when(F.count("close").over(f30) >= bb_n, F.avg("close").over(f30))
+    sd30 = F.when(F.count("close").over(f30) >= bb_n, F.stddev_samp("close").over(f30))
     ma50 = F.when(F.count("close").over(f50) >= 10, F.avg("close").over(f50))
     ma20 = F.when(F.count("close").over(f20) >= 10, F.avg("close").over(f20))
     fmin = w.rowsBetween(-nbars, -1)
@@ -120,7 +124,13 @@ def multi_stop_frame(
             tr.iloc[0] = high[0] - low[0]
         atr = pd.Series(_atr_fold(tr.to_numpy(), atr_bars), index=pdf.index)
         atr_ch = pd.Series(_atr_fold(tr.to_numpy(), nbars), index=pdf.index)
-        pdf["psar"] = psar_walk(high, low)
+        # LONG-leg-only PSAR (pandas_ta PSARl): the reference takes
+        # _['PSARl_0.02_0.2'] (taStopEstimater.py:97-98), which is NaN
+        # during downtrends — there sar_exit drops out of the skipna trail
+        # max instead of hijacking it with the short-side SAR above price
+        sar_vals, up = psar_walk(high, low, return_trend=True)
+        psarl = np.where(up, sar_vals, np.nan)
+        pdf["psar"] = psarl
         pdf["atr"] = atr
         pdf["sar_exit"] = pdf["psar"] - 0.5 * atr
         pdf["atr_minus_exit"] = pdf["_ma50"] + 0.9 * atr

@@ -285,11 +285,18 @@ def psar_walk(
     af_start: float = 0.02,
     af_step: float = 0.02,
     af_max: float = 0.2,
-) -> list[float]:
+    return_trend: bool = False,
+):
     """Pure PSAR recursion over numpy high/low arrays (Wilder) — shared by
-    :func:`psar` and stops.multi_stop_frame's combined grouped pass."""
+    :func:`psar` and stops.multi_stop_frame's grouped pass.
+
+    ``return_trend=True`` additionally returns the per-bar trend flags
+    (after processing the bar, reversals included), which lets callers
+    derive the LONG-leg-only series (pandas_ta's ``PSARl``: NaN during
+    downtrends) that the reference's stop estimator consumes."""
     n = len(high)
     out = [float("nan")] * n
+    trend = [False] * n
     if n >= 2:
         uptrend = high[1] + low[1] >= high[0] + low[0]
         sar = low[0] if uptrend else high[0]
@@ -310,6 +317,9 @@ def psar_walk(
                 elif low[i] < ep:
                     ep, af = low[i], min(af + af_step, af_max)
             out[i] = sar
+            trend[i] = uptrend
+    if return_trend:
+        return out, trend
     return out
 
 

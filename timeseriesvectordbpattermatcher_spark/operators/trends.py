@@ -88,14 +88,26 @@ def find_trend_range_extended(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Grow the span until pct_chg stops improving; return each anchor's
-    best range — the whole grid in one plan."""
+    best range — the whole grid in one plan.
+
+    Documented deviation from the reference (patternReviewUtil.py:443-455):
+    the reference's first loop iteration re-evaluates span=start_days and
+    compares the range to ITSELF, so its 'stopped improving' break always
+    fires immediately and it returns the start_days range every time —
+    the walk is dead code there. This operator performs the walk the
+    reference's code shape clearly intends (same break rule, evaluated
+    against the PREVIOUS span); callers wanting the reference's literal
+    behavior can call find_trend_range with span_days=start_days."""
     spans = list(range(start_days, max_days, step))
     spark = ohlcv.sparkSession
     # broadcast the tiny span list: otherwise the cartesian product runs
     # |anchors.partitions| x |spans.partitions| tasks (32x32 = 1024 on the
     # default parallelism) for a few dozen rows
     spans_df = spark.createDataFrame([(s,) for s in spans], "span_days int").coalesce(1)
-    grid = anchors.crossJoin(F.broadcast(spans_df))
+    # the walk owns the span grid: a caller-supplied span_days column would
+    # make the crossJoin ambiguous (find_trend_range supports that shape
+    # directly — use it for explicit spans)
+    grid = anchors.drop("span_days").crossJoin(F.broadcast(spans_df))
     ranges = find_trend_range(ohlcv, grid, trend=trend,
                               series_col=series_col, ts_col=ts_col)
     w = Window.partitionBy(series_col, "anchor_ts").orderBy("span_days")
