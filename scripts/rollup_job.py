@@ -80,9 +80,22 @@ def main() -> int:
     expired = {}
     if args.expire:
         today = dt.date.today()
+        coarser = {"1m": "1h", "1h": "1d"}
         for tier, horizon in DEFAULT_HORIZON_DAYS.items():
+            # never drop a fine partition the coarser tier hasn't absorbed:
+            # cap at the coarser snapshot's committed watermark day
+            absorbed = None
+            up = coarser.get(tier)
+            if up is not None:
+                up_snap = job.tables[up].current_snapshot()
+                if up_snap is None or not up_snap.watermark:
+                    expired[tier] = 0
+                    continue
+                absorbed = dt.datetime.fromisoformat(up_snap.watermark).date()
             expired[tier] = len(
-                expire_partitions(job.tables[tier], horizon, as_of=today)
+                expire_partitions(
+                    job.tables[tier], horizon, as_of=today, absorbed_through=absorbed
+                )
             )
 
     print(json.dumps({"tiers": counts, "expired": expired,

@@ -92,11 +92,21 @@ def test_retention_and_vacuum(spark, tmp_path):
     rows = [("web", f"2024-01-{d:02d}", d) for d in range(1, 11)]
     df = spark.createDataFrame(rows, "source string, day string, v int")
     tbl.overwrite_partitions(df, ["source", "day"])
+    # absorbed_through caps the drop: partitions the coarser tier has not
+    # committed yet must survive regardless of age (crash-before-cascade
+    # would otherwise lose them permanently)
+    capped = expire_partitions(
+        tbl, horizon_days=3, as_of=dt.date(2024, 1, 10),
+        absorbed_through=dt.date(2024, 1, 3),
+    )
+    assert capped == [f"web/2024-01-{d:02d}" for d in range(1, 4)]
     dropped = expire_partitions(tbl, horizon_days=3, as_of=dt.date(2024, 1, 10))
-    assert dropped == [f"web/2024-01-{d:02d}" for d in range(1, 7)]
+    assert dropped == [f"web/2024-01-{d:02d}" for d in range(4, 7)]
     kept_days = {r["day"] for r in tbl.read(spark).collect()}
     assert kept_days == {f"2024-01-{d:02d}" for d in range(7, 11)}
-    n_removed = vacuum(tbl)
+    # default min-age guard protects freshly written files (racing writer)
+    assert vacuum(tbl) == 0
+    n_removed = vacuum(tbl, min_age_secs=0)  # no live writer: GC everything
     assert n_removed >= len(dropped)
     # table still readable after GC
     assert tbl.read(spark).count() == 4

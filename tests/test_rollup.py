@@ -173,3 +173,19 @@ def test_rollup_salted_without_doc_id(spark):
     ).withColumn("event_ts", F.to_timestamp("event_ts"))
     out = rollup_1m(df, salt_buckets=4).collect()
     assert len(out) == 1 and out[0]["cnt"] == 2 and out[0]["sum_n_tok"] == 12
+
+
+def test_derive_event_ts_tolerates_malformed_doc_ids(spark):
+    """A doc_id the timestamp regexp can't parse must yield NULL event_ts
+    (skipped + auditable downstream), not an ANSI CANNOT_PARSE_TIMESTAMP
+    crash — PySpark 4 is ANSI by default."""
+    from timeseriesvectordbpattermatcher_spark.operators.rollup import derive_event_ts
+
+    df = spark.createDataFrame(
+        [("web_20240101000000_00000001",), ("web_badid_x",), ("nodate",)],
+        "doc_id string",
+    )
+    out = {r["doc_id"]: r["event_ts"] for r in derive_event_ts(df).collect()}
+    assert out["web_20240101000000_00000001"] is not None
+    assert out["web_badid_x"] is None
+    assert out["nodate"] is None

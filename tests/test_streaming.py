@@ -129,3 +129,32 @@ def test_stream_late_data_dropped_by_watermark(spark, tmp_path):
     # run 2 (same checkpoint): the persisted watermark drops the late rows —
     # the already-emitted window is NOT re-opened or re-emitted
     assert run() == {("web", "2024-01-01 00:00:00", 5)}
+
+
+def test_stream_tokenless_cascades_like_batch(spark, seqs_dir, tmp_path):
+    """Token-less streams must emit the tok_* fallback columns so the
+    downstream cascade() consumes streaming output exactly like batch
+    output (used to raise UNRESOLVED_COLUMN tok_min)."""
+    import pandas as pd
+
+    from timeseriesvectordbpattermatcher_spark.operators.rollup import (
+        cascade,
+        derive_event_ts,
+        rollup_1m,
+    )
+
+    batch_schema = spark.read.parquet(seqs_dir).schema
+    stream = spark.readStream.schema(batch_schema).parquet(seqs_dir).drop("tokens")
+    out = _run_bounded(
+        spark,
+        stream_rollup_1m(stream_derive_event_ts(stream)),
+        str(tmp_path / "tl_ck"),
+    )
+    got = cascade(out, "1h").toPandas()
+    want = cascade(
+        rollup_1m(derive_event_ts(spark.read.parquet(seqs_dir).drop("tokens"))), "1h"
+    ).toPandas()
+    cols = sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)

@@ -57,6 +57,10 @@ def compress_rollup_segments(
     ``sort_array`` of collected (ts, value) structs pins the intra-segment
     order deterministically regardless of shuffle arrival order.
     """
+    # rows with a null bucket_ts can't live in any time chunk, and a null
+    # inside the collected ts array would crash the int64 DoD encoder on
+    # the executor with no hint of the bad input row — drop them here
+    rollup = rollup.filter(F.col("bucket_ts").isNotNull())
     grouped = (
         rollup.withColumn("chunk_ts", F.window("bucket_ts", chunk).getField("start"))
         .groupBy(key_col, "chunk_ts")

@@ -43,10 +43,18 @@ def derive_event_ts(seqs: DataFrame, doc_id_col: str = "doc_id") -> DataFrame:
     Mirrors the reference's id parse-back
     (/root/reference/opkatsPatternMatcherUtil.py:198-207: strip prefix, split
     on '_', take the date field) as one codegen'd regexp.
+
+    try_to_timestamp: a malformed doc_id (regexp miss -> '') must yield a
+    NULL event_ts the downstream jobs skip and audit, not an ANSI
+    CANNOT_PARSE_TIMESTAMP crash that kills the whole scan (PySpark 4 is
+    ANSI by default).
     """
     return seqs.withColumn(
         "event_ts",
-        F.to_timestamp(F.regexp_extract(F.col(doc_id_col), DOC_TS_PATTERN, 1), "yyyyMMddHHmmss"),
+        F.try_to_timestamp(
+            F.regexp_extract(F.col(doc_id_col), DOC_TS_PATTERN, 1),
+            F.lit("yyyyMMddHHmmss"),
+        ),
     )
 
 

@@ -99,22 +99,29 @@ class RollupJob:
         ``token_engine`` selects the token-stat engine (see
         rollup.add_token_stats) — expr measured fastest on this host."""
         run_id = run_id or uuid.uuid4().hex[:12]
-        new_wm = seqs_ts.agg(F.max("event_ts")).collect()[0][0]
+        t0 = time.time()
+        snap_1m = self.tables["1m"].current_snapshot()
+        wm_1m = None if (full_refresh or snap_1m is None) else snap_1m.watermark
+        # ONE raw scan computes both the new watermark and the affected-day
+        # set (they used to be two full scans of the 10^12-row input); the
+        # day set is bounded by the calendar, so collect_set stays tiny.
+        # Rows with null event_ts (unparseable doc_id) drop out of both
+        # aggregates — they can never land in a (source, day) partition.
+        beyond_wm = (
+            F.col("event_ts") > F.lit(wm_1m) if wm_1m
+            else F.col("event_ts").isNotNull()
+        )
+        head = seqs_ts.agg(
+            F.max("event_ts").alias("wm"),
+            F.collect_set(F.when(beyond_wm, F.to_date("event_ts"))).alias("days"),
+        ).first()
+        new_wm = head["wm"]
         if new_wm is not None:
             wm_str = new_wm.isoformat()
 
             # ---- tier 1m: recompute affected (source, day) partitions from raw
-            t0 = time.time()
-            snap_1m = self.tables["1m"].current_snapshot()
-            wm_1m = None if (full_refresh or snap_1m is None) else snap_1m.watermark
             if wm_1m is None or wm_str > wm_1m:
-                new_rows = seqs_ts
-                if wm_1m:
-                    new_rows = new_rows.filter(F.col("event_ts") > F.lit(wm_1m))
-                days = [
-                    r[0].isoformat()
-                    for r in new_rows.select(F.to_date("event_ts").alias("d")).distinct().collect()
-                ]
+                days = sorted(d.isoformat() for d in head["days"])
                 if days:
                     affected_raw = seqs_ts.filter(F.to_date("event_ts").isin(days))
                     self._commit_tier(
@@ -141,7 +148,9 @@ class RollupJob:
             changed = src_snap.changed_partitions(last_sync)
             if not changed:
                 continue
-            days = sorted({pk.split("/")[1] for pk in changed})
+            # rsplit: the day component never contains '/', a source value
+            # might (pk layout is '{source}/{YYYY-MM-DD}')
+            days = sorted({pk.rsplit("/", 1)[1] for pk in changed})
             src_df = self.tables[src_tier].read(spark)
             affected = src_df.filter(F.to_date("bucket_ts").isin(days)).drop("bucket_day")
             out = cascade(affected, tier)

@@ -86,7 +86,9 @@ def synth_seqs(
                 "_",
                 F.col("source"),
                 F.date_format("event_ts", "yyyyMMddHHmmss"),
-                F.lpad(F.col("id").cast("string"), 8, "0"),
+                # format_string pads to AT LEAST 8 digits; lpad TRUNCATES
+                # past 8, which would alias seq fields at id >= 10^8
+                F.format_string("%08d", F.col("id")),
             ),
         )
     )

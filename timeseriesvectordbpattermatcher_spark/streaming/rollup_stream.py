@@ -29,14 +29,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..operators.rollup import DOC_TS_PATTERN
-
-
-def stream_derive_event_ts(stream: DataFrame, doc_id_col: str = "doc_id") -> DataFrame:
-    return stream.withColumn(
-        "event_ts",
-        F.to_timestamp(F.regexp_extract(F.col(doc_id_col), DOC_TS_PATTERN, 1), "yyyyMMddHHmmss"),
-    )
+from ..operators.rollup import derive_event_ts as stream_derive_event_ts  # noqa: F401
+# (the batch doc_id -> event_ts parse is pure column expressions, which work
+# unchanged on streaming frames — one implementation, re-exported)
 
 
 def stream_rollup_1m(
@@ -66,11 +61,20 @@ def stream_rollup_1m(
                 F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")),
             )
         )
-        aggs += [
-            F.min("tok_min").alias("tok_min"),
-            F.max("tok_max").alias("tok_max"),
-            F.sum("tok_sum").alias("tok_sum"),
-        ]
+    else:
+        # token-less fallback, mirroring batch rollup_1m: the docstring's
+        # "cascade re-aggregates streaming output exactly like batch"
+        # claim requires the tok_* columns to exist on BOTH paths
+        stream = (
+            stream.withColumn("tok_min", F.col("n_tok"))
+            .withColumn("tok_max", F.col("n_tok"))
+            .withColumn("tok_sum", F.col("n_tok").cast("long"))
+        )
+    aggs += [
+        F.min("tok_min").alias("tok_min"),
+        F.max("tok_max").alias("tok_max"),
+        F.sum("tok_sum").alias("tok_sum"),
+    ]
     # group on the window STRUCT, not window(...).start — extracting the
     # field before the agg severs the event-time/watermark linkage and
     # Spark then rejects append mode ("aggregation without watermark"),
