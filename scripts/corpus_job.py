@@ -140,9 +140,12 @@ def main() -> int:
     out = spark.read.parquet(args.output)
     stats["stages"]["curated"] = out.count()
     # split the filter attribution: quality drops vs language drops (an
-    # operator tuning --min-quality must not be shown language casualties)
+    # operator tuning --min-quality must not be shown language casualties).
+    # Null-inclusive: a NULL quality fails `quality >= min` and must be
+    # counted as a quality drop — `quality < min` would miss it and the
+    # stage counts would stop reconciling (or inflate lang_filtered).
     stats["quality_filtered"] = int(
-        analyzed.filter(F.col("quality") < args.min_quality).count()
+        analyzed.filter(~(F.col("quality") >= args.min_quality)).count()
     )
     stats["lang_filtered"] = (
         stats["stages"]["near_dedup"] - stats["stages"]["curated"] - stats["quality_filtered"]

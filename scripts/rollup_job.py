@@ -51,6 +51,7 @@ def main() -> int:
 
     from timeseriesvectordbpattermatcher_spark.operators.retention import (
         DEFAULT_HORIZON_DAYS,
+        UNGUARDED,
         expire_partitions,
     )
     from timeseriesvectordbpattermatcher_spark.operators.rollup import derive_event_ts
@@ -84,7 +85,9 @@ def main() -> int:
         for tier, horizon in DEFAULT_HORIZON_DAYS.items():
             # never drop a fine partition the coarser tier hasn't absorbed:
             # cap at the coarser snapshot's committed watermark day
-            absorbed = None
+            # top tier has no coarser absorber: age-only expiry is the
+            # deliberate policy there (it IS the archive tier)
+            absorbed = UNGUARDED
             up = coarser.get(tier)
             if up is not None:
                 up_snap = job.tables[up].current_snapshot()

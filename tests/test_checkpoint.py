@@ -5,7 +5,11 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
-from timeseriesvectordbpattermatcher_spark.operators.retention import expire_partitions, vacuum
+from timeseriesvectordbpattermatcher_spark.operators.retention import (
+    UNGUARDED,
+    expire_partitions,
+    vacuum,
+)
 from timeseriesvectordbpattermatcher_spark.operators.rollup import derive_event_ts
 from timeseriesvectordbpattermatcher_spark.plans.checkpoint import RollupJob
 from timeseriesvectordbpattermatcher_spark.sources.snapshot_table import SnapshotTable
@@ -100,7 +104,15 @@ def test_retention_and_vacuum(spark, tmp_path):
         absorbed_through=dt.date(2024, 1, 3),
     )
     assert capped == [f"web/2024-01-{d:02d}" for d in range(1, 4)]
-    dropped = expire_partitions(tbl, horizon_days=3, as_of=dt.date(2024, 1, 10))
+    # age-only expiry now requires the explicit UNGUARDED opt-out — a caller
+    # that forgets absorbed_through gets a TypeError, not silent data loss
+    with pytest.raises(TypeError):
+        expire_partitions(tbl, 3, dt.date(2024, 1, 10))  # type: ignore[call-arg]
+    with pytest.raises(TypeError):
+        expire_partitions(tbl, 3, dt.date(2024, 1, 10), absorbed_through=None)
+    dropped = expire_partitions(
+        tbl, horizon_days=3, as_of=dt.date(2024, 1, 10), absorbed_through=UNGUARDED
+    )
     assert dropped == [f"web/2024-01-{d:02d}" for d in range(4, 7)]
     kept_days = {r["day"] for r in tbl.read(spark).collect()}
     assert kept_days == {f"2024-01-{d:02d}" for d in range(7, 11)}

@@ -170,3 +170,17 @@ def test_dod_oracle_parity(ts):
     blob = encode_dod_ints(arr)
     assert blob == co.encode_dod_ints_pure(arr)
     assert np.array_equal(co.decode_dod_ints_pure(blob), decode_dod_ints(blob))
+
+
+def test_bitreader_truncated_stream_raises_eof():
+    """A truncated/corrupt blob must surface as a descriptive EOFError, not
+    a cryptic negative-shift ValueError from deep inside the refill."""
+    from timeseriesvectordbpattermatcher_spark.functions.codecs import _BitReader
+
+    r = _BitReader(b"\xff")
+    assert r.read(8) == 0xFF
+    with pytest.raises(EOFError, match="bit stream exhausted"):
+        r.read(1)
+    r2 = _BitReader(b"\xab\xcd")
+    with pytest.raises(EOFError, match="bit stream exhausted"):
+        r2.read(64)

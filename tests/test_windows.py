@@ -110,7 +110,13 @@ def test_rank_across_keys(ohlcv):
     one_date = ranked.filter(F.col("ts") == ohlcv.agg(F.max("ts")).collect()[0][0])
     pdf = one_date.orderBy("rs_rank").toPandas()
     assert pdf["close"].is_monotonic_increasing
-    assert pdf["rs_rank"].iloc[0] == 0.0 and pdf["rs_rank"].iloc[-1] == 1.0
+    # reference formula: rank/cnt over valid rows — range (1/cnt, 1]
+    n = len(pdf)
+    assert pdf["rs_rank"].iloc[0] == pytest.approx(1.0 / n)
+    assert pdf["rs_rank"].iloc[-1] == 1.0
+    # pin against pandas' own average-tie relative rank (the reference op)
+    want = (pdf["close"].rank() / n).to_numpy()
+    assert pdf["rs_rank"].to_numpy() == pytest.approx(want)
 
 
 def test_resample_ohlcv(ohlcv, one_pdf):
@@ -355,9 +361,38 @@ def test_rank_across_keys_excludes_nulls(spark):
     )
     got = {r["series_id"]: r["rs_rank"] for r in rank_across_keys(df, "rs").collect()}
     assert got["A"] == -2.0          # missing -> -2 (reference quirk)
-    assert got["B"] == 0.0           # bottom of the VALID set, not mid-pack
+    assert got["B"] == 0.5           # rank 1 of 2 valid -> 1/2
     assert got["C"] == 1.0
-    assert got["D"] == 0.0           # single valid row -> 0.0
+    assert got["D"] == 1.0           # single valid row -> 1/1 (pandas rank/cnt)
+
+
+def test_rank_across_keys_reference_formula(spark):
+    """Exact parity with get_relative_rank/get_absolute_rank
+    (/root/reference/datalib/patternTraderUtil.py:106-136): validity is
+    value > 0, average-tie ranks, zero/negative -> -2, reverse flips."""
+    import pandas as pd
+
+    from timeseriesvectordbpattermatcher_spark.operators.windows import rank_across_keys
+
+    vals = [3.0, 1.0, 3.0, 0.0, -5.0, 2.0, None]
+    names = list("ABCDEFG")
+    df = spark.createDataFrame(
+        [("d1", s, v) for s, v in zip(names, vals)],
+        "ts string, series_id string, rs double",
+    )
+    row = pd.Series(vals, index=names, dtype=float)
+    valid = row[row > 0]
+    want_rel = (valid.rank() / len(valid)).reindex(names).fillna(-2.0)
+    got = {r["series_id"]: r["rs_rank"] for r in rank_across_keys(df, "rs").collect()}
+    for s in names:
+        assert got[s] == pytest.approx(want_rel[s]), s
+    want_abs = (len(valid) - valid.rank() + 1).reindex(names).fillna(-2.0)
+    got_abs = {
+        r["series_id"]: r["rs_rank"]
+        for r in rank_across_keys(df, "rs", pct=False, reverse=True).collect()
+    }
+    for s in names:
+        assert got_abs[s] == pytest.approx(want_abs[s]), s
 
 
 def test_perf_rollup_winrate_and_null_year(spark):

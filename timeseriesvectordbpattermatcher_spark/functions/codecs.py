@@ -92,6 +92,13 @@ class _BitReader:
             acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
             nbits += 8 * len(chunk)
             self.bytepos = bytepos + nbytes
+            if nbits < bits:
+                # truncated/corrupt blob: without this a negative shift
+                # below surfaces as a cryptic ValueError in the executor log
+                raise EOFError(
+                    f"bit stream exhausted: need {bits} bits at bit position "
+                    f"{self.pos}, only {nbits} available"
+                )
         nbits -= bits
         out = (acc >> nbits) & ((1 << bits) - 1)
         self.acc = acc & ((1 << nbits) - 1)

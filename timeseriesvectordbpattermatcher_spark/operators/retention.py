@@ -22,12 +22,27 @@ from ..sources.snapshot_table import SnapshotTable
 DEFAULT_HORIZON_DAYS = {"1m": 7, "1h": 90, "1d": None}  # None = keep forever
 
 
+class _Unguarded:
+    """Explicit opt-out sentinel for ``absorbed_through`` — see
+    :func:`expire_partitions`. Singleton; truthy identity only."""
+
+    def __repr__(self) -> str:  # pragma: no cover - repr cosmetics
+        return "UNGUARDED"
+
+
+#: Pass as ``absorbed_through`` to expire on age alone (no coarser-tier
+#: absorption guard). Deliberately loud: age-only expiry permanently loses
+#: any fine partition the coarser cascade hasn't committed yet.
+UNGUARDED = _Unguarded()
+
+
 def expire_partitions(
     table: SnapshotTable,
     horizon_days: int | None,
     as_of: dt.date,
     run_id: str | None = None,
-    absorbed_through: dt.date | None = None,
+    *,
+    absorbed_through: dt.date | _Unguarded,
 ) -> list[str]:
     """Drop partitions whose day component is older than ``as_of - horizon``
     AND at or before ``absorbed_through`` (the coarser tier's committed
@@ -36,10 +51,11 @@ def expire_partitions(
     Age alone is NOT a safe drop condition: a run that commits fine-tier
     partitions and crashes before the coarser cascade would otherwise lose
     that data permanently — dropped keys leave no tombstone, so the rerun's
-    changed-partition diff never re-aggregates them. Callers that truly
-    have no coarser tier (or accept the loss) pass
-    ``absorbed_through=None`` explicitly; RollupJob passes each tier's
-    upstream committed watermark.
+    changed-partition diff never re-aggregates them. ``absorbed_through``
+    is therefore keyword-REQUIRED with no default: callers that truly have
+    no coarser tier (or accept the loss) must opt out deliberately by
+    passing the module-level :data:`UNGUARDED` sentinel; RollupJob passes
+    each tier's upstream committed watermark.
 
     Partition keys are '{source}/{YYYY-MM-DD}' (RollupJob layout). Returns
     the dropped keys. No-op when horizon is None.
@@ -47,7 +63,12 @@ def expire_partitions(
     if horizon_days is None:
         return []
     cutoff = (as_of - dt.timedelta(days=horizon_days)).isoformat()
-    if absorbed_through is not None:
+    if absorbed_through is not UNGUARDED:
+        if not isinstance(absorbed_through, dt.date):
+            raise TypeError(
+                "absorbed_through must be a date (the coarser tier's committed "
+                "watermark day) or the explicit retention.UNGUARDED sentinel"
+            )
         cutoff = min(cutoff, (absorbed_through + dt.timedelta(days=1)).isoformat())
     snap = table.current_snapshot()
     if snap is None:
@@ -69,6 +90,14 @@ def vacuum(table: SnapshotTable, min_age_secs: float = 24 * 3600) -> int:
     just-published snapshot references. Files younger than the guard are
     left for the next cycle; pass ``min_age_secs=0`` only when no writer
     can be live.
+
+    Concurrency note: a file can vanish between ``os.walk`` listing it and
+    the ``getmtime``/``remove`` pair (a concurrent vacuum, or a writer
+    cleaning its own temp files) — those raise ``OSError`` and are simply
+    skipped; the next cycle reconciles. The mtime guard assumes files are
+    CREATED by the table's own writers; files restored/copied in with
+    preserved old mtimes defeat it — don't hand-copy data files into a live
+    table's ``data/`` directory.
     """
     import os
     import time
@@ -87,11 +116,13 @@ def vacuum(table: SnapshotTable, min_age_secs: float = 24 * 3600) -> int:
         for f in filenames:
             full = os.path.join(dirpath, f)
             rel = os.path.relpath(full, table.root)
-            if (
-                f.endswith(".parquet")
-                and rel not in live
-                and now - os.path.getmtime(full) >= min_age_secs
-            ):
-                os.remove(full)
-                removed += 1
+            if f.endswith(".parquet") and rel not in live:
+                try:
+                    if now - os.path.getmtime(full) >= min_age_secs:
+                        os.remove(full)
+                        removed += 1
+                except OSError:
+                    # raced by a concurrent vacuum/writer: file already gone
+                    # (or transiently unreadable) — skip, next cycle retries
+                    continue
     return removed

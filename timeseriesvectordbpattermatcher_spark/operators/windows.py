@@ -183,24 +183,37 @@ def local_extrema(
 
 def rank_across_keys(
     df: DataFrame, col: str, partition_col: str = "ts",
-    out: str = "rs_rank", pct: bool = True,
+    out: str = "rs_rank", pct: bool = True, reverse: bool = False,
 ) -> DataFrame:
     """W14: per-date cross-sectional rank of each series
-    (/root/reference/datalib/patternTraderUtil.py:106-159); missing -> -2.
+    (/root/reference/datalib/patternTraderUtil.py:106-136); invalid -> -2.
 
-    Ranks are computed over VALID rows only — the reference ranks
-    ``row[valid].rank()/cnt`` after dropping missing series, so a null on
-    one series must not shift every other series' rank. Nulls sort last,
-    rank() of non-null rows is then unaffected, and the percent
-    denominator uses the valid count (single valid row -> 0.0, Spark's
-    own single-row percent_rank convention)."""
-    w = Window.partitionBy(partition_col).orderBy(F.asc_nulls_last(col))
-    valid = F.count(col).over(Window.partitionBy(partition_col))
-    if pct:
-        r = F.when(valid > 1, (F.rank().over(w) - 1) / (valid - 1)).otherwise(F.lit(0.0))
-    else:
-        r = F.rank().over(w)
-    return df.withColumn(out, F.when(F.col(col).isNotNull(), r).otherwise(F.lit(-2.0)))
+    Matches the reference formula exactly: validity is ``value > 0`` (the
+    reference masks ``row > 0`` before ranking — zero/negative/NaN all get
+    -2), the rank is pandas' default AVERAGE-tie rank over valid rows only
+    (a tie group spanning 1-based positions [rmin, rmax] gets (rmin+rmax)/2
+    = rank() + (ties-1)/2), and ``pct=True`` (``get_relative_rank``)
+    divides by the valid count — range (1/cnt, 1], single valid row -> 1.0.
+    ``pct=False`` mirrors ``get_absolute_rank``: the raw average rank, or
+    ``cnt - rank + 1`` with ``reverse=True`` (reference default there).
+    A null/invalid value on one series never shifts the others' ranks."""
+    is_valid = F.col(col) > 0  # null-safe: NULL > 0 is NULL -> invalid
+    w = Window.partitionBy(partition_col, "_valid").orderBy(F.asc(col))
+    ties = F.count(F.lit(1)).over(
+        Window.partitionBy(partition_col, "_valid", col)
+    )
+    avg_rank = F.rank().over(w) + (ties - F.lit(1)) / F.lit(2.0)
+    cnt = F.sum(F.when(F.col("_valid"), 1).otherwise(0)).over(
+        Window.partitionBy(partition_col)
+    )
+    if reverse:
+        avg_rank = cnt - avg_rank + 1
+    r = avg_rank / cnt if pct else avg_rank
+    return (
+        df.withColumn("_valid", F.coalesce(is_valid, F.lit(False)))
+        .withColumn(out, F.when(F.col("_valid"), r).otherwise(F.lit(-2.0)))
+        .drop("_valid")
+    )
 
 
 def resample_ohlcv(
