@@ -275,3 +275,49 @@ def test_match_pipeline_edges_all_strategies(spark):
     empty = spark.createDataFrame([], "segment_id string, features array<float>")
     for strat in ("join", "bcast", "auto"):
         assert match_pipeline(qs, empty, strategy=strat).count() == 0, strat
+
+
+def test_cluster_safety_guard_rejects_driver_local_default():
+    """On any non-local master the default mkdtemp ref store would land on
+    the driver's disk, invisible to executors — the guard must refuse it
+    up front; a shared store_dir or a local master is always fine."""
+    import pytest
+
+    from timeseriesvectordbpattermatcher_spark.operators.matcher import (
+        _local_default_store_is_safe,
+        _require_cluster_safe_store,
+    )
+
+    for master in ("local", "local[4]", "local[*]", "local-cluster[2,1,1024]"):
+        assert _local_default_store_is_safe(master)
+        _require_cluster_safe_store(master, None)  # no raise
+    for master in ("yarn", "k8s://https://host:6443", "spark://host:7077",
+                   "mesos://host:5050", None):
+        assert not _local_default_store_is_safe(master)
+        with pytest.raises(ValueError, match="store_dir"):
+            _require_cluster_safe_store(master, None)
+        # explicit shared storage makes every master acceptable
+        _require_cluster_safe_store(master, "hdfs:///warehouse/ref_store")
+
+
+def test_bcast_respects_explicit_store_dir_and_guard_wired(spark, vec_tables, tmp_path):
+    """cosine_topk_bcast consults the guard with the session's master (local
+    here -> passes) and honors an explicit store_dir by writing under it."""
+    import os
+
+    from timeseriesvectordbpattermatcher_spark.operators.matcher import (
+        cosine_topk_bcast,
+        cosine_topk_join,
+    )
+
+    qs, refs = vec_tables
+    store = str(tmp_path / "shared_store")
+    got = cosine_topk_bcast(qs, refs, k=5, store_dir=store)
+    want = cosine_topk_join(qs, refs, k=5)
+    # numpy matmul vs SQL fold reduce in different orders: scores agree to
+    # ~1 ulp, so compare rounded (ids/ranks exact)
+    key = lambda df: sorted(
+        (r[0], r[1], r[2], round(r[3], 9)) for r in df.collect()
+    )
+    assert key(got) == key(want)
+    assert any(d.startswith("gen_") for d in os.listdir(store))

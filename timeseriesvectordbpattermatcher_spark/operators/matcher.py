@@ -86,6 +86,29 @@ _REF_CACHE: dict[str, tuple] = {}
 _REF_STORE_PATHS: dict[tuple, str] = {}
 
 
+def _local_default_store_is_safe(master: str | None) -> bool:
+    """Whether a driver-local mkdtemp default store is readable by every
+    Python worker. True only for in-process masters (``local[...]`` — driver
+    and executors share one machine/filesystem). On ``yarn`` / ``k8s://…`` /
+    ``spark://…`` / ``mesos://…`` executors run on OTHER hosts: a
+    driver-local temp dir silently yields empty/failed reads there, so the
+    caller must supply a shared ``store_dir`` (HDFS/S3/DBFS/NFS path both
+    the driver's parquet write and pyarrow on executors can reach)."""
+    return master is not None and master.startswith("local")
+
+
+def _require_cluster_safe_store(master: str | None, store_dir: str | None) -> None:
+    """Raise unless the (master, store_dir) combination is cluster-safe —
+    pure and unit-testable without spinning up a non-local master."""
+    if store_dir is None and not _local_default_store_is_safe(master):
+        raise ValueError(
+            f"cosine_topk_bcast on non-local master {master!r} requires "
+            "store_dir= on shared storage (HDFS/S3/DBFS/NFS): the default "
+            "driver-local temp directory is not readable by executors on "
+            "other hosts, which would silently produce empty match results"
+        )
+
+
 def _ref_store_path(refs: DataFrame, ref_id: str, ref_vec: str,
                     store_dir: str | None) -> str:
     """Materialize (once per session per distinct refs plan) the ref segment
@@ -110,6 +133,9 @@ def _ref_store_path(refs: DataFrame, ref_id: str, ref_vec: str,
     import tempfile
     import uuid
 
+    _require_cluster_safe_store(
+        refs.sparkSession.conf.get("spark.master", None), store_dir
+    )
     projected = refs.select(ref_id, ref_vec)
     key = (store_dir, projected.semanticHash())
     path = _REF_STORE_PATHS.get(key)
@@ -181,7 +207,10 @@ def cosine_topk_bcast(
     matrix, so driver memory stays O(1) regardless of |refs| (the round-1
     driver ``collect()`` died at ~100× reference scale). On a cluster pass
     ``store_dir`` on shared storage (HDFS/S3/DBFS path readable by pyarrow);
-    default is a session-scoped local temp dir (correct for local[...]).
+    the session-scoped local temp default is only valid for ``local[...]``
+    masters — any other master without ``store_dir`` raises ``ValueError``
+    up front instead of silently returning empty matches from executors
+    that can't see the driver's disk.
 
     Emits exactly k rows per query — the |Q|×|R| intermediate never exists.
     Ties broken by ref id ascending (same order as ``cosine_topk_join``).
@@ -303,6 +332,7 @@ def match_pipeline(
     display_k: int = DISPLAY_K,
     query_start_col: str = "query_start",
     strategy: str = "auto",
+    store_dir: str | None = None,
 ) -> DataFrame:
     """Full reference query path E2 (SURVEY.md §3): top-k search -> dedupe per
     series -> historical-only -> re-rank -> head ``display_k`` per query.
@@ -316,7 +346,10 @@ def match_pipeline(
       too-large ref table by accident at 100x scale.
     - ``join``  — broadcast nested-loop + expression scoring (exact).
     - ``bcast`` — side-file ref matrix + Arrow-batch matmul (exact; the
-      default scale path when the matrix fits an executor).
+      default scale path when the matrix fits an executor). On a non-local
+      master this REQUIRES ``store_dir`` on shared storage (HDFS/S3/DBFS)
+      — the driver-local temp default would be invisible to executors, so
+      it raises ``ValueError`` instead (cluster-safety guard).
     - ``lsh``   — hyperplane-bucketed approximate top-k (recall tested
       >= 0.9 vs brute force in tests/test_matcher.py) — the 100 TB path
       when the ref matrix no longer fits one executor.
@@ -328,9 +361,10 @@ def match_pipeline(
             F.count(F.lit(1)).alias("n"), F.max(F.size("features")).alias("dim")
         ).first()
         strategy = choose_strategy(int(stats["n"]), int(stats["dim"] or 0))
-    if strategy in ("join", "bcast"):
-        topk_fn = cosine_topk_join if strategy == "join" else cosine_topk_bcast
-        matches = topk_fn(queries, refs, k=k)
+    if strategy == "join":
+        matches = cosine_topk_join(queries, refs, k=k)
+    elif strategy == "bcast":
+        matches = cosine_topk_bcast(queries, refs, k=k, store_dir=store_dir)
     elif strategy in ("lsh", "ivf"):
         from .similarity import ivf_topk, lsh_topk
 
