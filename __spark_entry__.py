@@ -2193,14 +2193,22 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: binary payload -> mapInPandas feature extraction
-    (decode stubbed behind a deterministic fake; schema/batching real)."""
+    """Multimodal: binary payload -> mapInPandas feature extraction. Real
+    stdlib decode (WAV via `wave`, PPM/BMP via numpy) over valid payloads
+    from synth_real_media, PLUS the deterministic fake-decode path over
+    opaque payloads (stand-in for compressed formats whose decoders aren't
+    in this container). Each row is decoder-tagged; the golden regenerates
+    from the engine-free oracle (independent RIFF/PPM/BMP parsers in
+    tests/oracle/segment_oracle.py)."""
     from timeseriesvectordbpattermatcher_spark.operators.multimodal import (
         extract_media_features,
         synth_media,
+        synth_real_media,
     )
 
-    media = synth_media(spark, n_rows=64, seed=42)
+    media = synth_media(spark, n_rows=64, seed=42).unionAll(
+        synth_real_media(spark, n_rows=24, seed=7)
+    )
     out = extract_media_features(media, fake=True)
     # pin the decoded values themselves, not just the shape: first feature +
     # L2 norm (both computed in double, rounded like every other float in
@@ -2213,6 +2221,7 @@ def q_media_features(spark, sf_dir):
         "modality",
         F.size("feat").alias("feat_dim"),
         "decode_ok",
+        "decoder",
         F.round(F.element_at(fd, 1), _R).alias("feat0"),
         F.round(F.sqrt(sumsq), _R).alias("feat_norm"),
     )

@@ -119,9 +119,20 @@ def _oracle_frame(name: str, spark):
         return so.oracle_matcher_pipeline(ohlcv_pdf(6, 900))
     if name == "media_features":
         from tests.oracle import segment_oracle as so
-        from timeseriesvectordbpattermatcher_spark.operators.multimodal import synth_media
+        from timeseriesvectordbpattermatcher_spark.operators.multimodal import (
+            synth_media,
+            synth_real_media,
+        )
 
-        media = synth_media(spark, n_rows=64, seed=42).toPandas()
+        # inputs shared with the query (opaque fakes + real WAV/PPM/BMP
+        # payloads); DECODE semantics re-derived independently in the oracle
+        media = pd.concat(
+            [
+                synth_media(spark, n_rows=64, seed=42).toPandas(),
+                synth_real_media(spark, n_rows=24, seed=7).toPandas(),
+            ],
+            ignore_index=True,
+        )
         return so.oracle_media_features(media)
     if name == "ann_recall":
         from tests.oracle import ann_oracle as ao

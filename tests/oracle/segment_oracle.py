@@ -324,19 +324,133 @@ def oracle_matcher_pipeline(
 # --------------------------------------------------------------------------
 
 
+def _oracle_decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Independent RIFF/WAVE parse: walk the chunk list by hand (the engine
+    uses stdlib ``wave``), pull fmt + data, normalize PCM to [-1, 1] mono."""
+    import struct
+
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    assert fmt is not None and data is not None
+    tag, nch, rate, _, _, bits = fmt
+    assert tag == 1, f"not PCM: {tag}"
+    if bits == 8:
+        x = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif bits == 16:
+        x = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+    else:
+        raise AssertionError(f"bits={bits}")
+    if nch > 1:
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def _oracle_decode_ppm(payload: bytes) -> np.ndarray:
+    """Independent P6 parse via a regex over the header (engine tokenizes
+    byte-by-byte)."""
+    import re
+
+    m = re.match(
+        rb"P6(?:\s|#[^\n]*\n)+(\d+)(?:\s|#[^\n]*\n)+(\d+)(?:\s|#[^\n]*\n)+(\d+)\s",
+        payload,
+    )
+    assert m, "bad PPM header"
+    w, h, maxval = (int(g) for g in m.groups())
+    assert 0 < maxval < 256
+    data = payload[m.end() : m.end() + w * h * 3]
+    assert len(data) == w * h * 3
+    return np.frombuffer(data, np.uint8).reshape(h, w, 3)
+
+
+def _oracle_decode_bmp(payload: bytes) -> np.ndarray:
+    """Independent 24bpp BI_RGB BMP parse."""
+    import struct
+
+    assert payload[:2] == b"BM"
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    assert bpp == 24 and comp == 0
+    bottom_up, h = h > 0, abs(h)
+    stride = -(-(w * 3) // 4) * 4
+    rows = [
+        np.frombuffer(payload, np.uint8, count=w * 3, offset=off + r * stride)
+        .reshape(w, 3)[:, ::-1]  # BGR -> RGB
+        for r in range(h)
+    ]
+    img = np.stack(rows)
+    return img[::-1] if bottom_up else img
+
+
+def _oracle_audio_features(x: np.ndarray, rate: int) -> np.ndarray:
+    """Re-derivation of the documented 16-dim audio spec (multimodal.py):
+    [n, rate, mean, std, rms, peak, zcr, crest, 8 rfft-band log powers]."""
+    n = len(x)
+    rms = float(np.sqrt((x * x).mean()))
+    peak = float(np.abs(x).max())
+    sign = np.signbit(x)
+    zcr = float((sign[1:] != sign[:-1]).sum()) / (n - 1) if n > 1 else 0.0
+    power = np.abs(np.fft.rfft(x)) ** 2
+    bands = [float(np.log10(b.sum() + 1e-12)) for b in np.array_split(power, 8)]
+    out = np.array(
+        [n, rate, float(x.mean()), float(x.std()), rms, peak, zcr,
+         peak / rms if rms > 0 else 0.0, *bands]
+    )
+    return out.astype(np.float32)
+
+
+def _oracle_image_features(img: np.ndarray) -> np.ndarray:
+    """Re-derivation of the documented 16-dim image spec (multimodal.py):
+    [w, h, w/h, RGB means, RGB stds, luma mean/std, luma quartiles,
+    horizontal/vertical gradient energies]; luma = .299R+.587G+.114B."""
+    h, w = img.shape[:2]
+    ch = img.reshape(-1, 3).astype(np.float64)
+    luma = ch @ np.array([0.299, 0.587, 0.114])
+    l2 = luma.reshape(h, w)
+    q = np.quantile(luma, [0.25, 0.5, 0.75])
+    gx = float(np.abs(np.diff(l2, axis=1)).mean()) if w > 1 else 0.0
+    gy = float(np.abs(np.diff(l2, axis=0)).mean()) if h > 1 else 0.0
+    out = np.array(
+        [w, h, w / h, *ch.mean(axis=0), *ch.std(axis=0),
+         float(luma.mean()), float(luma.std()), *q, gx, gy]
+    )
+    return out.astype(np.float32)
+
+
 def oracle_media_features(media_pdf: pd.DataFrame, round_digits: int = 6) -> pd.DataFrame:
-    """Deterministic fake decode: sha256(payload)[:8] little-endian uint64
-    seeds numpy's default_rng; 16 standard normals cast float32. Pins the
-    first feature and the vector's L2 norm alongside dim/ok."""
+    """Engine-free decode oracle. Real formats (WAV/PPM/BMP, recognized by
+    independent parsers above) produce real features per the documented
+    16-dim specs; anything else uses the fake-decode contract:
+    sha256(payload)[:8] little-endian uint64 seeds numpy's default_rng,
+    16 standard normals cast float32. Pins the first feature and the
+    vector's L2 norm alongside dim/ok/decoder."""
     from . import round_half_up
 
     rows = []
     for media_id, modality, payload in zip(
         media_pdf["media_id"], media_pdf["modality"], media_pdf["payload"]
     ):
-        digest = hashlib.sha256(bytes(payload)).digest()
-        seed = int.from_bytes(digest[:8], "little")
-        feat = np.random.default_rng(seed).normal(size=16).astype(np.float32)
+        p = bytes(payload)
+        if len(p) >= 12 and p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            feat, dec = _oracle_audio_features(*_oracle_decode_wav(p)), "wav"
+        elif p[:2] == b"P6" and len(p) > 2 and p[2:3] in b" \t\n\r\x0b\x0c#":
+            feat, dec = _oracle_image_features(_oracle_decode_ppm(p)), "ppm"
+        elif p[:2] == b"BM" and len(p) >= 54:
+            feat, dec = _oracle_image_features(_oracle_decode_bmp(p)), "bmp"
+        else:
+            digest = hashlib.sha256(p).digest()
+            seed = int.from_bytes(digest[:8], "little")
+            feat = np.random.default_rng(seed).normal(size=16).astype(np.float32)
+            dec = "fake"
         norm = float(np.sqrt((feat.astype(np.float64) ** 2).sum()))
         rows.append(
             (
@@ -344,12 +458,14 @@ def oracle_media_features(media_pdf: pd.DataFrame, round_digits: int = 6) -> pd.
                 modality,
                 int(feat.size),
                 True,
+                dec,
                 round_half_up(float(feat[0]), round_digits),
                 round_half_up(norm, round_digits),
             )
         )
     out = pd.DataFrame(
         rows,
-        columns=["media_id", "modality", "feat_dim", "decode_ok", "feat0", "feat_norm"],
+        columns=["media_id", "modality", "feat_dim", "decode_ok", "decoder",
+                 "feat0", "feat_norm"],
     )
     return out.astype({"feat_dim": np.int32})

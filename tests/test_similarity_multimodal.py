@@ -102,9 +102,102 @@ def test_media_pipeline(spark):
 
 
 def test_media_decode_stub_surfaces(spark):
-    media = synth_media(spark, 6)
+    media = synth_media(spark, 6)  # opaque payloads: no recognizable format
     out = extract_media_features(media, fake=False).collect()
-    assert all(not r["decode_ok"] for r in out)  # stub: flagged, not crashed
+    assert all(not r["decode_ok"] for r in out)  # flagged, not crashed
+    assert all(r["decoder"] == "unsupported" for r in out)
+
+
+def test_media_real_decode_end_to_end(spark):
+    """fake=False over VALID WAV/PPM/BMP payloads: every row really decodes
+    through the stdlib kernels and each feature vector matches a direct
+    local decode of the same bytes."""
+    from timeseriesvectordbpattermatcher_spark.operators.multimodal import (
+        _decode_one,
+        synth_real_media,
+    )
+
+    media = synth_real_media(spark, n_rows=24, seed=7)
+    out = extract_media_features(media, fake=False).orderBy("media_id").collect()
+    assert len(out) == 24
+    assert all(r["decode_ok"] for r in out)
+    assert sorted({r["decoder"] for r in out}) == ["bmp", "ppm", "wav"]
+    local = {
+        r["media_id"]: _decode_one(bytes(r["payload"]), r["modality"], fake=False)
+        for r in media.collect()
+    }
+    for r in out:
+        feat, dec = local[r["media_id"]]
+        assert r["decoder"] == dec
+        assert np.allclose(np.array(r["feat"]), feat, rtol=0, atol=0), r["media_id"]
+
+
+def test_media_decoders_against_oracle_parsers():
+    """Engine decoders vs the independently-written oracle parsers in
+    tests/oracle/segment_oracle.py (manual RIFF chunk walk vs stdlib wave;
+    regex PPM header vs byte tokenizer; separate BMP stride math): decoded
+    arrays must be bit-identical, features equal under both specs."""
+    import io
+    import wave as wave_mod
+
+    from tests.oracle import segment_oracle as so
+    from timeseriesvectordbpattermatcher_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    # WAV: 16-bit stereo (exercises mono fold), 8-bit mono
+    for nch, sw in [(2, 2), (1, 1)]:
+        n = 300
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(sw)
+            w.setframerate(4000)
+            if sw == 2:
+                w.writeframes(
+                    rng.integers(-32768, 32768, n * nch).astype("<i2").tobytes()
+                )
+            else:
+                w.writeframes(rng.integers(0, 256, n * nch, dtype=np.uint8).tobytes())
+        p = buf.getvalue()
+        xe, re_ = mm.decode_wav(p)
+        xo, ro = so._oracle_decode_wav(p)
+        assert re_ == ro and np.array_equal(xe, xo)
+        assert np.array_equal(mm.audio_features(xe, re_), so._oracle_audio_features(xo, ro))
+    # PPM with a comment line in the header
+    img = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    ppm = b"P6\n# synthetic\n13 9\n255\n" + img.tobytes()
+    assert np.array_equal(mm.decode_ppm(ppm), so._oracle_decode_ppm(ppm))
+    assert np.array_equal(mm.decode_ppm(ppm), img)
+    # BMP round-trip incl. stride padding (w=13 -> 39 bytes padded to 40)
+    bmp = mm.encode_bmp(img)
+    assert np.array_equal(mm.decode_bmp(bmp), img)
+    assert np.array_equal(so._oracle_decode_bmp(bmp), img)
+    assert np.array_equal(
+        mm.image_features(img), so._oracle_image_features(img)
+    )
+
+
+def test_media_corrupt_payloads_flagged_not_fatal(spark):
+    """Recognized-format-but-corrupt payloads (truncated PPM, 8bpp BMP,
+    compressed WAV tag) must yield decode_ok=false / decoder='error' rows,
+    never a job failure."""
+    from timeseriesvectordbpattermatcher_spark.operators import multimodal as mm
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    good_bmp = bytearray(mm.encode_bmp(img))
+    bad_bpp = bytearray(good_bmp)
+    bad_bpp[28] = 8  # claim 8bpp
+    rows = [
+        ("c1", "image", bytearray(b"P6\n4 4\n255\n" + b"\x00" * 10), 4, 4, None, None),
+        ("c2", "image", bad_bpp, 4, 4, None, None),
+        ("c3", "audio", bytearray(b"RIFF\x10\x00\x00\x00WAVEjunk"), None, None, None, 8000),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_media_features(media, fake=False).collect()}
+    assert len(out) == 3
+    for mid in ("c1", "c2", "c3"):
+        assert not out[mid]["decode_ok"], mid
+        assert out[mid]["decoder"] == "error", mid
 
 
 def test_frame_sample_plan(spark):
