@@ -109,7 +109,22 @@ def oracle_ann_recall(
         lsh_hits[qid] = len(got & truth[qid])
 
     # ---- IVF ----
-    cents = _ivf_centroids(mat[:ivf_sample], ivf_lists, ivf_iters, ivf_seed)
+    # training draw re-derived from the documented hash-slice spec: keep
+    # rows with xxhash64(id) % P == 0 where P = N // sample (P == 1 keeps
+    # everything), order by id, truncate to sample — xxh64 re-implemented
+    # in tests/oracle/xxh64_pure.py from the public spec
+    n = len(ids)
+    p = max(1, n // ivf_sample)
+    if p > 1:
+        from .xxh64_pure import spark_xxhash64_longs
+
+        keep = np.array(
+            [spark_xxhash64_longs([int(i)]) % p == 0 for i in ids], dtype=bool
+        )
+        train = mat[keep][:ivf_sample]
+    else:
+        train = mat[:ivf_sample]
+    cents = _ivf_centroids(train, ivf_lists, ivf_iters, ivf_seed)
     r_assign = np.argmax(_unit(mat) @ cents.T, axis=1)
     ivf_hits = {}
     for qi, qid in enumerate(q_ids):

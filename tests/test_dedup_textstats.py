@@ -313,3 +313,43 @@ def test_jaccard_prefix_exact_integer_threshold(spark):
         for r in ngram_jaccard_pairs(df, threshold=0.3, prefix_filter=False).collect()
     )
     assert got_t == got_f
+
+
+def test_durable_materialization_parity(docs, spark, tmp_path):
+    """MATERIALIZE_CONF=durable (reliable checkpoint through a configured
+    checkpoint dir — the cluster-mode path that survives executor loss)
+    must produce identical survivors and identical divergence rows to the
+    default local mode; durable without a checkpoint dir raises up front."""
+    from timeseriesvectordbpattermatcher_spark.operators.dedup import (
+        MATERIALIZE_CONF,
+        minhash_lsh_dedup,
+    )
+
+    base = sorted(r["doc_id"] for r in minhash_lsh_dedup(docs, threshold=0.4).collect())
+
+    spark.conf.set(MATERIALIZE_CONF, "durable")
+    try:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            minhash_lsh_dedup(docs, threshold=0.4).collect()
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        got = sorted(r["doc_id"] for r in minhash_lsh_dedup(docs, threshold=0.4).collect())
+        assert got == base
+
+        # the other _materialize consumer: the divergence screener grid
+        import pandas as pd
+
+        from timeseriesvectordbpattermatcher_spark.operators.patterns import (
+            divergence_screener,
+        )
+        from timeseriesvectordbpattermatcher_spark.sources.synth import synth_ohlcv
+
+        px = synth_ohlcv(spark, n_tickers=2, n_days=300)
+        cols_sorted = lambda df: df.toPandas().sort_values(  # noqa: E731
+            sorted(df.columns)
+        ).reset_index(drop=True)
+        dur = cols_sorted(divergence_screener(px))
+        spark.conf.set(MATERIALIZE_CONF, "local")
+        loc = cols_sorted(divergence_screener(px))
+        pd.testing.assert_frame_equal(dur, loc)
+    finally:
+        spark.conf.set(MATERIALIZE_CONF, "auto")

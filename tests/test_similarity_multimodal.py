@@ -246,6 +246,45 @@ def test_ivf_determinism(spark, emb, emb_queries):
     assert a == b
 
 
+def test_ivf_training_sample_deterministic_and_sort_free(spark, emb):
+    """The hash-slice training draw: (a) centroids are a pure function of
+    the corpus — identical across partition layouts; (b) the sliced-sample
+    plan contains a Filter on xxhash64 but NO Sort/TakeOrdered (the round-3
+    orderBy(id).limit() was a full-corpus TakeOrdered); (c) the mod>1 path
+    (corpus >> sample) yields ~sample rows and stays deterministic."""
+    import numpy as np
+
+    from timeseriesvectordbpattermatcher_spark.operators.similarity import (
+        _ivf_sample_rows,
+        train_ivf_centroids,
+    )
+
+    c1 = train_ivf_centroids(emb, n_lists=8)
+    c2 = train_ivf_centroids(emb.repartition(13), n_lists=8)
+    c3 = train_ivf_centroids(emb.repartition(1).sortWithinPartitions(F.desc("vec_id")), n_lists=8)
+    assert np.array_equal(c1, c2) and np.array_equal(c1, c3)
+
+    # mod > 1 path: 4000 rows, sample=500 -> P=8, expect ~500 survivors
+    big = spark.range(4000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(7)] * 4).alias("embedding"),
+    )
+    rows_a = _ivf_sample_rows(big, "vec_id", "embedding", sample=500, n_lists=8)
+    rows_b = _ivf_sample_rows(big.repartition(17), "vec_id", "embedding", sample=500, n_lists=8)
+    assert [r[0] for r in rows_a] == [r[0] for r in rows_b]
+    assert 250 <= len(rows_a) <= 500  # binomial around 500, truncated at 500
+    ids = [r[0] for r in rows_a]
+    assert ids == sorted(ids)
+
+    # plan: the slice is filter-only — no Sort, no TakeOrdered
+    sliced = big.select("vec_id", "embedding").filter(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(8)) == 0
+    )
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    assert "Sort" not in plan and "TakeOrdered" not in plan
+
+
 def test_ann_paths_empty_and_null_refs(spark):
     """Empty or all-null ref sets degrade to zero matches on every ANN path
     (lsh/ivf used to crash on dim discovery / centroid training), and the

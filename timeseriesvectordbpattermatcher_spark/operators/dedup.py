@@ -64,16 +64,48 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+#: Session conf key selecting how intermediates are materialized:
+#: ``auto`` (default) = localCheckpoint on ``local[...]`` masters, reliable
+#: ``checkpoint`` everywhere else; ``local`` / ``durable`` force one mode.
+MATERIALIZE_CONF = "spark.timeseriesvectordbpattermatcher.materialize"
+
+
 def _materialize(df: DataFrame) -> DataFrame:
-    """localCheckpoint (eager): Catalyst does NOT share subtrees across
-    self-join branches, so the expensive text-parse would re-run once per
-    branch (up to ~6x in the prefix-filtered jaccard plan). Checkpointing
-    computes the partitions once and truncates lineage so every downstream
-    branch reads the materialized blocks (memory, spilling to disk). At
-    warehouse scale, persist the intermediate to a table instead — same
-    idea, durable. Measured (sf0.1 jaccard, round 3): 4.4 s materialized
-    vs ~18 s with the shingle parse re-running per branch."""
-    return df.localCheckpoint(eager=True)
+    """Eagerly compute an intermediate once: Catalyst does NOT share
+    subtrees across self-join branches, so the expensive text-parse would
+    re-run once per branch (up to ~6x in the prefix-filtered jaccard plan).
+    Checkpointing computes the partitions once and truncates lineage so
+    every downstream branch reads the materialized blocks. Measured
+    (sf0.1 jaccard, round 3): 4.4 s materialized vs ~18 s with the shingle
+    parse re-running per branch.
+
+    Mode (``MATERIALIZE_CONF``, default ``auto``):
+
+    - ``local``: ``localCheckpoint`` — fastest (executor block store), but
+      NOT fault-tolerant: an executor loss makes the blocks unrecoverable
+      and fails the job. Correct default only for ``local[...]`` masters,
+      where driver and executor share one process anyway.
+    - ``durable``: reliable ``checkpoint`` — partitions are written to the
+      configured ``sparkContext.setCheckpointDir`` (shared storage on a
+      real cluster), surviving executor loss. ``auto`` picks this on any
+      non-local master; raises up front with guidance when no checkpoint
+      dir is configured rather than failing mid-job.
+    """
+    spark = df.sparkSession
+    mode = (spark.conf.get(MATERIALIZE_CONF, "auto") or "auto").lower()
+    master = spark.conf.get("spark.master", "") or ""
+    if mode not in ("auto", "local", "durable"):
+        raise ValueError(f"{MATERIALIZE_CONF} must be auto|local|durable, got {mode!r}")
+    if mode == "local" or (mode == "auto" and master.startswith("local")):
+        return df.localCheckpoint(eager=True)
+    if spark.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "durable materialization needs spark.sparkContext.setCheckpointDir "
+            "on shared storage (HDFS/S3/DBFS): localCheckpoint blocks do not "
+            f"survive executor loss on master {master!r}. Set it, or force "
+            f"{MATERIALIZE_CONF}=local if you accept job restarts."
+        )
+    return df.checkpoint(eager=True)
 
 
 # --------------------------------------------------------------------------
