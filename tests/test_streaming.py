@@ -158,3 +158,105 @@ def test_stream_tokenless_cascades_like_batch(spark, seqs_dir, tmp_path):
     g = got[cols].sort_values(cols).reset_index(drop=True)
     w = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_stream_snapshot_sink_cascade_parity_and_resume(spark, tmp_path):
+    """Stream micro-batches committed through snapshot_sink, then
+    RollupJob.run_cascade over the stream-written 1m table, must
+    hash-match the all-batch pipeline on every tier — including across a
+    kill-and-restart of the availableNow run (the replayed micro-batch is
+    skipped by the batch-id guard, not double-committed)."""
+    import shutil
+    import time as _time
+
+    import pandas as pd
+
+    from timeseriesvectordbpattermatcher_spark.operators.rollup import derive_event_ts
+    from timeseriesvectordbpattermatcher_spark.plans.checkpoint import RollupJob
+    from timeseriesvectordbpattermatcher_spark.streaming.rollup_stream import (
+        snapshot_sink,
+    )
+
+    # ---- shared input: TIME-ORDERED files (arrival order == event order,
+    # like real ingestion) so the watermark advances progressively, several
+    # micro-batches each finalize windows, and nothing is late-dropped; a
+    # final far-future sentinel flushes the remaining open windows
+    batch_dir = str(tmp_path / "in_batch")
+    synth_seqs(spark, 800, seed=31).write.parquet(batch_dir)
+    base = spark.read.parquet(batch_dir)
+    pdf = (
+        derive_event_ts(base)
+        .orderBy("event_ts")
+        .drop("event_ts")
+        .toPandas()
+    )
+    stream_dir = str(tmp_path / "in_stream")
+    bands = [pdf.iloc[: len(pdf) // 3], pdf.iloc[len(pdf) // 3 : 2 * len(pdf) // 3],
+             pdf.iloc[2 * len(pdf) // 3 :]]
+    for band in bands:
+        spark.createDataFrame(band, base.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+        _time.sleep(1.2)  # distinct mtimes: file order == event-time order
+    spark.createDataFrame(
+        [("web_20400101000000_99999999", [1], 1, "web")],
+        base.schema,
+    ).coalesce(1).write.mode("append").parquet(stream_dir)
+
+    # ---- batch reference pipeline
+    job_b = RollupJob(str(tmp_path / "tbl_batch"))
+    job_b.run(spark, derive_event_ts(spark.read.parquet(batch_dir)))
+
+    # ---- streaming pipeline with an injected crash after the 1st commit
+    job_s = RollupJob(str(tmp_path / "tbl_stream"))
+    sink = snapshot_sink(job_s.tables["1m"])
+    commits = {"n": 0}
+
+    def crashing_sink(df, bid):
+        sink(df, bid)
+        # early micro-batches finalize no windows (watermark warm-up) and
+        # commit nothing — crash right after the FIRST real commit
+        if commits["n"] == 0 and job_s.tables["1m"].current_snapshot() is not None:
+            commits["n"] = 1
+            raise RuntimeError("injected crash after first snapshot commit")
+
+    ckpt = str(tmp_path / "ckpt_sink")
+    schema = spark.read.parquet(stream_dir).schema
+
+    def start(fn):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        return (
+            stream_rollup_1m(stream_derive_event_ts(stream))
+            .writeStream.foreachBatch(fn)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start(crashing_sink)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(180)
+    v_after_crash = job_s.tables["1m"].current_snapshot().version
+    # restart from the same checkpoint: the crashed micro-batch replays and
+    # must be SKIPPED (its commit already published), then the rest commits
+    q2 = start(sink)
+    q2.awaitTermination(180)
+    versions = job_s.tables["1m"]._versions()
+    assert v_after_crash in versions and len(versions) > v_after_crash
+
+    # ---- cascade from the stream-written 1m snapshots
+    job_s.run_cascade(spark)
+
+    for tier in ("1m", "1h", "1d"):
+        got_df = job_s.tables[tier].read(spark)
+        want_df = job_b.tables[tier].read(spark)
+        cols = sorted(set(want_df.columns) & set(got_df.columns))
+        assert "bucket_ts" in cols and "cnt" in cols and "tok_sum" in cols
+        g = got_df.select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+        w = want_df.select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False), tier

@@ -136,6 +136,24 @@ class RollupJob:
                         raise RuntimeError("injected failure after 1m commit")
 
         # ---- tiers 1h, 1d: snapshot-incremental cascade
+        self.run_cascade(spark, run_id=run_id, full_refresh=full_refresh,
+                         fail_after=fail_after)
+
+        return {t: self.tables[t].read(spark) for t in TIERS}
+
+    def run_cascade(
+        self,
+        spark: SparkSession,
+        run_id: str | None = None,
+        full_refresh: bool = False,
+        fail_after: str | None = None,
+    ) -> None:
+        """Cascade the 1h/1d tiers from whatever the 1m snapshot table
+        currently holds — shared by batch runs (``run``) and by streaming
+        ingestion, where micro-batches commit the 1m tier through
+        ``streaming.rollup_stream.snapshot_sink`` and this method then
+        roll-ups exactly as if the 1m partitions had been batch-written."""
+        run_id = run_id or uuid.uuid4().hex[:12]
         for tier, src_tier in (("1h", "1m"), ("1d", "1h")):
             t0 = time.time()
             src_snap = self.tables[src_tier].current_snapshot()
@@ -165,5 +183,3 @@ class RollupJob:
             )
             if fail_after == tier:
                 raise RuntimeError(f"injected failure after {tier} commit")
-
-        return {t: self.tables[t].read(spark) for t in TIERS}

@@ -182,3 +182,23 @@ class SnapshotTable:
     def partition_keys(self) -> list[str]:
         snap = self.current_snapshot()
         return sorted(snap.partitions) if snap else []
+
+    def read_partitions(self, spark: SparkSession, keys: list[str]) -> DataFrame | None:
+        """Manifest-level partition pruning: scan only the data files of the
+        named partition keys — the snapshot log IS the file index, so a
+        touched-partition read never lists or opens the rest of the table
+        (the streaming sink's merge-on-write reads exactly the watermark-hot
+        days this way)."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return None
+        wanted = set(keys)
+        files = [
+            os.path.join(self.root, f)
+            for pk, p in snap.partitions.items()
+            if pk in wanted
+            for f in p["files"]
+        ]
+        if not files:
+            return None
+        return spark.read.parquet(*files).drop("_pk")

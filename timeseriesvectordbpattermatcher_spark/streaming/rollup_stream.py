@@ -122,3 +122,74 @@ def stream_running_stats(stream: DataFrame, key_col: str = "source") -> DataFram
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def snapshot_sink(table, run_prefix: str = "stream"):
+    """``foreachBatch`` writer committing stream micro-batches through a
+    :class:`~..sources.snapshot_table.SnapshotTable`, so the 1h/1d cascade
+    (``RollupJob.run_cascade``) consumes streaming 1m output through the
+    SAME snapshot/changed-partition protocol as batch-written tiers.
+
+    Exactly-once across restarts: Structured Streaming re-runs the last
+    unfinished micro-batch after a crash, so each commit records its
+    ``batch_id`` in the snapshot meta and a replayed batch whose id is
+    already committed is skipped — the batch's output is deterministic for
+    a given checkpoint, making skip-on-replay safe.
+
+    Merge-on-write: append-mode windowed aggregation emits each finalized
+    window exactly once, but a (source, day) PARTITION accumulates windows
+    across many micro-batches — a blind ``overwrite_partitions`` of just
+    the batch rows would erase the day's earlier windows. The sink unions
+    the already-committed rows of the touched partitions with the batch
+    before overwriting; only watermark-hot days rewrite, closed days are
+    never touched.
+
+    Usage::
+
+        q = (stream_rollup_1m(ts).writeStream
+             .foreachBatch(snapshot_sink(job.tables["1m"]))
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        snap = table.current_snapshot()
+        last = -1
+        if snap is not None and snap.meta:
+            last = int(snap.meta.get("stream_batch_id", -1))
+        if batch_id <= last:
+            # Replay after restart: the snapshot commit already published,
+            # but the engine still requires this batch's stateful operators
+            # to execute and commit their state stores (Spark 4.x validates
+            # per-batch state commits) — run the plan, discard the rows.
+            batch_df.count()
+            return
+        out = batch_df.withColumn("bucket_day", F.to_date("bucket_ts"))
+        touched = [
+            (r["source"], r["bucket_day"])
+            for r in out.select("source", "bucket_day").distinct().collect()
+        ]
+        if not touched:
+            return
+        spark = batch_df.sparkSession
+        keys = sorted(f"{s}/{d.isoformat()}" for s, d in touched)
+        prior = table.read_partitions(spark, keys)  # manifest-pruned scan
+        if prior is not None:
+            out = prior.unionByName(out.select(*prior.columns))
+        # new watermark = max finalized window start so far (monotone with
+        # the previous snapshot's — replays are skipped above, and append
+        # mode only ever finalizes forward)
+        wm_row = out.agg(F.max("bucket_ts").alias("wm")).first()
+        wm = wm_row["wm"].isoformat() if wm_row and wm_row["wm"] else None
+        if snap is not None and snap.watermark and wm is not None:
+            wm = max(wm, snap.watermark)
+        table.overwrite_partitions(
+            out,
+            ["source", "bucket_day"],
+            run_id=f"{run_prefix}_b{batch_id}",
+            watermark=wm,
+            meta={"stream_batch_id": batch_id},
+        )
+
+    return write_batch
