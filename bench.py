@@ -178,6 +178,18 @@ def main() -> None:
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
 
+    # sf1 evidence block (scripts/sf1_bench.py, run separately per round —
+    # ~3 min of 10x-scale runs don't belong in the per-round bench loop).
+    # It carries its OWN calibration fields: the block was measured in a
+    # different host window than this run.
+    sf1_block = None
+    sf1_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "sf1_latest.json"
+    )
+    if os.path.exists(sf1_path):
+        with open(sf1_path) as fh:
+            sf1_block = json.load(fh)
+
     print(
         json.dumps(
             {
@@ -193,6 +205,7 @@ def main() -> None:
                 "cpu_calib_mops_mc8": cpu_calib_mc,
                 "jvm_decode_floor_sec": round(floor_sec, 3),
                 "cascade_vs_floor": round(rollup_sec / floor_sec, 2),
+                "sf1": sf1_block,
             }
         )
     )

@@ -136,9 +136,21 @@ def _oracle_frame(name: str, spark):
         return so.oracle_media_features(media)
     if name == "ann_recall":
         from tests.oracle import ann_oracle as ao
+        from tests.oracle import segment_oracle as so
 
         emb = pd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
-        return ao.oracle_ann_recall(emb)
+        base = ao.oracle_ann_recall(emb)
+        base["query_id"] = base["query_id"].astype(str)
+        # lsh_e2: the matcher-tier recall SLA — E2 segment features (pandas
+        # re-derivation), the matcher's k=20 and lsh_topk defaults
+        segs = so.segment_series_pandas(so.ma_normalize_pandas(ohlcv_pdf(60, 900)))
+        e2 = ao.oracle_lsh_recall(
+            segs[["segment_id", "features"]], "segment_id", "features"
+        )
+        assert len(e2) == 5 and bool(e2["recall_ok"].all()), (
+            "matcher lsh-tier recall SLA (>=0.9 at k=20) failed:\n" + str(e2)
+        )
+        return pd.concat([base, e2], ignore_index=True)
     if name == "codec_roundtrip":
         from pyspark.sql import functions as F
 

@@ -1,0 +1,230 @@
+"""sf1 (10x sf0.1) bench: cascade + the slowest driver queries at two scales.
+
+sf0.1 is the per-round bench scale; super-linear regressions (candidate-join
+blowups, quadratic windows) are invisible there. This script synthesizes a
+DETERMINISTIC sf1-shaped corpus (10x sf0.1, no external data), times the
+heaviest queries at BOTH scales in the same process, and reports the
+per-query scale ratio — linear operators should land near 10x, and the
+ratio is host-independent because both scales run in the same window.
+
+Replica construction (seedless, reproducible):
+- documents: 10 replicas; replica k re-keys ``doc_id + k*1_000_000`` and
+  ROTATES the word sequence by k. Rotation keeps each replica's internal
+  near-dup structure (two similar docs rotate into two similar docs) while
+  making replicas of the SAME doc share almost no word n-grams — so
+  near-dup pair counts grow ~linearly with corpus size, like a real corpus,
+  instead of exploding into 10-cliques of artificial dups.
+- embeddings: replica k rotates the vector by k positions (norm-preserving,
+  direction-changing) and re-keys ``vec_id + k*1_000_000``; the cosine_topk
+  query set (vec_id < 200) stays fixed while the searched corpus grows 10x.
+- cascade: ``synth_seqs`` at 10x the bench default (20M rows, ~5.4B tokens),
+  written once and scanned from parquet like bench.py.
+
+Writes BENCH/sf1_latest.json; bench.py embeds that block into its own JSON
+line so the per-round BENCH_r{N}.json carries the sf1 evidence.
+
+Usage: python scripts/sf1_bench.py [--rows 20000000] [--skip-build]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF01 = "/root/testdata/sf0.1"
+SF1_DIR = os.path.join(os.environ.get("TMPDIR", "/tmp"), "sf1_synth")
+REPLICAS = 10
+
+
+def _rotate_expr(col, rep, sep):
+    """Rotate a delimited sequence column by ``rep`` positions (SQL-side)."""
+    from pyspark.sql import functions as F
+
+    ws = F.split(col, sep)
+    n = F.greatest(F.size(ws), F.lit(1))
+    k = F.pmod(rep, n)
+    rotated = F.concat(
+        F.slice(ws, k + 1, F.size(ws) - k), F.slice(ws, F.lit(1), k)
+    )
+    return F.array_join(rotated, " ")
+
+
+def build_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(SF1_DIR, exist_ok=True)
+    docs_out = os.path.join(SF1_DIR, "documents.parquet")
+    if not os.path.exists(docs_out):
+        docs = spark.read.parquet(f"{SF01}/documents.parquet")
+        reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("rep"))
+        rep = F.col("rep")
+        out = (
+            docs.crossJoin(F.broadcast(reps))
+            .select(
+                (F.col("doc_id") + rep.cast("long") * 1_000_000).alias("doc_id"),
+                F.when(rep == 0, F.col("text"))
+                .otherwise(_rotate_expr(F.col("text"), rep, r"\s+"))
+                .alias("text"),
+                "lang",
+                "source",
+                F.length("text").alias("n_chars"),
+            )
+        )
+        out.repartition(8).write.mode("overwrite").parquet(docs_out)
+    emb_out = os.path.join(SF1_DIR, "embeddings.parquet")
+    if not os.path.exists(emb_out):
+        emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+        reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("rep"))
+        rep = F.col("rep")
+        v = F.col("embedding")
+        k = F.pmod(rep, F.greatest(F.size(v), F.lit(1)))
+        rotated = F.concat(F.slice(v, k + 1, F.size(v) - k), F.slice(v, F.lit(1), k))
+        out = emb.crossJoin(F.broadcast(reps)).select(
+            (F.col("vec_id") + rep.cast("long") * 1_000_000).alias("vec_id"),
+            F.when(rep == 0, v).otherwise(rotated).alias("embedding"),
+            "label",
+        )
+        out.repartition(4).write.mode("overwrite").parquet(emb_out)
+
+
+def _best_of(fn, k: int = 2, warmup: bool = True) -> float:
+    if warmup:
+        fn()
+    best = None
+    for _ in range(k):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=20_000_000,
+                    help="sf1 cascade corpus rows (10x the bench default)")
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    import bench as benchmod
+
+    cpu_calib = benchmod._cpu_calibration()
+    cpu_calib_mc = benchmod._cpu_calibration_mc()
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from timeseriesvectordbpattermatcher_spark.operators.matcher import match_pipeline
+    from timeseriesvectordbpattermatcher_spark.operators.rollup import (
+        derive_event_ts,
+        rollup_all_tiers,
+    )
+    from timeseriesvectordbpattermatcher_spark.operators.segmentation import (
+        ma_normalize,
+        segment_series,
+    )
+    from timeseriesvectordbpattermatcher_spark.session import get_spark
+    from timeseriesvectordbpattermatcher_spark.sources.synth import (
+        synth_ohlcv,
+        synth_seqs,
+    )
+
+    spark = get_spark(app_name="sf1_bench")
+    build_sf1(spark)
+
+    qs = entrymod.queries()
+    result: dict = {
+        "cpu_calib_mops": cpu_calib,
+        "cpu_calib_mops_mc8": cpu_calib_mc,
+        "replicas": REPLICAS,
+        "queries": {},
+    }
+
+    # ---- driver-table queries at both scales ------------------------------
+    for name in ("ngram_jaccard", "minhash_dedup", "cosine_topk"):
+        t_small = _best_of(lambda: qs[name](spark, SF01).count(), k=args.runs)
+        t_big = _best_of(lambda: qs[name](spark, SF1_DIR).count(), k=args.runs)
+        result["queries"][name] = {
+            "sf0.1_sec": t_small,
+            "sf1_sec": t_big,
+            "scale_ratio": round(t_big / t_small, 2),
+        }
+
+    # ---- matcher pipeline at 10x reference segments ------------------------
+    def matcher_run(n_tickers: int) -> None:
+        ohlcv = synth_ohlcv(spark, n_tickers=n_tickers, n_days=900)
+        refs = segment_series(ma_normalize(ohlcv))
+        qseg = (
+            segment_series(ma_normalize(ohlcv.filter("series_id = 'TK00'")))
+            .orderBy(F.desc("end_ts"))
+            .limit(1)
+            .select(
+                F.col("segment_id").alias("query_id"),
+                F.col("features").alias("q_features"),
+                F.to_date("start_ts").alias("query_start"),
+            )
+        )
+        match_pipeline(qseg, refs, strategy="join").count()
+
+    t_small = _best_of(lambda: matcher_run(6), k=args.runs)
+    t_big = _best_of(lambda: matcher_run(60), k=args.runs)
+    result["queries"]["matcher_pipeline"] = {
+        "sf0.1_sec": t_small,
+        "sf1_sec": t_big,
+        "scale_ratio": round(t_big / t_small, 2),
+    }
+
+    # ---- cascade at 2M and 10x rows ----------------------------------------
+    import tempfile
+
+    def cascade_timing(n_rows: int) -> tuple[float, int]:
+        corpus = os.path.join(tempfile.gettempdir(), f"seqs_bench_{n_rows}")
+        if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+            synth_seqs(spark, n_rows, seed=42).write.mode("overwrite").parquet(corpus)
+        seqs = derive_event_ts(spark.read.parquet(corpus))
+
+        def once():
+            tiers = rollup_all_tiers(seqs, token_engine="arrow_drop")
+            return tiers["1d"].agg(
+                F.sum("sum_n_tok"), F.sum("tok_sum"),
+                F.min("tok_min"), F.max("tok_max"),
+            ).collect()[0][0]
+
+        total = once()
+        best = None
+        for _ in range(args.runs):
+            t0 = time.time()
+            once()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 3), int(total)
+
+    t2m, tok2m = cascade_timing(2_000_000)
+    tbig, tokbig = cascade_timing(args.rows)
+    result["cascade"] = {
+        "rows_small": 2_000_000,
+        "rows_big": args.rows,
+        "sf0.1_sec": t2m,
+        "sf1_sec": tbig,
+        "tokens_small": tok2m,
+        "tokens_big": tokbig,
+        "scale_ratio": round(tbig / t2m, 2),
+        "tokens_per_sec_small": round(tok2m / t2m, 1),
+        "tokens_per_sec_big": round(tokbig / tbig, 1),
+    }
+
+    out_path = os.path.join(REPO, "BENCH", "sf1_latest.json")
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -142,3 +142,43 @@ def oracle_ann_recall(
             recall = hits[qid] / float(k)
             rows.append((method, int(qid), round(recall, round_digits), recall >= 0.9))
     return pd.DataFrame(rows, columns=["method", "query_id", "recall", "recall_ok"])
+
+
+def oracle_lsh_recall(
+    vecs: pd.DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_queries: int = 5,
+    k: int = 20,
+    lsh_bits: int = 8,
+    lsh_tables: int = 4,
+    lsh_seed: int = 23,
+    method: str = "lsh_e2",
+    round_digits: int = 6,
+) -> pd.DataFrame:
+    """Generic LSH-vs-brute recall over any (id, vector) table — string or
+    int ids. Defaults pin the MATCHER-tier SLA: the E2 feature distribution
+    at the matcher's k=20 and its ``lsh_topk`` defaults (8 bits, 4 tables,
+    seed 23). Queries = the ``n_queries`` smallest ids (same deterministic
+    pick as the contract query's ``orderBy(id).limit(n)``)."""
+    vecs = vecs.sort_values(id_col).reset_index(drop=True)
+    ids = vecs[id_col].to_numpy()
+    mat = np.stack(vecs[vec_col].to_numpy()).astype(np.float64)
+    dim = mat.shape[1]
+    q_ids, q_mat = ids[:n_queries], mat[:n_queries]
+    truth = {qid: set(_topk_ids(q, ids, mat, k)) for qid, q in zip(q_ids, q_mat)}
+    planes = np.random.default_rng(lsh_seed).normal(size=(lsh_tables, lsh_bits, dim))
+    r_buckets = _lsh_buckets(mat, planes)
+    q_buckets = _lsh_buckets(q_mat, planes)
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        cand = np.zeros(len(ids), dtype=bool)
+        for t in range(lsh_tables):
+            cand |= r_buckets[:, t] == q_buckets[qi, t]
+        got = set(_topk_ids(q_mat[qi], ids[cand], mat[cand], k))
+        hits = len(got & truth[qid])
+        if hits == 0:
+            continue  # engine's semi-join emits no row
+        recall = hits / float(k)
+        rows.append((method, str(qid), round(recall, round_digits), recall >= 0.9))
+    return pd.DataFrame(rows, columns=["method", "query_id", "recall", "recall_ok"])

@@ -99,3 +99,18 @@ def test_features_oracle_parity_random():
             np.testing.assert_array_equal(
                 batched, rowwise, err_msg="feature values must be bit-equal"
             )
+
+
+def test_array_stats_vs_duckdb(spark, duck):
+    """array_stats (§2.9 scalar array higher-order fns) moved out of the
+    50-slot driver contract to free the slot for retention_expiry — its
+    DuckDB oracle equivalence lives on here, same compare as the driver."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import assert_df_equal
+
+    got = entrymod.q_array_stats(spark, "/root/testdata/sf0.001")
+    duck.sql(
+        "CREATE VIEW embeddings AS "
+        "FROM '/root/testdata/sf0.001/embeddings.parquet'"
+    )
+    assert_df_equal(got, duck.sql(entrymod.SQL_ARRAY_STATS), ["vec_id"])

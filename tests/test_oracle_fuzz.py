@@ -121,7 +121,8 @@ def test_media_features_oracle_fuzz(spark):
     got = (
         extract_media_features(media, fake=True)
         .select(
-            "media_id", "modality", F.size("feat").alias("feat_dim"), "decode_ok",
+            "media_id", "modality", F.size("feat").alias("feat_dim"),
+            "decode_ok", "decoder",
             F.round(F.element_at(fd, 1), 6).alias("feat0"),
             F.round(F.sqrt(F.aggregate(fd, F.lit(0.0), lambda s, v: s + v * v)), 6).alias("feat_norm"),
         )
