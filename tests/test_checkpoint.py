@@ -122,3 +122,56 @@ def test_retention_and_vacuum(spark, tmp_path):
     assert n_removed >= len(dropped)
     # table still readable after GC
     assert tbl.read(spark).count() == 4
+
+
+def test_fat_partition_fanout_and_compaction(spark, tmp_path):
+    """overwrite_partitions(target_file_rows) salts a fat partition across
+    multiple write tasks/files (no single-task serial point) with exact row
+    parity; compact_partitions later bin-packs the fanout back down and
+    vacuum reclaims the replaced files."""
+    from timeseriesvectordbpattermatcher_spark.operators.retention import (
+        compact_partitions,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "fat"))
+    fat = spark.range(5000).select(
+        F.lit("hot").alias("source"),
+        F.lit("2024-03-01").alias("day"),
+        F.col("id").cast("int").alias("v"),
+    )
+    slim = spark.createDataFrame(
+        [("cold", "2024-03-01", -1)], "source string, day string, v int"
+    )
+    snap = tbl.overwrite_partitions(
+        fat.unionByName(slim), ["source", "day"], target_file_rows=1000
+    )
+    n_fat = len(snap.partitions["hot/2024-03-01"]["files"])
+    assert n_fat > 1  # fat key fanned out across write tasks
+    assert len(snap.partitions["cold/2024-03-01"]["files"]) == 1  # slim key untouched
+    got = tbl.read(spark)
+    assert got.count() == 5001
+    assert got.filter(F.col("source") == "hot").agg(F.sum("v")).first()[0] == sum(
+        range(5000)
+    )
+    # salted write is deterministic: rewriting the same rows produces the
+    # same per-partition file counts (stable under task retries by design)
+    snap2 = tbl.overwrite_partitions(fat, ["source", "day"], target_file_rows=1000)
+    assert len(snap2.partitions["hot/2024-03-01"]["files"]) == n_fat
+
+    # compaction: target sized well above the partition's bytes -> 1 file
+    before = {tuple(r) for r in tbl.read(spark).collect()}
+    stats = compact_partitions(
+        tbl, spark, ["source", "day"], target_file_bytes=64 * 1024 * 1024
+    )
+    assert stats["compacted"] == ["hot/2024-03-01"]
+    assert stats["files_before"] == n_fat and stats["files_after"] == 1
+    snap3 = tbl.current_snapshot()
+    assert len(snap3.partitions["hot/2024-03-01"]["files"]) == 1
+    # cold partition untouched: same version, invisible to incremental readers
+    assert snap3.partitions["cold/2024-03-01"]["v"] < snap3.version
+    assert snap3.changed_partitions(snap2.version) == ["hot/2024-03-01"]
+    assert {tuple(r) for r in tbl.read(spark).collect()} == before
+    # nothing left to compact; replaced files GC'd; table still readable
+    assert compact_partitions(tbl, spark, ["source", "day"])["compacted"] == []
+    assert vacuum(tbl, min_age_secs=0) >= n_fat
+    assert tbl.read(spark).count() == 5001

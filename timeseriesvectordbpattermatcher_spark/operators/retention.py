@@ -79,6 +79,75 @@ def expire_partitions(
     return doomed
 
 
+def compact_partitions(
+    table: SnapshotTable,
+    spark,
+    partition_cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+    run_id: str | None = None,
+) -> dict:
+    """Bin-pack partitions fragmented into more files than their size needs
+    (Iceberg ``rewrite_data_files`` analogue).
+
+    Fragmentation sources: salted fat-partition writes
+    (``overwrite_partitions(target_file_rows=...)``) leave their fanout
+    behind after the partition stops being hot, and (pk, salt) shuffle
+    collisions can land a key's rows in more tasks than bin-packing wants.
+    A partition is rewritten when it has ``>= min_files`` files AND more
+    files than ``ceil(bytes / target_file_bytes)``. The rewrite reads ONLY
+    the doomed partitions (manifest-pruned scan), re-derives the key from
+    ``partition_cols``, and commits through the normal atomic snapshot path
+    with a per-call row budget derived from the doomed set's own observed
+    rows/byte ratio — so compacted files land near ``target_file_bytes``
+    without a second sizing pass. Replaced files become unreferenced;
+    :func:`vacuum` reclaims them. Untouched partitions keep their files and
+    version, so downstream snapshot-incremental consumers
+    (``changed_partitions``) only see the rewritten keys.
+
+    Returns ``{"compacted": [keys], "files_before": n, "files_after": m,
+    "rows": r}`` (zeros/empty when nothing qualifies).
+    """
+    snap = table.current_snapshot()
+    if snap is None:
+        return {"compacted": [], "files_before": 0, "files_after": 0, "rows": 0}
+    doomed: list[str] = []
+    files_before = 0
+    tot_rows = 0
+    tot_bytes = 0
+    for pk, p in snap.partitions.items():
+        nfiles = len(p["files"])
+        needed = max(1, -(-p.get("bytes", 0) // target_file_bytes))
+        if nfiles >= min_files and nfiles > needed:
+            doomed.append(pk)
+            files_before += nfiles
+            tot_rows += p.get("rows", 0)
+            tot_bytes += max(p.get("bytes", 0), 1)
+    if not doomed:
+        return {"compacted": [], "files_before": 0, "files_after": 0, "rows": 0}
+    doomed.sort()
+    df = table.read_partitions(spark, doomed)
+    # rows-per-target-file from the doomed set's own ratio; parquet encodes
+    # denser than the in-flight rows, so this only errs toward fewer files
+    target_rows = max(1, int(target_file_bytes * tot_rows / tot_bytes))
+    new_snap = table.overwrite_partitions(
+        df,
+        partition_cols,
+        run_id=run_id,
+        target_file_rows=target_rows,
+        meta=dict(snap.meta or {}, last_compaction=sorted(doomed)),
+    )
+    files_after = sum(
+        len(new_snap.partitions[pk]["files"]) for pk in doomed if pk in new_snap.partitions
+    )
+    return {
+        "compacted": doomed,
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": tot_rows,
+    }
+
+
 def vacuum(table: SnapshotTable, min_age_secs: float = 24 * 3600) -> int:
     """GC: physically delete data files no snapshot's current version
     references AND older than ``min_age_secs``. Returns the number of files

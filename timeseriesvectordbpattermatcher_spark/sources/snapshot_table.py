@@ -92,21 +92,66 @@ class SnapshotTable:
         run_id: str | None = None,
         watermark: str | None = None,
         meta: dict | None = None,
+        target_file_rows: int | None = None,
     ) -> Snapshot:
         """Write ``df`` and commit, replacing exactly the partitions present
-        in ``df``. Partition key = '/'-joined string values of the cols."""
+        in ``df``. Partition key = '/'-joined string values of the cols.
+
+        ``target_file_rows=None`` (default) writes ONE file per partition:
+        repartitioning on the key before ``partitionBy`` stops every input
+        task writing a sliver into every partition dir (tasks x keys small
+        files — ~50k at 12M rows/1.6k daily partitions), but it also funnels
+        each key through a single task. At rollup granularity (a day of
+        minute buckets) that is the right trade; for a FAT partition — a hot
+        source whose day holds billions of raw rows — one task writing one
+        multi-hundred-GB file is the serial point that breaks the 100 TB
+        story. Pass ``target_file_rows`` to salt such keys: rows are
+        deterministically bucketed by ``xxhash64`` of the data columns into
+        ``ceil(rows / target)`` write tasks per key, so a fat partition
+        fans out while small keys keep one file (the salt literal maps only
+        keys that need >1 file). Costs one extra map-side count pass over
+        ``df`` — enable it for raw/fine tiers, skip it for merge tiers that
+        are small by construction.
+        """
         run_id = run_id or uuid.uuid4().hex[:12]
         commit_dir = f"data/c_{run_id}_{uuid.uuid4().hex[:8]}"
         out_path = os.path.join(self.root, commit_dir)
-        # repartition ON the partition key before partitionBy: otherwise
-        # every input task writes a file into every partition dir (tasks x
-        # keys small files — ~50k at 12M rows/1.6k daily partitions) and the
-        # per-file metadata inventory below turns into the bottleneck.
-        # After the shuffle each key's rows live in exactly one task, so
-        # each partition dir gets exactly one file.
+        keyed = df.withColumn(
+            "_pk", F.concat_ws("/", *[F.col(c).cast("string") for c in partition_cols])
+        )
+        repart_args: list = [F.col("_pk")]
+        if target_file_rows is not None:
+            if target_file_rows < 1:
+                raise ValueError(f"target_file_rows must be >= 1, got {target_file_rows}")
+            counts = keyed.groupBy("_pk").count().collect()
+            fanout = {
+                r["_pk"]: -(-r["count"] // target_file_rows)
+                for r in counts
+                if r["count"] > target_file_rows
+            }
+            if fanout:
+                # deterministic salt (stable under task retries, unlike
+                # rand/round-robin): hash of the data columns, modulo the
+                # per-key fanout; keys absent from the map stay single-file
+                fan_map = F.create_map(
+                    *[lit for k, n in fanout.items() for lit in (F.lit(k), F.lit(n))]
+                )
+                salt = F.pmod(
+                    F.xxhash64(*[F.col(c) for c in df.columns]),
+                    F.coalesce(fan_map[F.col("_pk")], F.lit(1)),
+                ).cast("int")
+                keyed = keyed.withColumn("_salt", salt)
+                # explicit task count = total (key, salt) groups: AQE would
+                # otherwise coalesce small salt groups back into one task
+                # (exactly the serial write the salt exists to prevent);
+                # an explicit numPartitions is exempt from AQE coalescing
+                total = sum(
+                    fanout.get(r["_pk"], 1) for r in counts
+                )
+                repart_args = [total, F.col("_pk"), F.col("_salt")]
         (
-            df.withColumn("_pk", F.concat_ws("/", *[F.col(c).cast("string") for c in partition_cols]))
-            .repartition(F.col("_pk"))
+            keyed.repartition(*repart_args)
+            .drop("_salt")
             .write.partitionBy("_pk")
             .parquet(out_path)
         )
