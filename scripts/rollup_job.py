@@ -4,7 +4,7 @@
 Cluster:
     scripts/make_pyfiles_zip.sh
     spark-submit --driver-memory 8g --py-files engine.zip scripts/rollup_job.py \
-        --input /data/seqs --output /tables/rollups [--salt 16] [--expire]
+        --input /data/seqs --output /tables/rollups [--salt 16] [--expire] [--compact]
 
 NOTE: under spark-submit the driver JVM starts BEFORE get_spark(), so
 driver memory must be set on the submit command line (--driver-memory /
@@ -46,6 +46,13 @@ def main() -> int:
                          "scaling — opt in only for single-digit-core runs.")
     ap.add_argument("--full-refresh", action="store_true")
     ap.add_argument("--expire", action="store_true", help="apply retention horizons after commit")
+    ap.add_argument("--compact", action="store_true",
+                    help="bin-pack fragmented partitions after commit "
+                         "(retention.compact_partitions) and vacuum files no "
+                         "snapshot references (24h age guard; see --vacuum-age)")
+    ap.add_argument("--vacuum-age", type=float, default=24 * 3600,
+                    help="min unreferenced-file age (secs) before vacuum "
+                         "deletes it; lower only when no writer can be live")
     ap.add_argument("--cpus", type=int, default=None, help="local-mode cores (ignored under spark-submit)")
     args = ap.parse_args()
 
@@ -101,7 +108,26 @@ def main() -> int:
                 )
             )
 
+    maintenance = {}
+    if args.compact:
+        from timeseriesvectordbpattermatcher_spark.operators.retention import (
+            compact_partitions,
+            vacuum,
+        )
+
+        for tier in counts:
+            stats = compact_partitions(
+                job.tables[tier], spark, ["source", "bucket_day"]
+            )
+            maintenance[tier] = {
+                "compacted": len(stats["compacted"]),
+                "files_before": stats["files_before"],
+                "files_after": stats["files_after"],
+                "vacuumed": vacuum(job.tables[tier], min_age_secs=args.vacuum_age),
+            }
+
     print(json.dumps({"tiers": counts, "expired": expired,
+                      "maintenance": maintenance,
                       "snapshots": {t: job.tables[t].current_snapshot().version
                                     for t in counts if job.tables[t].current_snapshot()}}))
     return 0

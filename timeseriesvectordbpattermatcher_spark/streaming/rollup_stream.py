@@ -189,7 +189,10 @@ def snapshot_sink(table, run_prefix: str = "stream"):
             ["source", "bucket_day"],
             run_id=f"{run_prefix}_b{batch_id}",
             watermark=wm,
-            meta={"stream_batch_id": batch_id},
+            # merge, don't replace: other writers' meta keys (and a batch
+            # RollupJob's) must survive, and the replay guard must survive
+            # a later batch-mode commit that carries its own meta
+            meta=dict((snap.meta or {}) if snap else {}, stream_batch_id=batch_id),
         )
 
     return write_batch
