@@ -175,3 +175,51 @@ def test_fat_partition_fanout_and_compaction(spark, tmp_path):
     assert compact_partitions(tbl, spark, ["source", "day"])["compacted"] == []
     assert vacuum(tbl, min_age_secs=0) >= n_fat
     assert tbl.read(spark).count() == 5001
+
+
+def test_time_travel_rollback_and_versioned_vacuum(spark, tmp_path):
+    """Iceberg-style VERSION AS OF reads, append-only rollback, and
+    vacuum(keep_versions) as the time-travel retention contract."""
+    from timeseriesvectordbpattermatcher_spark.operators.retention import (
+        compact_partitions,
+    )
+
+    tbl = SnapshotTable(str(tmp_path / "tt"))
+    mk = lambda v: spark.createDataFrame(
+        [("a", "2024-07-01", v), ("b", "2024-07-01", v + 10)],
+        "source string, day string, x int",
+    )
+    tbl.overwrite_partitions(mk(1), ["source", "day"], run_id="r1")
+    tbl.overwrite_partitions(
+        mk(2).filter(F.col("source") == "a"), ["source", "day"], run_id="r2"
+    )
+    # pinned version reads reproduce exactly what each commit saw
+    assert {r["x"] for r in tbl.read(spark, version=1).collect()} == {1, 11}
+    assert {r["x"] for r in tbl.read(spark, version=2).collect()} == {2, 11}
+    assert {r["x"] for r in tbl.read(spark).collect()} == {2, 11}
+    hist = tbl.history()
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[0]["run_id"] == "r1"
+
+    # rollback: new commit restoring v1; only the partition v2 changed is
+    # re-stamped, so incremental consumers recompute exactly that key
+    snap = tbl.rollback(1)
+    assert snap.version == 3
+    assert {r["x"] for r in tbl.read(spark).collect()} == {1, 11}
+    assert snap.changed_partitions(2) == ["a/2024-07-01"]
+    assert snap.meta["rolled_back_to"] == 1
+    # the bad commit is still readable (append-only history, forensics)
+    assert {r["x"] for r in tbl.read(spark, version=2).collect()} == {2, 11}
+
+    # keep_versions=3 protects every manifest's files -> pinned reads work
+    assert vacuum(tbl, min_age_secs=0, keep_versions=3) == 0
+    assert {r["x"] for r in tbl.read(spark, version=2).collect()} == {2, 11}
+    # keep_versions=1 reclaims v2's orphaned file; current read unaffected
+    assert vacuum(tbl, min_age_secs=0, keep_versions=1) == 1
+    assert {r["x"] for r in tbl.read(spark).collect()} == {1, 11}
+    with pytest.raises(ValueError):
+        vacuum(tbl, keep_versions=0)
+    with pytest.raises(ValueError):
+        tbl.rollback(99)
+    # maintenance composes: nothing fragmented here, compaction is a no-op
+    assert compact_partitions(tbl, spark, ["source", "day"])["compacted"] == []

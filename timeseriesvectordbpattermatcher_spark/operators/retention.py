@@ -148,10 +148,18 @@ def compact_partitions(
     }
 
 
-def vacuum(table: SnapshotTable, min_age_secs: float = 24 * 3600) -> int:
-    """GC: physically delete data files no snapshot's current version
-    references AND older than ``min_age_secs``. Returns the number of files
-    removed.
+def vacuum(
+    table: SnapshotTable, min_age_secs: float = 24 * 3600, keep_versions: int = 1
+) -> int:
+    """GC: physically delete data files referenced by none of the newest
+    ``keep_versions`` snapshots AND older than ``min_age_secs``. Returns the
+    number of files removed.
+
+    ``keep_versions`` is the time-travel retention contract: a pinned
+    ``table.read(spark, version=v)`` stays reproducible as long as ``v`` is
+    within the newest ``keep_versions`` manifests at every vacuum since.
+    The default (1) preserves only the current snapshot — the pre-time-travel
+    behavior.
 
     The age guard makes concurrent runs safe: an in-flight
     ``overwrite_partitions`` writes its data files BEFORE publishing the
@@ -171,11 +179,14 @@ def vacuum(table: SnapshotTable, min_age_secs: float = 24 * 3600) -> int:
     import os
     import time
 
-    snap = table.current_snapshot()
+    if keep_versions < 1:
+        raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
     live: set[str] = set()
-    if snap:
-        for p in snap.partitions.values():
-            live.update(p["files"])
+    for v in table._versions()[-keep_versions:]:
+        snap = table.snapshot(v)
+        if snap:
+            for p in snap.partitions.values():
+                live.update(p["files"])
     removed = 0
     now = time.time()
     data_root = os.path.join(table.root, "data")

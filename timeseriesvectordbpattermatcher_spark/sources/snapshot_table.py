@@ -71,11 +71,35 @@ class SnapshotTable:
 
     def current_snapshot(self) -> Snapshot | None:
         vs = self._versions()
-        if not vs:
+        return self.snapshot(vs[-1]) if vs else None
+
+    def snapshot(self, version: int) -> Snapshot | None:
+        """Load a specific committed manifest (None if never committed or
+        already expired by :meth:`expire_snapshots`)."""
+        path = os.path.join(self.root, _COMMITS, f"v{version}.json")
+        if not os.path.exists(path):
             return None
-        with open(os.path.join(self.root, _COMMITS, f"v{vs[-1]}.json")) as fh:
+        with open(path) as fh:
             d = json.load(fh)
         return Snapshot(**d)
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first: version, run_id, committed_at,
+        watermark — the audit trail for picking a time-travel version."""
+        out = []
+        for v in self._versions():
+            s = self.snapshot(v)
+            if s is not None:
+                out.append(
+                    {
+                        "version": s.version,
+                        "run_id": s.run_id,
+                        "committed_at": s.committed_at,
+                        "watermark": s.watermark,
+                        "partitions": len(s.partitions),
+                    }
+                )
+        return out
 
     def _publish(self, snap: dict) -> None:
         path = os.path.join(self.root, _COMMITS, f"v{snap['version']}.json")
@@ -212,9 +236,49 @@ class SnapshotTable:
         self._publish(snap)
         return Snapshot(**snap)
 
+    def rollback(self, version: int, run_id: str | None = None) -> Snapshot:
+        """Time-travel WRITE: publish a NEW commit whose content is an old
+        snapshot's (Iceberg ``rollback_to_snapshot``). History stays
+        append-only — the bad commits remain in the log for forensics; the
+        restored partitions whose file lists differ from the current
+        snapshot's are stamped with the new version so snapshot-incremental
+        consumers recompute exactly what changed; partitions the bad commits
+        never touched keep their old stamp and stay invisible to
+        ``changed_partitions``."""
+        old = self.snapshot(version)
+        if old is None:
+            raise ValueError(f"no committed snapshot v{version} to roll back to")
+        cur = self.current_snapshot()
+        new_version = cur.version + 1 if cur else 1
+        cur_parts = cur.partitions if cur else {}
+        partitions = {
+            pk: (
+                dict(p, v=new_version)
+                if cur_parts.get(pk, {}).get("files") != p["files"]
+                else dict(p)
+            )
+            for pk, p in old.partitions.items()
+        }
+        snap = {
+            "version": new_version,
+            "run_id": run_id or uuid.uuid4().hex[:12],
+            "committed_at": time.time(),
+            "partitions": partitions,
+            "watermark": old.watermark,
+            "meta": dict(old.meta or {}, rolled_back_from=cur.version if cur else 0,
+                         rolled_back_to=version),
+        }
+        self._publish(snap)
+        return Snapshot(**snap)
+
     # ---- read -----------------------------------------------------------
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        snap = self.current_snapshot()
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        """Scan the table — the CURRENT snapshot by default, or a pinned
+        historical ``version`` (Iceberg ``VERSION AS OF``): a training run
+        that records the version it read is exactly reproducible later,
+        provided :func:`~..operators.retention.vacuum`'s ``keep_versions``
+        still covers that version's files."""
+        snap = self.current_snapshot() if version is None else self.snapshot(version)
         if snap is None or not snap.partitions:
             return None
         files = [
