@@ -236,6 +236,12 @@ def ngram_jaccard_pairs(
     prefix = ranked.filter(
         F.col("_pos") <= F.col("_sz") - o_min + 1
     ).select(id_col, "ng", "_pos", "_sz")
+    if materialize:
+        # the ranked subtree (doc-frequency agg + join + per-doc window
+        # sort) sits under BOTH self-join aliases; without this it runs
+        # twice — Catalyst does not CSE across aliases. Same rationale as
+        # the grams checkpoint above, one level higher in the plan.
+        prefix = _materialize(prefix)
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin positional filter (Xiao et al., WWW'08): a shared gram at
     # 1-based ranks (pa, pb) of the common frequency order bounds the true
@@ -297,6 +303,10 @@ def ngram_jaccard_pairs(
     )
     # exact verification: sorted gram arrays per doc, JVM-side intersect
     arrs = grams.groupBy(id_col).agg(F.sort_array(F.collect_list("ng")).alias("arr"))
+    if materialize:
+        # also under both verify aliases (va/vb): one collect_list pass
+        # instead of two
+        arrs = _materialize(arrs)
     va = arrs.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a"))
     vb = arrs.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b"))
     inter = F.size(F.array_intersect("arr_a", "arr_b"))
