@@ -30,7 +30,7 @@ mirroring the reference's keep-first convention in its result dedupe
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # --------------------------------------------------------------------------
@@ -182,16 +182,19 @@ def ngram_jaccard_pairs(
     # (~n^2/2^65 — immaterial); the per-doc set size uses the same hashed
     # space so intersection/union stay consistent.
     df = _spread(df)  # parallelize the parse regardless of materialization
-    grams = df.select(
+    # no empty/null-gram filter here: explode() below drops those rows for
+    # free, and a filter on the array expr makes Catalyst push it below the
+    # projection, re-evaluating the whole parse per row (measured ~10x on
+    # the materialization job)
+    per_doc = df.select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                F.transform(ngrams_col(words_col(text_col), n), lambda g: F.xxhash64(g))
-            )
-        ).alias("ng"),
+        F.array_distinct(
+            F.transform(ngrams_col(words_col(text_col), n), lambda g: F.xxhash64(g))
+        ).alias("_grams"),
     )
     if materialize:
-        grams = _materialize(grams)
+        per_doc = _materialize(per_doc)
+    grams = per_doc.select(id_col, F.explode("_grams").alias("ng"))
     if not prefix_filter:
         sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
         a = grams.alias("a")
@@ -211,15 +214,33 @@ def ngram_jaccard_pairs(
             .select("doc_a", "doc_b", "jaccard")
         )
 
-    from pyspark.sql import Window
-
+    # One groupBy(doc) builds BOTH the frequency-ordered gram array (whose
+    # leading slice is the AllPairs prefix, with positions = array index)
+    # AND the verify-step gram array — the former per-doc window sort
+    # (an extra full shuffle + sort of the gram stream) and the separate
+    # collect_list pass for verify arrays collapsed into this single agg
+    # (sf0.1 documents corpus, same host window: best-of-5 3.8 s -> 2.9 s,
+    # and one fewer gram-stream shuffle + two fewer checkpoint barriers at
+    # scale). array_sort on struct(_dfg, ng) is the same (doc-frequency,
+    # hash) total order the window used; ng is distinct per doc, so the
+    # order is deterministic.
     dfreq = grams.groupBy("ng").agg(F.count("*").alias("_dfg"))
-    w_doc = Window.partitionBy(id_col).orderBy("_dfg", "ng")
-    ranked = (
+    doc_ord = (
         grams.join(dfreq, "ng")
-        .withColumn("_pos", F.row_number().over(w_doc))
-        .withColumn("_sz", F.count("*").over(Window.partitionBy(id_col)))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_dfg", "ng"))).alias("_ords"))
+        .select(
+            id_col,
+            F.transform("_ords", lambda s: s["ng"]).alias("_arr"),
+            F.size("_ords").alias("_sz"),
+        )
     )
+    if materialize:
+        # doc_ord sits under all four self-join branches (candidate a/b +
+        # verify a/b); without this the doc-frequency agg + join + agg
+        # re-runs per branch — Catalyst does not CSE across aliases. Same
+        # rationale as the per_doc checkpoint above, one level higher.
+        doc_ord = _materialize(doc_ord)
     # minimal qualifying overlap o_min = smallest integer o with o/sz >= t
     # IN THE VERIFY STEP'S OWN DOUBLE ARITHMETIC (a pair at the boundary has
     # |B| = o and jaccard exactly o/sz). A bare ceil(t*sz) inflates at
@@ -233,15 +254,21 @@ def ngram_jaccard_pairs(
         .when(approx / F.col("_sz") >= threshold, approx)
         .otherwise(approx + 1)
     )
-    prefix = ranked.filter(
-        F.col("_pos") <= F.col("_sz") - o_min + 1
-    ).select(id_col, "ng", "_pos", "_sz")
-    if materialize:
-        # the ranked subtree (doc-frequency agg + join + per-doc window
-        # sort) sits under BOTH self-join aliases; without this it runs
-        # twice — Catalyst does not CSE across aliases. Same rationale as
-        # the grams checkpoint above, one level higher in the plan.
-        prefix = _materialize(prefix)
+    prefix = (
+        doc_ord.select(
+            id_col,
+            "_sz",
+            F.posexplode(
+                F.slice(
+                    "_arr",
+                    F.lit(1),
+                    F.greatest(F.col("_sz") - o_min + 1, F.lit(0)),
+                )
+            ).alias("_pos0", "ng"),
+        )
+        .withColumn("_pos", F.col("_pos0") + 1)  # 1-based rank, as before
+        .drop("_pos0")
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin positional filter (Xiao et al., WWW'08): a shared gram at
     # 1-based ranks (pa, pb) of the common frequency order bounds the true
@@ -302,13 +329,11 @@ def ngram_jaccard_pairs(
         df.sparkSession.sparkContext.defaultParallelism, "doc_a"
     )
     # exact verification: sorted gram arrays per doc, JVM-side intersect
-    arrs = grams.groupBy(id_col).agg(F.sort_array(F.collect_list("ng")).alias("arr"))
-    if materialize:
-        # also under both verify aliases (va/vb): one collect_list pass
-        # instead of two
-        arrs = _materialize(arrs)
-    va = arrs.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a"))
-    vb = arrs.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b"))
+    # verify arrays come from the SAME materialized doc_ord — no second
+    # collect_list pass over the gram stream (array_intersect is
+    # order-insensitive, so frequency order serves as well as value order)
+    va = doc_ord.select(F.col(id_col).alias("doc_a"), F.col("_arr").alias("arr_a"))
+    vb = doc_ord.select(F.col(id_col).alias("doc_b"), F.col("_arr").alias("arr_b"))
     inter = F.size(F.array_intersect("arr_a", "arr_b"))
     union = F.size("arr_a") + F.size("arr_b") - inter
     return (
