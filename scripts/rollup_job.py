@@ -36,7 +36,7 @@ def main() -> int:
     ap.add_argument("--output", required=True, help="base dir for rollup_{1m,1h,1d} + audit")
     ap.add_argument("--salt", type=int, default=0, help="salt buckets for hot-key two-phase agg")
     ap.add_argument("--token-engine", default="arrow_drop",
-                    choices=["expr", "arrow", "arrow_drop"],
+                    choices=["expr", "arrow", "arrow_drop", "explode"],
                     help="token-stat engine (rollup.add_token_stats). Default "
                          "arrow_drop: the scale-safe path — measured N->4N "
                          "scaling efficiency 0.946 (>= the 0.8 north-rule "

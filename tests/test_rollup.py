@@ -261,3 +261,122 @@ def test_skewed_hot_key_salted_rollup(spark, duck):
     assert max_share(["source", "bucket_ts"]) >= 0.5  # the hot reducer
     # salted: hot share/buckets + cold residue; 3x headroom over 1/8 of 50%
     assert max_share(["source", "bucket_ts", "_salt"]) < 3 * 0.5 / buckets
+
+
+def _edge_corpus_rows():
+    import datetime as dt
+
+    T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    return [
+        # 00:00 — clean rows, two sources, plus a null source key
+        ("a1", [1, 5, 3], 3, "web", T0),
+        ("a2", [7], 1, "web", T0),
+        ("i1", [8, -1], 2, "code", T0),
+        ("h1", [6], 1, None, T0),
+        # 00:01 — all empty arrays -> tok_sum 0, tok_min/max null
+        ("b1", [], 0, "web", T0.replace(minute=1)),
+        ("b2", [], 0, "web", T0.replace(minute=1)),
+        # 00:02 — all null arrays -> all token stats null
+        ("c1", None, 0, "web", T0.replace(minute=2)),
+        # 00:03 — only dirty rows (null elements) -> sum null, min/max from
+        # the clean elements
+        ("d1", [1, None, 3], 3, "web", T0.replace(minute=3)),
+        ("d2", [None], 1, "web", T0.replace(minute=3)),
+        # 00:04 — dirty + empty -> sum 0 (the empty row's +0 survives)
+        ("e1", [None, 9], 2, "web", T0.replace(minute=4)),
+        ("e2", [], 0, "web", T0.replace(minute=4)),
+        # 00:05 — dirty + clean -> sum covers the clean row only
+        ("f1", [2, None], 2, "web", T0.replace(minute=5)),
+        ("f2", [10, 20], 2, "web", T0.replace(minute=5)),
+        # malformed doc_id downstream -> NULL event_ts group
+        ("g1", [4, 4], 2, "web", None),
+    ]
+
+
+def test_rollup_explode_engine_matches_expr_edges(spark):
+    """token_engine='explode' (bucket-level explode_outer agg, zero Python
+    AND zero interpreted lambdas) must reproduce the per-row engines' null
+    semantics bucket-for-bucket: empty arrays +0, null arrays skipped, a
+    null ELEMENT nulls its row's sum while min/max keep the clean elements,
+    and NULL group keys (bad event_ts / null source) still aggregate."""
+    from timeseriesvectordbpattermatcher_spark.operators.rollup import rollup_1m
+
+    df = spark.createDataFrame(
+        _edge_corpus_rows(),
+        "doc_id string, tokens array<int>, n_tok int, source string, event_ts timestamp",
+    )
+
+    def norm(d):
+        return sorted(
+            [tuple(r) for r in d.collect()], key=lambda t: (str(t[0]), str(t[1]))
+        )
+
+    for salt in (None, 4):
+        e = norm(rollup_1m(df, token_engine="expr", salt_buckets=salt))
+        x = norm(rollup_1m(df, token_engine="explode", salt_buckets=salt))
+        assert e == x, (salt, set(e) ^ set(x))
+    by_bucket = {
+        (r[0], str(r[1])): r for r in norm(rollup_1m(df, token_engine="explode"))
+    }
+    assert by_bucket[("web", "2024-01-01 00:01:00")][8] == 0      # all-empty: 0
+    assert by_bucket[("web", "2024-01-01 00:02:00")][8] is None   # all-null: null
+    assert by_bucket[("web", "2024-01-01 00:03:00")][6:9] == (1, 3, None)
+    assert by_bucket[("web", "2024-01-01 00:04:00")][8] == 0      # dirty+empty
+    assert by_bucket[("web", "2024-01-01 00:05:00")][8] == 30     # clean row only
+
+
+def test_rollup_explode_engine_fast_path(spark):
+    """With containsNull=False on the element type the explode engine skips
+    the per-doc re-group (fast path) — parity still holds, including empty
+    arrays (+0) and null ARRAYS (field nullability is independent of element
+    nullability)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from timeseriesvectordbpattermatcher_spark.operators.rollup import rollup_1m
+
+    T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    sch = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType(), containsNull=False)),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("event_ts", T.TimestampType()),
+        ]
+    )
+    rows = [
+        ("a1", [1, 5, 3], 3, "web", T0),
+        ("a2", [7], 1, "web", T0),
+        ("b1", [], 0, "web", T0.replace(minute=1)),
+        ("n1", None, 0, "web", T0.replace(minute=2)),
+        ("m1", [4], 1, "web", T0.replace(minute=2)),
+    ]
+    df = spark.createDataFrame(rows, sch)
+
+    def norm(d):
+        return sorted([tuple(r) for r in d.collect()], key=lambda t: str(t[1]))
+
+    e = norm(rollup_1m(df, token_engine="expr"))
+    x = norm(rollup_1m(df, token_engine="explode"))
+    assert e == x, set(e) ^ set(x)
+    # the fast path must actually engage: no _doc re-group in the plan
+    plan = rollup_1m(df, token_engine="explode")._jdf.queryExecution().toString()
+    assert "_doc" not in plan
+
+
+def test_rollup_explode_engine_matches_arrow_bulk(spark, seqs_2k):
+    """Tier-for-tier equality on a realistic corpus (all three tiers)."""
+    from timeseriesvectordbpattermatcher_spark.operators.rollup import (
+        derive_event_ts,
+        rollup_all_tiers,
+    )
+
+    seqs = derive_event_ts(seqs_2k)
+    a = rollup_all_tiers(seqs, token_engine="arrow_drop")
+    x = rollup_all_tiers(seqs, token_engine="explode")
+    for tier in ("1m", "1h", "1d"):
+        ra = sorted([tuple(r) for r in a[tier].collect()], key=str)
+        rx = sorted([tuple(r) for r in x[tier].collect()], key=str)
+        assert ra == rx, tier

