@@ -37,7 +37,10 @@ def main() -> int:
     ap.add_argument("--salt", type=int, default=0, help="salt buckets for hot-key two-phase agg")
     ap.add_argument("--token-engine", default="arrow_drop",
                     choices=["expr", "arrow", "arrow_drop", "explode"],
-                    help="token-stat engine (rollup.add_token_stats). Default "
+                    help="token-stat engine (expr/arrow/arrow_drop: "
+                         "rollup.add_token_stats; explode: bucket-level "
+                         "explode_outer agg handled inside rollup_1m — zero "
+                         "Python workers, lowest run-to-run variance). Default "
                          "arrow_drop: the scale-safe path — measured N->4N "
                          "scaling efficiency 0.946 (>= the 0.8 north-rule "
                          "target; near the host's own 0.933 ceiling) at "

@@ -125,7 +125,9 @@ def main() -> None:
                          "meets the >=0.8 N->4N scaling target, near-expr "
                          "absolute throughput) | arrow | expr (fastest absolute "
                          "on this host but measured 0.786 scaling; see "
-                         "rollup.add_token_stats)")
+                         "rollup.add_token_stats) | explode (bucket-level "
+                         "explode_outer agg inside rollup_1m — zero Python "
+                         "workers, lowest contention variance)")
     args = ap.parse_args()
 
     data_dir = os.path.join(tempfile.gettempdir(), f"seqs_bench_{args.rows}")

@@ -380,3 +380,30 @@ def test_rollup_explode_engine_matches_arrow_bulk(spark, seqs_2k):
         ra = sorted([tuple(r) for r in a[tier].collect()], key=str)
         rx = sorted([tuple(r) for r in x[tier].collect()], key=str)
         assert ra == rx, tier
+
+
+def test_rollup_explode_engine_duplicate_doc_ids(spark):
+    """The per-doc regroup must key on row identity, not doc_id: two rows
+    SHARING a doc_id (and array size) in one bucket must not merge into a
+    pseudo-doc — a dirty row's sum stays NULLed while its clean twin counts."""
+    import datetime as dt
+
+    from timeseriesvectordbpattermatcher_spark.operators.rollup import rollup_1m
+
+    T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("X", [1, None, 3], 3, "web", T0),   # dirty
+        ("X", [4, 5, 6], 3, "web", T0),      # clean, same id + size
+        (None, [5, None], 2, "web", T0.replace(minute=1)),  # null ids too
+        (None, [7, 8], 2, "web", T0.replace(minute=1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string, event_ts timestamp"
+    )
+    for salt in (None, 4):
+        e = sorted(map(tuple, rollup_1m(df, token_engine="expr", salt_buckets=salt).collect()))
+        x = sorted(map(tuple, rollup_1m(df, token_engine="explode", salt_buckets=salt).collect()))
+        assert e == x, (salt, e, x)
+    by_min = {str(r[1]): r for r in rollup_1m(df, token_engine="explode").collect()}
+    assert by_min["2024-01-01 00:00:00"]["tok_sum"] == 15   # clean twin only
+    assert by_min["2024-01-01 00:01:00"]["tok_sum"] == 15

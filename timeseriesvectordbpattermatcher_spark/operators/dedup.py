@@ -331,9 +331,15 @@ def ngram_jaccard_pairs(
     # exact verification: sorted gram arrays per doc, JVM-side intersect
     # verify arrays come from the SAME materialized doc_ord — no second
     # collect_list pass over the gram stream (array_intersect is
-    # order-insensitive, so frequency order serves as well as value order)
-    va = doc_ord.select(F.col(id_col).alias("doc_a"), F.col("_arr").alias("arr_a"))
-    vb = doc_ord.select(F.col(id_col).alias("doc_b"), F.col("_arr").alias("arr_b"))
+    # order-insensitive, so frequency order serves as well as value order).
+    # In lazy mode doc_ord would re-run its dfreq agg + join per verify
+    # branch, so a plain collect_list over grams is the cheaper subtree.
+    if materialize:
+        arrs = doc_ord.select(id_col, F.col("_arr").alias("arr"))
+    else:
+        arrs = grams.groupBy(id_col).agg(F.collect_list("ng").alias("arr"))
+    va = arrs.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a"))
+    vb = arrs.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b"))
     inter = F.size(F.array_intersect("arr_a", "arr_b"))
     union = F.size("arr_a") + F.size("arr_b") - inter
     return (

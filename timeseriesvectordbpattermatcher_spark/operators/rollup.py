@@ -207,28 +207,38 @@ def _add_token_stats_arrow(
     return seqs.mapInArrow(batches, schema=schema)
 
 
-def _partial_aggs():
+def _row_partial_aggs():
     return [
         F.count(F.lit(1)).alias("cnt"),
         F.sum("n_tok").alias("sum_n_tok"),
         F.min("n_tok").alias("min_n_tok"),
         F.max("n_tok").alias("max_n_tok"),
+    ]
+
+
+def _tok_partial_aggs():
+    return [
         F.min("tok_min").alias("tok_min"),
         F.max("tok_max").alias("tok_max"),
         F.sum("tok_sum").alias("tok_sum"),
     ]
 
 
-def _merge_aggs():
+def _partial_aggs():
+    return _row_partial_aggs() + _tok_partial_aggs()
+
+
+def _row_merge_aggs():
     return [
         F.sum("cnt").alias("cnt"),
         F.sum("sum_n_tok").alias("sum_n_tok"),
         F.min("min_n_tok").alias("min_n_tok"),
         F.max("max_n_tok").alias("max_n_tok"),
-        F.min("tok_min").alias("tok_min"),
-        F.max("tok_max").alias("tok_max"),
-        F.sum("tok_sum").alias("tok_sum"),
     ]
+
+
+def _merge_aggs():
+    return _row_merge_aggs() + _tok_partial_aggs()
 
 
 def _with_avg(df: DataFrame) -> DataFrame:
@@ -280,18 +290,8 @@ def _rollup_1m_explode(
     bucketed = seqs.withColumn(
         "bucket_ts", F.date_trunc(TIER_TRUNC["1m"], F.col(ts_col))
     )
-    row_aggs = [
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum("n_tok").alias("sum_n_tok"),
-        F.min("n_tok").alias("min_n_tok"),
-        F.max("n_tok").alias("max_n_tok"),
-    ]
-    row_merge = [
-        F.sum("cnt").alias("cnt"),
-        F.sum("sum_n_tok").alias("sum_n_tok"),
-        F.min("min_n_tok").alias("min_n_tok"),
-        F.max("max_n_tok").alias("max_n_tok"),
-    ]
+    row_aggs = _row_partial_aggs()
+    row_merge = _row_merge_aggs()
     salted = salt_buckets is not None and salt_buckets > 1
     if salted:
         salt_src = (
@@ -317,12 +317,17 @@ def _rollup_1m_explode(
     need_doc = elems_nullable or salted
     if not need_doc:
         doc_cols = []
-    elif "doc_id" in bucketed.columns:
-        doc_cols = [F.col("doc_id").alias("_doc")]
     else:
-        # unique-per-row fallback key; deterministic per (partition,
-        # offset) so task retries regroup identically
-        doc_cols = [F.monotonically_increasing_id().alias("_doc")]
+        # unique-per-ROW regroup key — NOT doc_id: the engine must not
+        # assume id uniqueness (duplicate ids sharing a bucket would merge
+        # into one pseudo-doc and defeat the dirty-row sum NULLing).
+        # monotonically_increasing_id is deterministic per (partition,
+        # offset), so task retries regroup identically. It MUST be assigned
+        # in a projection BELOW the explode — inside the generate's select
+        # it would be evaluated once per exploded element, splitting every
+        # doc into single-element pseudo-docs
+        bucketed = bucketed.withColumn("_doc", F.monotonically_increasing_id())
+        doc_cols = ["_doc"]
     elem = bucketed.select(
         key_col,
         "bucket_ts",
