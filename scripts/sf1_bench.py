@@ -9,11 +9,21 @@ ratio is host-independent because both scales run in the same window.
 
 Replica construction (seedless, reproducible):
 - documents: 10 replicas; replica k re-keys ``doc_id + k*1_000_000`` and
-  ROTATES the word sequence by k. Rotation keeps each replica's internal
-  near-dup structure (two similar docs rotate into two similar docs) while
-  making replicas of the SAME doc share almost no word n-grams — so
-  near-dup pair counts grow ~linearly with corpus size, like a real corpus,
-  instead of exploding into 10-cliques of artificial dups.
+  TAGS every word with a ``q{k}`` suffix (replica 0 keeps the original
+  text verbatim, so sf0.1 is a strict subset). Suffixing a per-replica
+  constant to every word is an injective word renaming, so each replica's
+  internal near-dup structure (Jaccard over word n-grams) is preserved
+  EXACTLY while replicas share zero n-grams — near-dup pairs and
+  candidate volume both grow linearly with corpus size, and the reported
+  scale_ratio measures the ENGINE, not output blow-up. (An earlier
+  rotation-based construction failed this goal: the synthetic word
+  vocabulary is small enough that rotated replicas still collided on most
+  grams — distinct 3-grams grew only 27.2k -> 27.6k for 10x docs, gram
+  doc-frequency grew 10x, and true >= 0.25 pairs exploded 256 -> 250,600,
+  making the wall ratio measure the corpus artifact. The lowercase 'q' +
+  digit suffix survives the tokenizer's [^a-z0-9] normalization.)
+  The JSON block records ``pairs_small``/``pairs_big`` for the dedup
+  queries so output growth is auditable next to the wall ratio.
 - embeddings: replica k rotates the vector by k positions (norm-preserving,
   direction-changing) and re-keys ``vec_id + k*1_000_000``; the cosine_topk
   query set (vec_id < 200) stays fixed while the searched corpus grows 10x.
@@ -42,17 +52,16 @@ SF1_DIR = os.path.join(os.environ.get("TMPDIR", "/tmp"), "sf1_synth")
 REPLICAS = 10
 
 
-def _rotate_expr(col, rep, sep):
-    """Rotate a delimited sequence column by ``rep`` positions (SQL-side)."""
+def _tag_words_expr(col, rep, sep):
+    """Suffix every word with ``q{rep}`` — an injective per-replica word
+    renaming (SQL-side): Jaccard/minhash structure within a replica is
+    identical to the base corpus, across replicas disjoint."""
     from pyspark.sql import functions as F
 
-    ws = F.split(col, sep)
-    n = F.greatest(F.size(ws), F.lit(1))
-    k = F.pmod(rep, n)
-    rotated = F.concat(
-        F.slice(ws, k + 1, F.size(ws) - k), F.slice(ws, F.lit(1), k)
+    tagged = F.transform(
+        F.split(col, sep), lambda w: F.concat(w, F.lit("q"), rep.cast("string"))
     )
-    return F.array_join(rotated, " ")
+    return F.array_join(tagged, " ")
 
 
 def build_sf1(spark) -> None:
@@ -69,7 +78,7 @@ def build_sf1(spark) -> None:
             .select(
                 (F.col("doc_id") + rep.cast("long") * 1_000_000).alias("doc_id"),
                 F.when(rep == 0, F.col("text"))
-                .otherwise(_rotate_expr(F.col("text"), rep, r"\s+"))
+                .otherwise(_tag_words_expr(F.col("text"), rep, r"\s+"))
                 .alias("text"),
                 "lang",
                 "source",
@@ -148,12 +157,21 @@ def main() -> None:
 
     # ---- driver-table queries at both scales ------------------------------
     for name in ("ngram_jaccard", "minhash_dedup", "cosine_topk"):
-        t_small = _best_of(lambda: qs[name](spark, SF01).count(), k=args.runs)
-        t_big = _best_of(lambda: qs[name](spark, SF1_DIR).count(), k=args.runs)
+        n_small = qs[name](spark, SF01).count()
+        n_big = qs[name](spark, SF1_DIR).count()
+        t_small = _best_of(lambda: qs[name](spark, SF01).count(), k=args.runs,
+                           warmup=False)
+        t_big = _best_of(lambda: qs[name](spark, SF1_DIR).count(), k=args.runs,
+                         warmup=False)
         result["queries"][name] = {
             "sf0.1_sec": t_small,
             "sf1_sec": t_big,
             "scale_ratio": round(t_big / t_small, 2),
+            # output rows at each scale — a wall ratio is only meaningful
+            # next to how much the RESULT grew (linear-by-construction for
+            # the dedup queries since the word-tagged replica build)
+            "rows_small": n_small,
+            "rows_big": n_big,
         }
 
     # ---- matcher pipeline at 10x reference segments ------------------------
