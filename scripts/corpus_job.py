@@ -9,6 +9,12 @@ would run them.
       -> text analysis        (lang-id, quality score, token counts,
                                fingerprint — one pass, pure codegen exprs)
       -> quality/lang filter  (pushed to the scan of the curated write)
+      -> [--sample]           (deterministic per-source keep fractions —
+                               hash of doc_id, zero shuffle)
+      -> [--pack-budget]      (fixed-token training packs: one window
+                               cumsum per source shard)
+      -> [--shuffle-seed]     (reproducible global training order via a
+                               range exchange, no single-reducer sort)
       -> curated parquet + one JSON stats line
 
 Every stage reports its row count — a curation job that silently drops
@@ -70,6 +76,11 @@ def synth_docs(spark, n_rows: int, seed: int = 42):
     return df.select(
         F.concat(F.lit("doc"), F.lpad(F.col("id").cast("string"), 8, "0")).alias("doc_id"),
         F.concat_ws(" ", words).alias("text"),
+        # deterministic source mix so --sample has a stratum column
+        F.element_at(
+            F.array(F.lit("web"), F.lit("web"), F.lit("books"), F.lit("code")),
+            (F.pmod(F.xxhash64(F.lit(seed), F.lit("src"), F.col("id")), F.lit(4)) + 1).cast("int"),
+        ).alias("source"),
     )
 
 
@@ -87,6 +98,20 @@ def main() -> int:
                     help="comma-separated lang_pred allowlist, e.g. en,und "
                          "(empty = keep all)")
     ap.add_argument("--cpus", type=int, default=0, help="local[] width (0 = all)")
+    ap.add_argument("--sample", default="",
+                    help="deterministic per-source keep fractions, e.g. "
+                         "'web=0.3,books=1.0' (needs a source column; "
+                         "unlisted sources keep --sample-default)")
+    ap.add_argument("--sample-default", type=float, default=1.0,
+                    help="keep fraction for sources not named in --sample")
+    ap.add_argument("--pack-budget", type=int, default=0,
+                    help="pack curated docs into fixed-token training packs "
+                         "of this budget (0 = skip); adds pack_shard/pack_id "
+                         "columns to the output")
+    ap.add_argument("--shuffle-seed", type=int, default=None,
+                    help="write the curated corpus in a deterministic "
+                         "hash-shuffled training order (omit = keep "
+                         "natural order)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -118,7 +143,10 @@ def main() -> int:
         ap.error("one of --input / --synthetic-docs is required")
 
     stats: dict = {"stages": {}}
-    docs = _materialize(docs.select("doc_id", "text"))
+    keep_cols = ["doc_id", "text"] + (["source"] if "source" in docs.columns else [])
+    if args.sample and "source" not in docs.columns:
+        ap.error("--sample needs a source column in the input")
+    docs = _materialize(docs.select(*keep_cols))
     stats["stages"]["raw"] = docs.count()
 
     exact = _materialize(exact_dedup(docs))
@@ -136,9 +164,49 @@ def main() -> int:
         keep = keep & F.col("lang_pred").isin(langs)
     curated = analyzed.filter(keep)
 
-    curated.write.mode("overwrite").parquet(args.output)
+    # optional late stages: source-mix sampling -> token-budget packing ->
+    # deterministic training-order shuffle (operators/curation.py). All
+    # three are deterministic functions of doc_id, so a job re-run (or a
+    # task retry) writes byte-identical rows.
+    final = curated
+    if args.sample:
+        from timeseriesvectordbpattermatcher_spark.operators.curation import (
+            sample_stratified,
+        )
+
+        fractions = {}
+        for kv in args.sample.split(","):
+            k, v = kv.split("=")
+            fractions[k.strip()] = float(v)
+        final = sample_stratified(
+            final, fractions, key_col="source",
+            default_fraction=args.sample_default,
+        )
+    if args.pack_budget:
+        from timeseriesvectordbpattermatcher_spark.operators.curation import (
+            pack_sequences,
+        )
+
+        final = pack_sequences(
+            final, budget=args.pack_budget,
+            n_tok_col="n_tokens_ws",  # whitespace token count from add_token_counts
+            key_col="source" if "source" in final.columns else None,
+        )
+    if args.shuffle_seed is not None:
+        from timeseriesvectordbpattermatcher_spark.operators.curation import (
+            shuffle_deterministic,
+        )
+
+        final = shuffle_deterministic(final, seed=args.shuffle_seed)
+
+    final.write.mode("overwrite").parquet(args.output)
     out = spark.read.parquet(args.output)
-    stats["stages"]["curated"] = out.count()
+    # "curated" is always the post-filter count (the quality/lang
+    # reconciliation below depends on it); "sampled" is the written count
+    # when a sampling stage ran (pack/shuffle never change row counts)
+    stats["stages"]["curated"] = curated.count() if args.sample else out.count()
+    if args.sample:
+        stats["stages"]["sampled"] = out.count()
     # split the filter attribution: quality drops vs language drops (an
     # operator tuning --min-quality must not be shown language casualties).
     # Null-inclusive: a NULL quality fails `quality >= min` and must be

@@ -41,3 +41,42 @@ def test_corpus_job_end_to_end(tmp_path):
         assert col in curated.columns, col
     assert curated["doc_id"].is_unique
     assert (curated["quality"] >= 0.5).all()
+
+
+def test_corpus_job_sample_pack_shuffle(tmp_path):
+    """Late curation stages: --sample / --pack-budget / --shuffle-seed
+    compose after the filter; output is a deterministic function of
+    doc_id (verified against the pure-python XXH64 oracle)."""
+    out_dir = str(tmp_path / "packed")
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--synthetic-docs", "600", "--output", out_dir, "--cpus", "8",
+         "--sample", "web=0.4", "--sample-default", "1.0",
+         "--pack-budget", "512", "--shuffle-seed", "17"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["stages"]["sampled"] < stats["stages"]["curated"]
+
+    import pandas as pd
+
+    from tests.oracle.xxh64_pure import SPARK_SEED, hash_bytes, hash_int, to_i64
+
+    def h(seed, s):
+        return to_i64(hash_bytes(s.encode(), hash_int(seed, SPARK_SEED)))
+
+    out = pd.read_parquet(out_dir)
+    assert len(out) == stats["stages"]["sampled"]
+    assert {"pack_shard", "pack_id"} <= set(out.columns)
+    # sampling oracle: every surviving web row drew u < 0.4 resolution
+    web = out[out.source == "web"]
+    assert len(web) > 0
+    assert all(h(42, d) % 1_000_000 < 400_000 for d in web.doc_id)
+    assert (out[out.source != "web"].groupby("source").size() > 0).all()
+    # shuffle oracle: rows land in (xxhash64(17, id), id) order per file,
+    # and files concatenate to the global order (pandas reads part files
+    # in name order = range-partition order)
+    keys = [(h(17, d), d) for d in out.doc_id]
+    assert keys == sorted(keys)

@@ -1,0 +1,322 @@
+"""Curation operators: deterministic sampling / shuffle / packing /
+incremental dedup — engine-free oracles (pure-python XXH64 + DuckDB)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesvectordbpattermatcher_spark.operators.curation import (
+    SAMPLE_RESOLUTION,
+    incremental_exact_dedup,
+    incremental_minhash_dedup,
+    pack_sequences,
+    sample_stratified,
+    shuffle_deterministic,
+)
+from timeseriesvectordbpattermatcher_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+)
+
+from tests.oracle.xxh64_pure import SPARK_SEED, hash_bytes, hash_int, to_i64
+
+
+def _h_seed_str(seed: int, s: str) -> int:
+    """Pure-python ``F.xxhash64(F.lit(seed), F.col(strCol))``."""
+    return to_i64(hash_bytes(s.encode("utf-8"), hash_int(seed, SPARK_SEED)))
+
+
+def _mk_docs(spark, n=600):
+    rows = []
+    for i in range(n):
+        src = ["web", "books", "code"][i % 3]
+        text = " ".join(f"w{(i * 7 + j) % 101}" for j in range(20))
+        rows.append((f"d{i:05d}", text, src, 20 + (i % 50)))
+    return (
+        spark.createDataFrame(
+            rows, "doc_id string, text string, source string, n_tok int"
+        ),
+        rows,
+    )
+
+
+# --------------------------------------------------------------------------
+# sample_stratified
+# --------------------------------------------------------------------------
+
+
+def test_sample_stratified_matches_pure_oracle(spark):
+    df, rows = _mk_docs(spark)
+    fr = {"web": 0.3, "books": 1.0}
+    got = sorted(
+        r["doc_id"]
+        for r in sample_stratified(
+            df, fr, seed=11, default_fraction=0.5
+        ).collect()
+    )
+    want = []
+    for doc_id, _t, src, _n in rows:
+        frac = fr.get(src, 0.5)
+        u = _h_seed_str(11, doc_id) % SAMPLE_RESOLUTION
+        if u < int(round(frac * SAMPLE_RESOLUTION)):
+            want.append(doc_id)
+    assert got == sorted(want)
+    assert 0 < len(got) < len(rows)
+
+
+def test_sample_books_kept_verbatim(spark):
+    df, rows = _mk_docs(spark)
+    out = sample_stratified(df, {"books": 1.0}, seed=3, default_fraction=0.0)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        d for d, _t, s, _n in rows if s == "books"
+    )
+
+
+def test_sample_nested_subset(spark):
+    df, _ = _mk_docs(spark)
+    small = {r["doc_id"] for r in sample_stratified(df, {}, default_fraction=0.1, seed=5).collect()}
+    big = {r["doc_id"] for r in sample_stratified(df, {}, default_fraction=0.3, seed=5).collect()}
+    assert small <= big
+
+
+def test_sample_no_shuffle(spark, tmp_path):
+    df, _ = _mk_docs(spark, n=100)
+    p = str(tmp_path / "docs.parquet")
+    df.write.parquet(p)
+    plan = (
+        sample_stratified(spark.read.parquet(p), {"web": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_sample_validation(spark):
+    df, _ = _mk_docs(spark, n=10)
+    with pytest.raises(ValueError):
+        sample_stratified(df, {"web": 1.5})
+    with pytest.raises(ValueError):
+        sample_stratified(df, {}, default_fraction=-0.1)
+
+
+# --------------------------------------------------------------------------
+# shuffle_deterministic
+# --------------------------------------------------------------------------
+
+
+def test_shuffle_total_order_and_layout_independence(spark):
+    df, rows = _mk_docs(spark, n=500)
+    want = sorted(
+        (d for d, _t, _s, _n in rows),
+        key=lambda d: (_h_seed_str(9, d), d),
+    )
+    got_a = [r["doc_id"] for r in shuffle_deterministic(df.repartition(7), seed=9).collect()]
+    got_b = [r["doc_id"] for r in shuffle_deterministic(df.repartition(3), seed=9).collect()]
+    assert got_a == want
+    assert got_b == want
+    got_other_seed = [r["doc_id"] for r in shuffle_deterministic(df, seed=10).collect()]
+    assert got_other_seed != want  # a new seed is a new epoch order
+
+
+# --------------------------------------------------------------------------
+# pack_sequences
+# --------------------------------------------------------------------------
+
+
+def _pack_oracle_duckdb(rows, budget, seed, shard_of):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d for d, _t, _s, _n in rows],
+            "n_tok": [n for _d, _t, _s, n in rows],
+            "shard": [shard_of(d, s) for d, _t, s, _n in rows],
+            "ord": [_h_seed_str(seed, d) for d, _t, _s, _n in rows],
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    return {
+        (r[0]): (r[1], r[2])
+        for r in con.sql(
+            f"""
+            SELECT doc_id, shard,
+                   CAST(floor((sum(n_tok) OVER w - n_tok) / {budget}) AS BIGINT) AS pack_id
+            FROM t
+            WINDOW w AS (PARTITION BY shard ORDER BY ord, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            """
+        ).fetchall()
+    }
+
+
+def test_pack_sequences_keyed_matches_duckdb(spark):
+    df, rows = _mk_docs(spark)
+    out = pack_sequences(df, budget=256, key_col="source", seed=4)
+    got = {r["doc_id"]: (r["pack_shard"], r["pack_id"]) for r in out.collect()}
+    want = _pack_oracle_duckdb(rows, 256, 4, shard_of=lambda d, s: s)
+    assert got == want
+
+
+def test_pack_sequences_sharded_matches_duckdb(spark):
+    df, rows = _mk_docs(spark)
+    out = pack_sequences(df, budget=512, key_col=None, n_shards=4, seed=4)
+    got = {r["doc_id"]: (r["pack_shard"], r["pack_id"]) for r in out.collect()}
+    want = _pack_oracle_duckdb(
+        rows, 512, 4, shard_of=lambda d, s: _h_seed_str(5, d) % 4
+    )
+    assert got == want
+
+
+def test_pack_boundary_invariants(spark):
+    """Pack k owns the docs whose first token falls in
+    [k*budget, (k+1)*budget) of the shard's concatenated stream: every
+    non-final pack ends at or past its boundary, and overflow past the
+    boundary is less than the pack's final doc."""
+    budget = 300
+    df, rows = _mk_docs(spark)
+    out = pack_sequences(df, budget=budget, key_col="source", seed=2).toPandas()
+    out["ord"] = [_h_seed_str(2, d) for d in out["doc_id"]]
+    out = out.sort_values(["pack_shard", "ord", "doc_id"])
+    for _shard, shard_rows in out.groupby("pack_shard"):
+        cum = shard_rows.n_tok.cumsum()
+        ends = cum.groupby(shard_rows.pack_id.values).max()
+        last_docs = shard_rows.groupby("pack_id").n_tok.last()
+        max_pid = shard_rows.pack_id.max()
+        for pid, end in ends.items():
+            if pid != max_pid:
+                assert end >= (pid + 1) * budget, (_shard, pid, end)
+            assert end - (pid + 1) * budget < last_docs[pid] or end < (pid + 1) * budget
+
+
+def test_pack_single_exchange(spark, tmp_path):
+    df, _ = _mk_docs(spark, n=100)
+    p = str(tmp_path / "docs.parquet")
+    df.write.parquet(p)
+    plan = (
+        pack_sequences(spark.read.parquet(p), budget=256, key_col="source")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange ") == 1, plan[:2000]
+
+
+def test_pack_null_and_validation(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("b", 5)], "doc_id string, n_tok int"
+    )
+    out = pack_sequences(df, budget=10, key_col=None, n_shards=1)
+    assert out.count() == 2  # null token count packs as 0, row kept
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=0)
+
+
+# --------------------------------------------------------------------------
+# incremental exact dedup
+# --------------------------------------------------------------------------
+
+
+def _two_batches(spark):
+    """b1: ids 0..59; b2: ids 100..159. b2 repeats b1's text for ids
+    100..119 (cross-batch exact dups) and repeats its own text at
+    140..149 (in-batch dups)."""
+    def text_of(i):
+        return " ".join(f"t{(i * 3 + j) % 37}" for j in range(15))
+
+    b1 = [(f"a{i:04d}", text_of(i)) for i in range(60)]
+    b2 = []
+    for i in range(100, 160):
+        if i < 120:
+            t = text_of(i - 100)          # dup of batch 1
+        elif 140 <= i < 150:
+            t = text_of(i - 10 - 100)     # dup of b2's own 130..139
+        else:
+            t = text_of(i)
+        b2.append((f"b{i:04d}", t))
+    schema = "doc_id string, text string"
+    return spark.createDataFrame(b1, schema), spark.createDataFrame(b2, schema)
+
+
+def test_incremental_exact_equals_batch_rerun(spark):
+    b1, b2 = _two_batches(spark)
+    s1, d1 = incremental_exact_dedup(b1, None)
+    s2, d2 = incremental_exact_dedup(b2, d1)
+    folded = sorted(r["doc_id"] for r in s1.unionByName(s2).collect())
+    batch = sorted(
+        r["doc_id"] for r in exact_dedup(b1.unionByName(b2)).collect()
+    )
+    assert folded == batch
+    # the store never holds a digest twice across the two appends
+    all_digests = [r["digest"] for r in d1.unionByName(d2).collect()]
+    assert len(all_digests) == len(set(all_digests))
+
+
+def test_incremental_exact_null_text_passthrough(spark):
+    df = spark.createDataFrame(
+        [("x1", None), ("x2", "hello world"), ("x3", None)],
+        "doc_id string, text string",
+    )
+    surv, digs = incremental_exact_dedup(df, None)
+    assert surv.count() == 3
+    assert digs.count() == 1
+    surv2, digs2 = incremental_exact_dedup(
+        spark.createDataFrame([("y1", None), ("y2", "hello world")],
+                              "doc_id string, text string"),
+        digs,
+    )
+    got = sorted(r["doc_id"] for r in surv2.collect())
+    assert got == ["y1"]  # y2 is in the store; y1's NULL passes through
+    assert digs2.count() == 0
+
+
+# --------------------------------------------------------------------------
+# incremental minhash dedup
+# --------------------------------------------------------------------------
+
+_MH = dict(threshold=0.5, num_perm=32, bands=8, n=3)
+
+
+def _near_docs(spark):
+    base = " ".join(f"q{j}" for j in range(40))
+    ws = base.split()
+    near = " ".join(ws[:20] + ["zzz"] + ws[21:])          # ~1 shingle band of edits
+    uniq = " ".join(f"u{j * 13 % 97}" for j in range(40))
+    b1 = spark.createDataFrame(
+        [("m0001", base), ("m0002", uniq)], "doc_id string, text string"
+    )
+    b2 = spark.createDataFrame(
+        [
+            ("n0001", near),                               # near-dup of stored m0001
+            ("n0002", " ".join(f"v{j * 11 % 89}" for j in range(40))),  # unique
+            ("n0003", " ".join(f"v{j * 11 % 89}" for j in range(40))),  # dup of n0002
+        ],
+        "doc_id string, text string",
+    )
+    return b1, b2
+
+
+def test_incremental_minhash_first_increment_matches_batch(spark):
+    b1, _ = _near_docs(spark)
+    surv, sigs = incremental_minhash_dedup(b1, None, **_MH)
+    want = sorted(r["doc_id"] for r in minhash_lsh_dedup(b1, **_MH).collect())
+    assert sorted(r["doc_id"] for r in surv.collect()) == want
+    assert sorted(r["doc_id"] for r in sigs.collect()) == want
+
+
+def test_incremental_minhash_cross_batch(spark):
+    b1, b2 = _near_docs(spark)
+    s1, sigs1 = incremental_minhash_dedup(b1, None, **_MH)
+    assert sorted(r["doc_id"] for r in s1.collect()) == ["m0001", "m0002"]
+    s2, sigs2 = incremental_minhash_dedup(b2, sigs1, **_MH)
+    got = sorted(r["doc_id"] for r in s2.collect())
+    # n0001 collides with stored m0001; n0003 dedups against n0002 in-batch
+    assert got == ["n0002"]
+    assert sorted(r["doc_id"] for r in sigs2.collect()) == ["n0002"]
+
+
+def test_incremental_minhash_short_text_passthrough(spark):
+    df = spark.createDataFrame(
+        [("s1", "one two"), ("s2", None)], "doc_id string, text string"
+    )
+    surv, sigs = incremental_minhash_dedup(df, None, **_MH)
+    assert surv.count() == 2   # no shingles -> no signature -> passes through
+    assert sigs.count() == 0

@@ -1,0 +1,358 @@
+"""Late-stage training-data curation operators: deterministic sampling,
+training-order shuffle, token-budget packing, and incremental dedup against
+a persisted survivor store.
+
+These are the stages a 100 TB corpus job runs AFTER the dedup/quality
+family (``operators/dedup.py``, ``operators/textstats.py``,
+``scripts/corpus_job.py``): pick a source mix, dedup the new crawl
+increment against the already-curated corpus instead of recomputing the
+world, pack survivors into fixed-token training examples, and lay them out
+in a reproducible shuffled order. The reference engine stops at the matcher
+(its corpus is OHLCV series, /root/reference/katslib/opkatsDataUtil.py);
+this module is part of the beyond-reference LLM-pipeline surface the
+engine adds (same family as dedup/similarity/multimodal/textstats).
+
+Design rules shared by every operator here:
+
+- **Determinism is a function of the data, not an RNG stream.** Sampling
+  and ordering decisions hash the row id (``xxhash64``) — task retries,
+  different cluster sizes, and re-runs produce byte-identical outputs.
+  ``df.sample`` explicitly does NOT have this property (per-task-attempt
+  RNG), which is why it appears nowhere in this file.
+- **Narrow where possible.** Sampling is a scan-and-drop (zero shuffle);
+  packing is one hash Exchange on the shard key; the incremental dedups
+  shuffle digests/signatures, never document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import exact_dedup, minhash_signature, _materialize
+
+#: sampling decisions quantize keep-fractions to 1/RESOLUTION steps
+SAMPLE_RESOLUTION = 1_000_000
+
+
+def sample_stratified(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff
+    ``pmod(xxhash64(seed, id), RESOLUTION) < round(frac * RESOLUTION)``.
+
+    The standard source-mix stage of a training-data pipeline ("keep 30%
+    of web, all of books"). Strata absent from ``fractions`` keep
+    ``default_fraction`` of their rows. Fractions are keep-probabilities
+    in [0, 1]; upsampling (>1) is a different operator (explode+replicate)
+    and raises here rather than silently clamping.
+
+    Scale: zero shuffle (pinned in tests/test_curation.py) — the decision
+    is a codegen'd hash per row, so this pushes through to the scan like
+    any other filter. The same id always draws the same uniform, so
+    nested samples are consistent: a 10% sample is a strict subset of the
+    30% sample at the same seed (useful for held-out splits).
+    """
+    for k, frac in fractions.items():
+        if not (0.0 <= frac <= 1.0):
+            raise ValueError(f"fraction for stratum {k!r} must be in [0,1], got {frac}")
+    if not (0.0 <= default_fraction <= 1.0):
+        raise ValueError(f"default_fraction must be in [0,1], got {default_fraction}")
+    u = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(SAMPLE_RESOLUTION))
+    thr = F.lit(int(round(default_fraction * SAMPLE_RESOLUTION)))
+    for k, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(key_col) == F.lit(k), F.lit(int(round(frac * SAMPLE_RESOLUTION)))
+        ).otherwise(thr)
+    return df.filter(u < thr)
+
+
+def shuffle_deterministic(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Reproducible global training order: total order by
+    ``(xxhash64(seed, id), id)`` — the id tiebreak makes the order unique
+    even across hash collisions.
+
+    Implemented as ``repartitionByRange`` on the hash + in-partition sort,
+    NOT ``orderBy`` into one reducer: the range exchange samples bounds and
+    sorts each output partition locally, so a 100 TB shuffle spreads over
+    the cluster and the written files concatenate to the global order.
+    Changing ``seed`` is a fresh epoch-level reshuffle.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    h = F.xxhash64(F.lit(seed), F.col(id_col))
+    return (
+        df.withColumn("_ord", h)
+        .repartitionByRange(n, F.col("_ord"), F.col(id_col))
+        .sortWithinPartitions("_ord", id_col)
+        .drop("_ord")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_tok_col: str = "n_tok",
+    id_col: str = "doc_id",
+    key_col: str | None = None,
+    n_shards: int | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs
+    (doc-preserving concat-then-chunk): lay the docs of each shard out in
+    deterministic hash order and set
+    ``pack_id = floor(tokens_before_this_doc / budget)``.
+
+    Pack semantics (the doc-preserving variant of GPT-style concat+split
+    packing): pack ``k`` owns exactly the docs whose FIRST token falls in
+    ``[k*budget, (k+1)*budget)`` of the shard's concatenated token stream —
+    a doc straddling a boundary joins the pack it starts in. Consequences
+    (pinned in tests/test_curation.py): every non-final pack ends at or
+    past its boundary (its last doc crosses ``(k+1)*budget``), overflow
+    beyond the boundary is always less than that final doc, and a doc
+    longer than ``budget`` absorbs the following boundaries (the skipped
+    pack ids are simply absent — ids need not be contiguous). Downstream
+    example writers truncate or roll each pack's tail instead of
+    re-binning. Exact greedy reset-at-budget is inherently sequential;
+    this formulation is one window cumsum — embarrassingly parallel and
+    SQL-expressible (the DuckDB oracle runs the same window).
+
+    Packs never span shards: with ``key_col`` the shard is that column
+    (packs never mix sources/languages); without it rows are sharded by
+    ``pmod(xxhash64(seed+1, id), n_shards)`` so the layout is distributed —
+    a single global window would serialize 100 TB through one task.
+
+    Scale: exactly ONE Exchange (hash on the shard key) + one in-partition
+    sort (pinned in tests/test_curation.py). NULL token counts count 0.
+    Output: input columns + ``pack_shard`` + ``pack_id`` (long).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if key_col is not None:
+        out = df.withColumn("pack_shard", F.col(key_col))
+    else:
+        n = n_shards or df.sparkSession.sparkContext.defaultParallelism
+        out = df.withColumn(
+            "pack_shard",
+            F.pmod(F.xxhash64(F.lit(seed + 1), F.col(id_col)), F.lit(n)),
+        )
+    w = (
+        Window.partitionBy("pack_shard")
+        .orderBy(F.xxhash64(F.lit(seed), F.col(id_col)), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = F.coalesce(F.col(n_tok_col).cast("long"), F.lit(0))
+    cum_before = F.sum(tok).over(w) - tok
+    return out.withColumn("pack_id", F.floor(cum_before / F.lit(budget)))
+
+
+# --------------------------------------------------------------------------
+# incremental dedup against a persisted survivor store
+# --------------------------------------------------------------------------
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_digests: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-dedup a NEW batch against the digest store of everything
+    already curated: returns ``(survivors, survivor_digests)``.
+
+    ``seen_digests`` is a one-column ``digest`` DataFrame (md5 hex of
+    text) the caller persists between increments — e.g. through
+    ``SnapshotTable`` — and appends each call's second return value to.
+    Pass ``None`` for the first increment.
+
+    Semantics: a new row whose digest is already in the store is dropped
+    (anti join on the 16-byte digest — document text never shuffles
+    against the store); the remainder dedups within the batch with the
+    same min-id survivor rule as ``exact_dedup``. Folding batches
+    b1..bn through this equals ``exact_dedup`` over the union whenever
+    ids are assigned in batch order (pinned in tests/test_curation.py) —
+    the store-backed fold never rescans previous increments, which is the
+    point at 100 TB.
+
+    NULL-text rows pass through and contribute nothing to the store,
+    matching ``exact_dedup``.
+    """
+    digest = F.md5(F.col(text_col))
+    batch = exact_dedup(new_docs, text_col=text_col, id_col=id_col)
+    if seen_digests is not None:
+        # NULL-text rows have a NULL digest; a NULL key never matches in a
+        # left_anti join, so they pass through it untouched — no special
+        # branch needed
+        fresh = (
+            batch.withColumn("_dg", digest)
+            .join(seen_digests.select(F.col("digest").alias("_dg")), "_dg", "left_anti")
+            .drop("_dg")
+        )
+    else:
+        fresh = batch
+    new_digests = (
+        fresh.filter(F.col(text_col).isNotNull())
+        .select(digest.alias("digest"))
+        .distinct()
+    )
+    return fresh, new_digests
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    store_sigs: DataFrame | None,
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    engine: str = "arrow",
+    max_iters: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dedup a NEW batch against the signature store of already-kept
+    documents: returns ``(survivors, survivor_sigs)``.
+
+    ``store_sigs`` is the persisted ``(doc_id, n_shingles, minhash)``
+    output of previous increments (append each call's second return value;
+    ``None`` for the first increment). Signature parameters must match the
+    store's (same ``num_perm``/``n``/``seed`` — signatures are only
+    comparable within one parameterization).
+
+    Two stages, both candidate-bounded by LSH banding (never all-pairs,
+    and the store side ships signatures only — its text is long gone):
+
+    1. new-vs-store: a new doc whose signature-estimated Jaccard against
+       ANY stored survivor clears ``threshold`` is dropped.
+    2. new-vs-new: the remainder dedups within the batch via the same
+       banded pairs + min-id label propagation as ``minhash_lsh_dedup``.
+
+    Incremental semantics (standard for store-backed near-dedup): the
+    store holds SURVIVORS only, so a chain new->dropped_old->survivor
+    prunes only if the new doc itself collides with the survivor —
+    transitive closure through previously-DROPPED docs is not replayed.
+    A full-corpus rerun is the compaction that restores it.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sig_cols = [id_col, "n_shingles", "minhash"]
+    new_sigs = _materialize(
+        minhash_signature(
+            new_docs, num_perm=num_perm, n=n, text_col=text_col,
+            id_col=id_col, seed=seed, engine=engine,
+        ).select(*sig_cols)
+    )
+
+    def band_rows(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.xxhash64(
+                                *[F.col("minhash").getItem(bi * r + j) for j in range(r)]
+                            ).alias("bh"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select(id_col, "b.band", "b.bh")
+
+    est = (
+        F.size(F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(float(num_perm))
+    )
+    surviving_sigs = new_sigs
+    if store_sigs is not None:
+        a = band_rows(new_sigs).alias("a")
+        b = band_rows(store_sigs.select(*sig_cols)).alias("b")
+        cand = (
+            a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+            )
+            .distinct()
+        )
+        hits = (
+            cand.join(
+                new_sigs.select(F.col(id_col).alias("doc_a"), F.col("minhash").alias("mh_a")),
+                "doc_a",
+            )
+            .join(
+                store_sigs.select(F.col(id_col).alias("doc_b"), F.col("minhash").alias("mh_b")),
+                "doc_b",
+            )
+            .filter(est >= threshold)
+            .select(F.col("doc_a").alias(id_col))
+            .distinct()
+        )
+        surviving_sigs = _materialize(new_sigs.join(hits, id_col, "left_anti"))
+
+    # stage 2: in-batch dedup over the remaining new docs (band pairs +
+    # min-id label propagation, same fixpoint loop as minhash_lsh_dedup)
+    br = band_rows(surviving_sigs)
+    a, b = br.alias("a"), br.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    sa = surviving_sigs.select(F.col(id_col).alias("doc_a"), F.col("minhash").alias("mh_a"))
+    sb = surviving_sigs.select(F.col(id_col).alias("doc_b"), F.col("minhash").alias("mh_b"))
+    edges0 = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b").filter(est >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    edges = _materialize(
+        edges0.unionByName(
+            edges0.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+    )
+    labels = _materialize(
+        edges.select(F.col("doc_a").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy(F.col("doc_a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = _materialize(
+            labels.join(prop, "node", "left").select(
+                "node",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias("_chg"),
+            )
+        )
+        changed = new_labels.filter("_chg").limit(1).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    losers = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias(id_col)
+    )
+    kept_sigs = surviving_sigs.join(losers, id_col, "left_anti")
+    survivors = new_docs.join(kept_sigs.select(id_col), id_col, "left_semi").unionByName(
+        # rows that produced no signature (null/short text) pass through,
+        # matching minhash_lsh_dedup's behavior of never dropping them
+        new_docs.join(new_sigs.select(id_col), id_col, "left_anti")
+    )
+    return survivors, kept_sigs
