@@ -1,0 +1,130 @@
+"""Streaming incremental curation (streaming/curation_stream.py): stream
+micro-batches dedup against the persisted survivor store, survive a
+kill-and-restart (including a crash BETWEEN the corpus and store commits),
+and the final corpus matches a batch full-rerun."""
+
+from __future__ import annotations
+
+import time as _time
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesvectordbpattermatcher_spark.operators.dedup import exact_dedup
+from timeseriesvectordbpattermatcher_spark.sources.snapshot_table import SnapshotTable
+from timeseriesvectordbpattermatcher_spark.streaming.curation_stream import (
+    curation_sink,
+    read_curated,
+)
+
+SCHEMA = "doc_id string, text string"
+
+
+def _waves(spark, tmp_path):
+    """Three arrival waves with ascending ids: wave 2 repeats wave 1 texts
+    (cross-batch dups), wave 3 repeats waves 1+2 and itself."""
+    def text_of(i):
+        return " ".join(f"w{(i * 5 + j) % 23}" for j in range(12))
+
+    waves = [
+        [(f"d{i:05d}", text_of(i)) for i in range(0, 40)],
+        [(f"d{i:05d}", text_of(i - 40 if i < 55 else i)) for i in range(40, 80)],
+        [(f"d{i:05d}", text_of(i - 80 if i < 95 else (100 if i in (101, 103) else i)))
+         for i in range(80, 110)],
+    ]
+    stream_dir = str(tmp_path / "inbox")
+    for w in waves:
+        spark.createDataFrame(w, SCHEMA).coalesce(1).write.mode("append").parquet(stream_dir)
+        _time.sleep(1.2)  # distinct mtimes: file order == id order
+    return stream_dir, [r for w in waves for r in w]
+
+
+def _start(spark, stream_dir, ckpt, sink):
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def test_stream_curation_matches_batch_rerun_across_crashes(spark, tmp_path):
+    stream_dir, all_rows = _waves(spark, tmp_path)
+    corpus = SnapshotTable(str(tmp_path / "corpus"))
+    store = SnapshotTable(str(tmp_path / "store"))
+    sink = curation_sink(corpus, store)
+
+    # crash INSIDE the first committing batch, between the corpus commit
+    # and the store commit — the lost store delta must be recovered on
+    # replay, not skipped
+    orig_overwrite = store.overwrite_partitions
+    state = {"crashed": False}
+
+    def crashing_store_commit(*a, **kw):
+        if not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash between corpus and store commits")
+        return orig_overwrite(*a, **kw)
+
+    store.overwrite_partitions = crashing_store_commit
+    q = _start(spark, stream_dir, str(tmp_path / "ckpt"), sink)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(180)
+    assert corpus.current_snapshot() is not None  # corpus committed first
+    assert store.current_snapshot() is None       # store commit crashed
+
+    # restart from the same checkpoint: the replayed batch re-commits the
+    # store delta (corpus partition untouched), then the rest streams in
+    q2 = _start(spark, stream_dir, str(tmp_path / "ckpt"), sink)
+    q2.awaitTermination(180)
+
+    got = read_curated(spark, corpus)
+    batch_ref = exact_dedup(spark.createDataFrame(all_rows, SCHEMA))
+    got_ids = sorted(r["doc_id"] for r in got.collect())
+    want_ids = sorted(r["doc_id"] for r in batch_ref.collect())
+    assert got_ids == want_ids
+    # the store holds each digest exactly once
+    digests = [r["digest"] for r in store.read(spark).select("digest").collect()]
+    assert len(digests) == len(set(digests)) == len(want_ids)
+    # per-table guards both caught up
+    assert int(corpus.current_snapshot().meta["stream_batch_id"]) == int(
+        store.current_snapshot().meta["stream_batch_id"]
+    )
+
+    # a no-new-data restart replays nothing and changes nothing
+    v_corpus = corpus.current_snapshot().version
+    q3 = _start(spark, stream_dir, str(tmp_path / "ckpt"), sink)
+    q3.awaitTermination(180)
+    assert corpus.current_snapshot().version == v_corpus
+
+
+def test_stream_curation_minhash_near_dups(spark, tmp_path):
+    """The minhash flavor: a later wave's NEAR-copy of a stored survivor is
+    dropped without rescanning the corpus (the store ships signatures)."""
+    base = " ".join(f"q{j}" for j in range(40))
+    ws = base.split()
+    near = " ".join(ws[:20] + ["zzz"] + ws[21:])
+    uniq = " ".join(f"u{j * 13 % 97}" for j in range(40))
+    stream_dir = str(tmp_path / "inbox")
+    spark.createDataFrame([("a1", base), ("a2", uniq)], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(stream_dir)
+    _time.sleep(1.2)
+    spark.createDataFrame(
+        [("b1", near), ("b2", " ".join(f"v{j * 11 % 89}" for j in range(40)))], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(stream_dir)
+
+    corpus = SnapshotTable(str(tmp_path / "corpus_mh"))
+    store = SnapshotTable(str(tmp_path / "store_mh"))
+    q = _start(
+        spark, stream_dir, str(tmp_path / "ckpt_mh"),
+        curation_sink(corpus, store, method="minhash",
+                      threshold=0.5, num_perm=32, bands=8),
+    )
+    q.awaitTermination(180)
+    got = sorted(r["doc_id"] for r in read_curated(spark, corpus).collect())
+    assert got == ["a1", "a2", "b2"]  # b1 near-dups stored a1
+    assert sorted(r["doc_id"] for r in store.read(spark).select("doc_id").collect()) == got
