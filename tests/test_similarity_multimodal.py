@@ -329,3 +329,77 @@ def test_ann_paths_empty_and_null_refs(spark):
         assert set(got["vec_id"]) == {7, 9}, fn.__name__
     dup = cosine_dup_pairs(mixed, tau=0.5, id_col="vec_id", vec_col="embedding")
     assert [tuple(r) for r in dup.select("id_a", "id_b").collect()] == [(7, 9)]
+
+
+# --------------------------------------------------------------------------
+# persisted IVF index
+# --------------------------------------------------------------------------
+
+
+def test_ivf_index_probe_matches_per_call_ivf(spark, emb, emb_queries, tmp_path):
+    """build_ivf_index + ivf_probe_index must reproduce ivf_topk exactly:
+    same seed -> same centroids -> same assignment -> same top-k."""
+    from timeseriesvectordbpattermatcher_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_index,
+        ivf_topk,
+    )
+    from timeseriesvectordbpattermatcher_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    table = SnapshotTable(str(tmp_path / "ivf"))
+    snap = build_ivf_index(emb, table, n_lists=8, seed=37)
+    assert len(snap.meta["ivf_centroids"]) == 8
+    got = sorted(
+        map(tuple, ivf_probe_index(emb_queries, table, k=5, nprobe=3).collect())
+    )
+    want = sorted(
+        map(tuple, ivf_topk(emb_queries, emb, k=5, n_lists=8, nprobe=3, seed=37).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_ivf_index_probe_is_manifest_pruned(spark, emb, emb_queries, tmp_path):
+    """A probe touches only the union of the queries' nprobe lists: fewer
+    rows than the table, exactly the rows of those partitions."""
+    import numpy as np
+
+    from timeseriesvectordbpattermatcher_spark.operators.similarity import (
+        build_ivf_index,
+    )
+    from timeseriesvectordbpattermatcher_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    table = SnapshotTable(str(tmp_path / "ivf"))
+    snap = build_ivf_index(emb, table, n_lists=8, seed=37)
+    cents = np.array(snap.meta["ivf_centroids"])
+    one_q = emb_queries.limit(1)
+    qv = np.array(one_q.first()["q_embedding"], dtype=np.float64)
+    qv = qv / max(np.linalg.norm(qv), 1e-12)
+    probed = sorted(np.argsort(-(qv @ cents.T))[:2].tolist())
+    pruned = table.read_partitions(spark, [str(p) for p in probed])
+    total = table.read(spark)
+    assert pruned.count() < total.count()
+    # the probe's candidate source is exactly those partitions' rows
+    assert (
+        pruned.count()
+        == total.filter(F.col("list_id").isin([int(p) for p in probed])).count()
+    )
+
+
+def test_ivf_index_rebuild_is_atomic_version(spark, emb, tmp_path):
+    from timeseriesvectordbpattermatcher_spark.operators.similarity import (
+        build_ivf_index,
+    )
+    from timeseriesvectordbpattermatcher_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    table = SnapshotTable(str(tmp_path / "ivf"))
+    v1 = build_ivf_index(emb, table, n_lists=4, seed=37).version
+    v2 = build_ivf_index(emb, table, n_lists=4, seed=41).version
+    assert v2 == v1 + 1
+    # pinned read of the OLD index version still works (time travel)
+    assert table.read(spark, version=v1).count() == table.read(spark).count()

@@ -321,3 +321,107 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, "rank", ref_id, "score")
     )
+
+
+# --------------------------------------------------------------------------
+# persisted IVF index (build once, probe many)
+# --------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    refs: DataFrame,
+    table,
+    n_lists: int = 16,
+    seed: int = 37,
+    ref_id: str = "vec_id",
+    ref_vec: str = "embedding",
+):
+    """Train the coarse quantizer ONCE and persist the assigned corpus as a
+    :class:`~..sources.snapshot_table.SnapshotTable` partitioned by
+    ``list_id``, centroids in the snapshot meta.
+
+    ``ivf_topk`` retrains per call — right for ad-hoc search, wrong for a
+    serving corpus probed thousands of times. The persisted layout is the
+    100 TB shape: each probe reads ONLY the data files of its ``nprobe``
+    lists through the snapshot manifest (``read_partitions`` — no listing,
+    no scan of the other ``n_lists - nprobe`` partitions), and rebuilds are
+    atomic snapshot commits readers never observe half-done.
+
+    Returns the committed :class:`Snapshot`.
+    """
+    refs = refs.filter(F.col(ref_vec).isNotNull())
+    cents = train_ivf_centroids(refs, n_lists=n_lists, seed=seed, vec_col=ref_vec)
+    if cents is None:
+        raise ValueError("cannot build an IVF index over an empty ref set")
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_list(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cents.T, axis=1).astype(np.int32))
+
+    assigned = refs.select(ref_id, ref_vec, assign_list(F.col(ref_vec)).alias("list_id"))
+    return table.overwrite_partitions(
+        assigned,
+        ["list_id"],
+        run_id=f"ivf_build_{seed}",
+        meta={
+            "ivf_centroids": cents.tolist(),
+            "ivf_ref_id": ref_id,
+            "ivf_ref_vec": ref_vec,
+        },
+    )
+
+
+def ivf_probe_index(
+    queries: DataFrame,
+    table,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "q_embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: rank each query's ``nprobe`` nearest
+    lists from the centroids in the snapshot meta, scan ONLY those lists'
+    data files (manifest-pruned), exact-cosine re-rank the candidates.
+
+    The list set touched by the whole query batch is the union of the
+    per-query probes — collected driver-side (bounded by ``n_lists``, never
+    by corpus or query count) to choose the partitions; the per-query
+    restriction to its own ``nprobe`` lists happens in the candidate join.
+    """
+    snap = table.current_snapshot()
+    if snap is None or "ivf_centroids" not in (snap.meta or {}):
+        raise ValueError("table holds no IVF index — run build_ivf_index first")
+    cents = np.array(snap.meta["ivf_centroids"], dtype=np.float64)
+    ref_id, ref_vec = snap.meta["ivf_ref_id"], snap.meta["ivf_ref_vec"]
+    nprobe = min(nprobe, len(cents))
+    queries = queries.filter(F.col(query_vec).isNotNull())
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ cents.T), axis=1)[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    q_probed = queries.select(
+        query_id, query_vec, F.explode(probe_lists(F.col(query_vec))).alias("list_id")
+    )
+    touched = sorted(
+        str(r["list_id"]) for r in q_probed.select("list_id").distinct().collect()
+    )
+    spark = queries.sparkSession
+    cand_src = table.read_partitions(spark, touched)
+    if cand_src is None:  # empty query batch -> no probed lists
+        return _empty_topk(queries, table.read(spark), query_id, ref_id)
+    cands = q_probed.join(cand_src, "list_id").dropDuplicates([query_id, ref_id])
+    scored = cands.withColumn("score", cosine_score_col(query_vec, ref_vec))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(ref_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", ref_id, "score")
+    )
