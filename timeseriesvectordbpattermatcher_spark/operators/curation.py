@@ -82,11 +82,14 @@ def shuffle_deterministic(
     ``(xxhash64(seed, id), id)`` — the id tiebreak makes the order unique
     even across hash collisions.
 
-    Implemented as ``repartitionByRange`` on the hash + in-partition sort,
-    NOT ``orderBy`` into one reducer: the range exchange samples bounds and
-    sorts each output partition locally, so a 100 TB shuffle spreads over
-    the cluster and the written files concatenate to the global order.
-    Changing ``seed`` is a fresh epoch-level reshuffle.
+    Implemented as ``repartitionByRange`` on the hash + in-partition sort —
+    the same distributed range-exchange plan ``orderBy`` builds (sampled
+    bounds, per-partition local sorts; there is no single-reducer stage in
+    either), but with the output partition count EXPLICIT instead of
+    inherited from ``spark.sql.shuffle.partitions``: training-shard files
+    are a layout contract, not a shuffle tuning knob. Written files
+    concatenate to the global order. Changing ``seed`` is a fresh
+    epoch-level reshuffle.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     h = F.xxhash64(F.lit(seed), F.col(id_col))
