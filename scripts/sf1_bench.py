@@ -24,6 +24,10 @@ Replica construction (seedless, reproducible):
   digit suffix survives the tokenizer's [^a-z0-9] normalization.)
   The JSON block records ``pairs_small``/``pairs_big`` for the dedup
   queries so output growth is auditable next to the wall ratio.
+- events: replica k shifts the stream k*31 days forward and re-keys
+  ``event_id`` — per-minute bucket structure (what the codec segments)
+  is preserved per replica and never collides across replicas, so
+  segment count and compression work grow linearly.
 - embeddings: replica k rotates the vector by k positions (norm-preserving,
   direction-changing) and re-keys ``vec_id + k*1_000_000``; the cosine_topk
   query set (vec_id < 200) stays fixed while the searched corpus grows 10x.
@@ -86,6 +90,21 @@ def build_sf1(spark) -> None:
             )
         )
         out.repartition(8).write.mode("overwrite").parquet(docs_out)
+    ev_out = os.path.join(SF1_DIR, "events.parquet")
+    if not os.path.exists(ev_out):
+        # replica k shifts the whole event stream k x 31 days forward and
+        # re-keys event_id: per-minute bucket structure (what the codec
+        # segments) is preserved per replica, buckets never collide across
+        # replicas -> segment count and compression work grow linearly
+        ev = spark.read.parquet(f"{SF01}/events.parquet")
+        reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("rep"))
+        rep = F.col("rep")
+        out = ev.crossJoin(F.broadcast(reps)).select(
+            (F.col("event_id") + rep.cast("long") * 100_000_000).alias("event_id"),
+            (F.col("ts") + F.make_interval(days=rep * 31)).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        out.repartition(8).write.mode("overwrite").parquet(ev_out)
     emb_out = os.path.join(SF1_DIR, "embeddings.parquet")
     if not os.path.exists(emb_out):
         emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
@@ -156,7 +175,7 @@ def main() -> None:
     }
 
     # ---- driver-table queries at both scales ------------------------------
-    for name in ("ngram_jaccard", "minhash_dedup", "cosine_topk"):
+    for name in ("ngram_jaccard", "minhash_dedup", "cosine_topk", "codec_roundtrip"):
         n_small = qs[name](spark, SF01).count()
         n_big = qs[name](spark, SF1_DIR).count()
         t_small = _best_of(lambda: qs[name](spark, SF01).count(), k=args.runs,
