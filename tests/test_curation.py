@@ -13,8 +13,10 @@ from timeseriesvectordbpattermatcher_spark.operators.curation import (
     incremental_exact_dedup,
     incremental_minhash_dedup,
     pack_sequences,
+    sample_quota,
     sample_stratified,
     shuffle_deterministic,
+    upsample_stratified,
 )
 from timeseriesvectordbpattermatcher_spark.operators.dedup import (
     exact_dedup,
@@ -320,3 +322,67 @@ def test_incremental_minhash_short_text_passthrough(spark):
     surv, sigs = incremental_minhash_dedup(df, None, **_MH)
     assert surv.count() == 2   # no shingles -> no signature -> passes through
     assert sigs.count() == 0
+
+
+# --------------------------------------------------------------------------
+# sample_quota / upsample_stratified
+# --------------------------------------------------------------------------
+
+
+def test_sample_quota_exact_counts_and_oracle(spark):
+    df, rows = _mk_docs(spark)
+    out = sample_quota(df, {"web": 30, "books": 10_000}, seed=8).toPandas()
+    counts = out.groupby("source").size().to_dict()
+    n_books = sum(1 for _d, _t, s, _n in rows if s == "books")
+    n_code = sum(1 for _d, _t, s, _n in rows if s == "code")
+    assert counts["web"] == 30
+    assert counts["books"] == n_books  # quota above stratum size -> all kept
+    assert counts["code"] == n_code    # unlisted stratum kept whole
+    # oracle: the kept web rows are exactly the 30 smallest (hash, id)
+    web = sorted(
+        (d for d, _t, s, _n in rows if s == "web"),
+        key=lambda d: (_h_seed_str(8, d), d),
+    )[:30]
+    assert sorted(out[out.source == "web"].doc_id) == sorted(web)
+    # nested-prefix property: top-10 is a prefix of top-30
+    out10 = sample_quota(df, {"web": 10}, seed=8).toPandas()
+    assert set(out10[out10.source == "web"].doc_id) <= set(web)
+
+
+def test_sample_quota_validation(spark):
+    df, _ = _mk_docs(spark, n=10)
+    with pytest.raises(ValueError):
+        sample_quota(df, {"web": -1})
+
+
+def test_upsample_matches_pure_oracle(spark):
+    df, rows = _mk_docs(spark)
+    out = (
+        upsample_stratified(df, {"books": 2.5, "web": 0.25}, seed=6)
+        .groupBy("doc_id").count().toPandas()
+    )
+    got = dict(zip(out.doc_id, out["count"]))
+    want = {}
+    for d, _t, s, _n in rows:
+        f = {"books": 2.5, "web": 0.25}.get(s, 1.0)
+        u = _h_seed_str(6, d) % SAMPLE_RESOLUTION
+        n = int(f) + (1 if u < round((f - int(f)) * SAMPLE_RESOLUTION) else 0)
+        if n:
+            want[d] = n
+    assert got == want
+    # every copy carries a distinct epoch 0..n-1
+    epochs = (
+        upsample_stratified(df, {"books": 2.5}, seed=6)
+        .filter(F.col("source") == "books")
+        .groupBy("doc_id").agg(F.sort_array(F.collect_list("epoch")).alias("e"))
+        .toPandas()
+    )
+    assert all(list(e) == list(range(len(e))) for e in epochs.e)
+
+
+def test_upsample_expected_mass(spark):
+    df, rows = _mk_docs(spark, n=600)
+    n_books = sum(1 for _d, _t, s, _n in rows if s == "books")
+    got = upsample_stratified(df, {"books": 2.5}, seed=1).filter(
+        F.col("source") == "books").count()
+    assert abs(got - 2.5 * n_books) < 0.15 * n_books  # hash-uniform draw

@@ -359,3 +359,86 @@ def incremental_minhash_dedup(
         new_docs.join(new_sigs.select(id_col), id_col, "left_anti")
     )
     return survivors, kept_sigs
+
+
+def sample_quota(
+    df: DataFrame,
+    quotas: dict[str, int],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Take EXACTLY ``quotas[stratum]`` rows per stratum (all rows when a
+    stratum holds fewer), chosen deterministically: rank by
+    ``(xxhash64(seed, id), id)`` within the stratum, keep the first N.
+
+    The companion to :func:`sample_stratified` for token-budgeted mixes
+    ("exactly 2B tokens of code") where a fraction would drift with corpus
+    growth. Strata absent from ``quotas`` are kept whole. The hash order
+    makes quota draws nested too: the top-N of a stratum is a prefix of
+    its top-2N at the same seed.
+
+    Scale: one Exchange on the stratum key + an in-partition sort
+    (row_number window); the filter drops rows before anything downstream.
+    A stratum is one window partition — fine while every stratum's row
+    count fits a task's sort spill; a single pathological stratum can be
+    pre-thinned with ``sample_stratified`` first.
+    """
+    for k, q in quotas.items():
+        if q < 0:
+            raise ValueError(f"quota for stratum {k!r} must be >= 0, got {q}")
+    w = Window.partitionBy(key_col).orderBy(
+        F.xxhash64(F.lit(seed), F.col(id_col)), F.col(id_col)
+    )
+    cap = F.lit(None).cast("long")
+    for k, q in sorted(quotas.items()):
+        cap = F.when(F.col(key_col) == F.lit(k), F.lit(q)).otherwise(cap)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(cap.isNull() | (F.col("_rn") <= cap))
+        .drop("_rn")
+    )
+
+
+def upsample_stratified(
+    df: DataFrame,
+    factors: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic replication for source-mix UPWEIGHTING ("2.5 epochs of
+    books"): a row with factor ``f`` appears ``floor(f)`` times, plus one
+    more iff ``pmod(xxhash64(seed, id), RESOLUTION) < frac(f) * RESOLUTION``
+    — the same hash-uniform draw as :func:`sample_stratified`, so expected
+    copies == f exactly and re-runs replicate identically. Strata absent
+    from ``factors`` keep factor 1.0. Output adds an ``epoch`` column
+    (0-based copy index) so downstream shuffles can spread the copies and
+    training loaders can tell them apart.
+
+    Scale: a narrow explode — no shuffle here; the copies multiply rows,
+    so run this AFTER filters/dedup and feed it straight into
+    :func:`shuffle_deterministic` (which separates copies of the same doc
+    by their differing hash inputs only if ``epoch`` is folded into the
+    shuffle id — pass ``id_col`` as a combined expression or re-key first).
+    """
+    for k, f in factors.items():
+        if f < 0:
+            raise ValueError(f"factor for stratum {k!r} must be >= 0, got {f}")
+    fac = F.lit(1.0)
+    for k, f in sorted(factors.items()):
+        fac = F.when(F.col(key_col) == F.lit(k), F.lit(float(f))).otherwise(fac)
+    u = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(SAMPLE_RESOLUTION))
+    base = F.floor(fac).cast("long")
+    extra = (
+        u < F.round((fac - F.floor(fac)) * SAMPLE_RESOLUTION).cast("long")
+    ).cast("long")
+    n_copies = base + extra
+    # sequence(0, -1) would yield a DESCENDING [0, -1] (auto step -1), so a
+    # zero-copy row must get an empty array (explode drops it), not a
+    # backwards sequence; explode can't be nested in an expression, so the
+    # epoch index comes straight out of sequence(0, n-1)
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(0).cast("long"), n_copies - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    return df.withColumn("epoch", F.explode(copies))
