@@ -386,3 +386,18 @@ def test_upsample_expected_mass(spark):
     got = upsample_stratified(df, {"books": 2.5}, seed=1).filter(
         F.col("source") == "books").count()
     assert abs(got - 2.5 * n_books) < 0.15 * n_books  # hash-uniform draw
+
+
+def test_pack_sequences_keyed_subsharded_matches_duckdb(spark):
+    """A hot key fans out across n_shards sub-shards ('key/i'), packs stay
+    key-homogeneous, and pack assignment still matches the DuckDB window."""
+    df, rows = _mk_docs(spark)
+    out = pack_sequences(df, budget=256, key_col="source", n_shards=3, seed=4)
+    got = {r["doc_id"]: (r["pack_shard"], r["pack_id"]) for r in out.collect()}
+    want = _pack_oracle_duckdb(
+        rows, 256, 4,
+        shard_of=lambda d, s: f"{s}/{_h_seed_str(5, d) % 3}",
+    )
+    assert got == want
+    shards = {shard for shard, _p in got.values()}
+    assert shards == {f"{s}/{i}" for s in ("web", "books", "code") for i in range(3)}

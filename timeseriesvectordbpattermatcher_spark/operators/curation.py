@@ -132,7 +132,13 @@ def pack_sequences(
     Packs never span shards: with ``key_col`` the shard is that column
     (packs never mix sources/languages); without it rows are sharded by
     ``pmod(xxhash64(seed+1, id), n_shards)`` so the layout is distributed —
-    a single global window would serialize 100 TB through one task.
+    a single global window would serialize 100 TB through one task. A
+    window partition is ONE task's sort, so a hot ``key_col`` value (the
+    'web' slice of a real corpus) is the same serial point in disguise:
+    ``n_shards`` combined with ``key_col`` splits every key into
+    ``key/0 .. key/n-1`` sub-shards by id hash — packs stay homogeneous
+    (never mix keys; a pack lives inside one sub-shard) and the hot key's
+    sort fans out across ``n_shards`` tasks.
 
     Scale: exactly ONE Exchange (hash on the shard key) + one in-partition
     sort (pinned in tests/test_curation.py). NULL token counts count 0.
@@ -141,7 +147,11 @@ def pack_sequences(
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     if key_col is not None:
-        out = df.withColumn("pack_shard", F.col(key_col))
+        shard = F.col(key_col).cast("string")
+        if n_shards is not None:
+            sub = F.pmod(F.xxhash64(F.lit(seed + 1), F.col(id_col)), F.lit(n_shards))
+            shard = F.concat_ws("/", shard, sub.cast("string"))
+        out = df.withColumn("pack_shard", shard)
     else:
         n = n_shards or df.sparkSession.sparkContext.defaultParallelism
         out = df.withColumn(
