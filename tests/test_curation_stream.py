@@ -24,7 +24,10 @@ def _waves(spark, tmp_path):
     """Three arrival waves with ascending ids: wave 2 repeats wave 1 texts
     (cross-batch dups), wave 3 repeats waves 1+2 and itself."""
     def text_of(i):
-        return " ".join(f"w{(i * 5 + j) % 23}" for j in range(12))
+        # large modulus: distinct i -> distinct text (with %23 the corpus
+        # held only 23 distinct texts and waves 2-3 were accidental full
+        # dups, committing EMPTY partitions)
+        return " ".join(f"w{(i * 13 + j) % 997}" for j in range(12))
 
     waves = [
         [(f"d{i:05d}", text_of(i)) for i in range(0, 40)],
@@ -128,3 +131,51 @@ def test_stream_curation_minhash_near_dups(spark, tmp_path):
     got = sorted(r["doc_id"] for r in read_curated(spark, corpus).collect())
     assert got == ["a1", "a2", "b2"]  # b1 near-dups stored a1
     assert sorted(r["doc_id"] for r in store.read(spark).select("doc_id").collect()) == got
+
+
+def test_fold_stream_batches_compacts_partitions(spark, tmp_path):
+    """The per-batch partitions the sink accumulates fold into coarse
+    buckets in ONE atomic snapshot (adds + drops together), rows and the
+    replay-guard meta unchanged; vacuum reclaims the replaced files."""
+    import os
+
+    from timeseriesvectordbpattermatcher_spark.operators.retention import (
+        fold_stream_batches,
+        vacuum,
+    )
+
+    stream_dir, all_rows = _waves(spark, tmp_path)
+    corpus = SnapshotTable(str(tmp_path / "corpus_f"))
+    store = SnapshotTable(str(tmp_path / "store_f"))
+    q = _start(spark, stream_dir, str(tmp_path / "ckpt_f"), curation_sink(corpus, store))
+    q.awaitTermination(180)
+
+    before = read_curated(spark, corpus).toPandas()
+    snap0 = corpus.current_snapshot()
+    assert len([k for k in snap0.partitions if k.isdigit()]) == 3  # one per wave
+
+    stats = fold_stream_batches(corpus, spark, every=100, keep_last=0)
+    assert stats["folded"] and stats["partitions_after"] < stats["partitions_before"]
+    snap1 = corpus.current_snapshot()
+    assert [k for k in snap1.partitions if k.isdigit()] == ["0"]
+    assert snap1.version == snap0.version + 1  # ONE commit for adds+drops
+    assert snap1.meta == snap0.meta            # replay guard survives
+
+    after = read_curated(spark, corpus).toPandas()
+    cols = sorted(before.columns)
+    a = before[cols].sort_values(cols).reset_index(drop=True)
+    b = after[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+    # the old batch files are unreferenced now; vacuum reclaims them
+    n_files_before = sum(
+        len(files) for _, _, files in os.walk(corpus.root)
+    )
+    vacuum(corpus, min_age_secs=0, keep_versions=1)
+    n_files_after = sum(len(files) for _, _, files in os.walk(corpus.root))
+    assert n_files_after < n_files_before
+    assert read_curated(spark, corpus).count() == len(before)
+
+    # idempotent: a second fold has nothing to do
+    stats2 = fold_stream_batches(corpus, spark, every=100, keep_last=0)
+    assert stats2["folded"] == []

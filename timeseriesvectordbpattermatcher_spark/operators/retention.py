@@ -206,3 +206,76 @@ def vacuum(
                     # (or transiently unreadable) — skip, next cycle retries
                     continue
     return removed
+
+
+def fold_stream_batches(
+    table: SnapshotTable,
+    spark,
+    every: int = 100,
+    keep_last: int = 1,
+    batch_col: str = "_batch",
+    run_id: str | None = None,
+) -> dict:
+    """Fold the per-micro-batch partitions a streaming sink accumulates
+    (``curation_stream.curation_sink`` writes one ``_batch=<id>`` partition
+    per commit) into coarse ``every``-sized buckets — the cross-partition
+    companion to :func:`compact_partitions`, which bin-packs files WITHIN a
+    partition and so cannot help when the fragmentation is thousands of
+    one-file partitions.
+
+    Batches are rebucketed to ``(id // every) * every``; the newest
+    ``keep_last`` batch partitions are left alone (the stream's replay
+    guard makes re-commits of finished batches no-ops, so folding even hot
+    batches is safe — keeping the tail is just cheaper than rewriting it
+    every maintenance run). The rewrite reads only the doomed partitions
+    (manifest-pruned) and publishes adds + drops in ONE snapshot via
+    ``overwrite_partitions(drop_keys=...)`` — no version ever shows a row
+    twice. Replaced files become unreferenced; :func:`vacuum` reclaims
+    them. Meta (incl. the stream's ``stream_batch_id`` guard) and
+    watermark carry over untouched.
+
+    Returns ``{"folded": [keys], "partitions_before": n,
+    "partitions_after": m, "rows": r}``.
+    """
+    from pyspark.sql import functions as F
+
+    snap = table.current_snapshot()
+    if snap is None:
+        return {"folded": [], "partitions_before": 0, "partitions_after": 0, "rows": 0}
+    batch_keys = sorted(
+        (k for k in snap.partitions if k.isdigit()), key=int
+    )
+    doomed = batch_keys[: max(0, len(batch_keys) - keep_last)]
+    # a fold bucket containing exactly one already-folded partition is a
+    # no-op rewrite — skip buckets that are already a single partition at
+    # their fold representative
+    doomed = [
+        k for k in doomed
+        if not (int(k) % every == 0 and sum(
+            1 for j in batch_keys if int(j) // every == int(k) // every
+        ) == 1)
+    ]
+    if len(doomed) < 2:
+        return {
+            "folded": [],
+            "partitions_before": len(snap.partitions),
+            "partitions_after": len(snap.partitions),
+            "rows": 0,
+        }
+    src = table.read_partitions(spark, doomed)
+    folded = src.withColumn(
+        batch_col,
+        (F.col(batch_col) / F.lit(every)).cast("long") * F.lit(every),
+    )
+    new_snap = table.overwrite_partitions(
+        folded,
+        [batch_col],
+        run_id=run_id or f"fold_{doomed[0]}_{doomed[-1]}",
+        drop_keys=doomed,
+    )
+    return {
+        "folded": doomed,
+        "partitions_before": len(snap.partitions),
+        "partitions_after": len(new_snap.partitions),
+        "rows": src.count(),
+    }

@@ -117,9 +117,17 @@ class SnapshotTable:
         watermark: str | None = None,
         meta: dict | None = None,
         target_file_rows: int | None = None,
+        drop_keys: list[str] | None = None,
     ) -> Snapshot:
         """Write ``df`` and commit, replacing exactly the partitions present
         in ``df``. Partition key = '/'-joined string values of the cols.
+
+        ``drop_keys`` removes those partition keys in the SAME commit — the
+        atomic rewrite primitive (repartitioning data under a NEW key, e.g.
+        folding stream micro-batch partitions into coarse buckets) needs
+        add+drop in one snapshot: separate overwrite + drop_partitions
+        calls would expose a version where readers see the rows twice. Keys
+        also written by ``df`` stay (the write wins).
 
         ``target_file_rows=None`` (default) writes ONE file per partition:
         repartitioning on the key before ``partitionBy`` stops every input
@@ -206,6 +214,8 @@ class SnapshotTable:
         for p in new_parts.values():
             p["v"] = version
         partitions = dict(prev.partitions) if prev else {}
+        for k in drop_keys or []:
+            partitions.pop(k, None)
         partitions.update(new_parts)
         snap = {
             "version": version,
