@@ -179,3 +179,42 @@ def test_fold_stream_batches_compacts_partitions(spark, tmp_path):
     # idempotent: a second fold has nothing to do
     stats2 = fold_stream_batches(corpus, spark, every=100, keep_last=0)
     assert stats2["folded"] == []
+
+
+def test_curation_stream_job_cli(spark, tmp_path):
+    """The spark-submit entry drains an inbox, reports stats, and a second
+    run with new files continues from the checkpoint (no recuration)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inbox = str(tmp_path / "inbox")
+    spark.createDataFrame(
+        [(f"a{i}", f"cli text {i} alpha") for i in range(20)]
+        + [("a_dup", "cli text 3 alpha")], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(inbox)
+
+    def run():
+        env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="8")
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "curation_stream_job.py"),
+             "--inbox", inbox, "--corpus", str(tmp_path / "c"),
+             "--store", str(tmp_path / "s"),
+             "--checkpoint", str(tmp_path / "ckpt"),
+             "--fold-every", "100", "--cpus", "8"],
+            capture_output=True, text=True, timeout=420, env=env,
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        return json.loads([l for l in p.stdout.splitlines() if l.startswith("{")][-1])
+
+    s1 = run()
+    assert s1["curated_rows"] == 20  # a_dup deduped in-batch
+
+    spark.createDataFrame(
+        [("b1", "cli text 3 alpha"), ("b2", "brand new doc")], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(inbox)
+    s2 = run()
+    assert s2["curated_rows"] == 21          # b1 dropped against the store
+    assert s2["last_batch_id"] > s1["last_batch_id"]
