@@ -401,3 +401,35 @@ def test_pack_sequences_keyed_subsharded_matches_duckdb(spark):
     assert got == want
     shards = {shard for shard, _p in got.values()}
     assert shards == {f"{s}/{i}" for s in ("web", "books", "code") for i in range(3)}
+
+
+# --------------------------------------------------------------------------
+# hypothesis property sweep (packing)
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=4000), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=2000),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_pack_properties_hypothesis(spark, toks, budget, seed):
+    """For arbitrary token counts / budgets / seeds: pack_id equals the
+    cumsum formula (recomputed in pure python from the XXH64 order), packs
+    are contiguous runs in hash order, and every non-final pack ends at or
+    past its boundary."""
+    rows = [(f"h{i:03d}", n) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    out = pack_sequences(df, budget=budget, key_col=None, n_shards=1, seed=seed)
+    got = {r["doc_id"]: r["pack_id"] for r in out.collect()}
+    order = sorted(rows, key=lambda r: (_h_seed_str(seed, r[0]), r[0]))
+    cum = 0
+    want = {}
+    for d, n in order:
+        want[d] = cum // budget
+        cum += n
+    assert got == want
