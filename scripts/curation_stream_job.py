@@ -97,10 +97,15 @@ def main() -> int:
             vacuum,
         )
 
+        # the store fragments exactly like the corpus (one partition per
+        # batch delta) — fold and vacuum both
         fold = fold_stream_batches(corpus, spark, every=args.fold_every)
-        stats["folded"] = len(fold["folded"])
+        fold_s = fold_stream_batches(store, spark, every=args.fold_every)
+        stats["folded"] = len(fold["folded"]) + len(fold_s["folded"])
         stats["partitions"] = fold["partitions_after"]
+        stats["store_partitions"] = fold_s["partitions_after"]
         vacuum(corpus, min_age_secs=0, keep_versions=2)
+        vacuum(store, min_age_secs=0, keep_versions=2)
     stats["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(stats))
     return 0

@@ -433,3 +433,29 @@ def test_pack_properties_hypothesis(spark, toks, budget, seed):
         want[d] = cum // budget
         cum += n
     assert got == want
+
+
+def test_shuffle_salt_cols_spreads_upsampled_copies(spark):
+    """After upsampling, shuffle with salt_cols=['epoch'] orders by the
+    (id, epoch)-hash — copies of a doc scatter instead of clumping, and
+    the order matches the pure-python chain exactly."""
+    from tests.oracle.xxh64_pure import hash_long, to_u64
+
+    df, rows = _mk_docs(spark, n=200)
+    up = upsample_stratified(df, {"web": 3.0, "books": 3.0, "code": 3.0}, seed=2)
+    out = shuffle_deterministic(up, seed=4, salt_cols=["epoch"])
+    got = [(r["doc_id"], r["epoch"]) for r in out.select("doc_id", "epoch").collect()]
+
+    def h(d, e):
+        acc = hash_int(4, SPARK_SEED)
+        acc = hash_bytes(d.encode(), acc)
+        return to_i64(hash_long(to_u64(e), acc))
+
+    want = sorted(got, key=lambda t: (h(*t), t[0], t[1]))
+    assert got == want
+    # copies of the same doc are NOT adjacent (they would be without salt)
+    adjacent_same = sum(1 for a, b in zip(got, got[1:]) if a[0] == b[0])
+    assert adjacent_same < len(rows) * 0.05
+    unsalted = [r["doc_id"] for r in shuffle_deterministic(up, seed=4).select("doc_id").collect()]
+    clumped = sum(1 for a, b in zip(unsalted, unsalted[1:]) if a == b)
+    assert clumped >= len(rows)  # every doc's 3 copies clump without salt

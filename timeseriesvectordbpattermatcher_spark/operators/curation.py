@@ -77,10 +77,16 @@ def shuffle_deterministic(
     id_col: str = "doc_id",
     seed: int = 0,
     num_partitions: int | None = None,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Reproducible global training order: total order by
-    ``(xxhash64(seed, id), id)`` — the id tiebreak makes the order unique
-    even across hash collisions.
+    ``(xxhash64(seed, id, *salt_cols), id, *salt_cols)`` — the tiebreak
+    makes the order unique even across hash collisions.
+
+    ``salt_cols`` folds extra columns into the hash so rows SHARING an id
+    spread apart — pass ``["epoch"]`` after :func:`upsample_stratified`,
+    otherwise a doc's replicas hash identically and land adjacent in the
+    training order (the exact clumping an epoch-aware shuffle must avoid).
 
     Implemented as ``repartitionByRange`` on the hash + in-partition sort —
     the same distributed range-exchange plan ``orderBy`` builds (sampled
@@ -92,11 +98,13 @@ def shuffle_deterministic(
     epoch-level reshuffle.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    h = F.xxhash64(F.lit(seed), F.col(id_col))
+    salts = [F.col(c) for c in (salt_cols or [])]
+    h = F.xxhash64(F.lit(seed), F.col(id_col), *salts)
+    ties = [F.col(id_col)] + salts
     return (
         df.withColumn("_ord", h)
-        .repartitionByRange(n, F.col("_ord"), F.col(id_col))
-        .sortWithinPartitions("_ord", id_col)
+        .repartitionByRange(n, F.col("_ord"), *ties)
+        .sortWithinPartitions(F.col("_ord"), *ties)
         .drop("_ord")
     )
 
@@ -428,9 +436,8 @@ def upsample_stratified(
 
     Scale: a narrow explode — no shuffle here; the copies multiply rows,
     so run this AFTER filters/dedup and feed it straight into
-    :func:`shuffle_deterministic` (which separates copies of the same doc
-    by their differing hash inputs only if ``epoch`` is folded into the
-    shuffle id — pass ``id_col`` as a combined expression or re-key first).
+    :func:`shuffle_deterministic` with ``salt_cols=["epoch"]`` so the
+    copies spread across the training order instead of clumping.
     """
     for k, f in factors.items():
         if f < 0:
