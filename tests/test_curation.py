@@ -459,3 +459,27 @@ def test_shuffle_salt_cols_spreads_upsampled_copies(spark):
     unsalted = [r["doc_id"] for r in shuffle_deterministic(up, seed=4).select("doc_id").collect()]
     clumped = sum(1 for a, b in zip(unsalted, unsalted[1:]) if a == b)
     assert clumped >= len(rows)  # every doc's 3 copies clump without salt
+
+
+def test_pack_salt_cols_spreads_upsampled_copies(spark):
+    """3x-upsampled docs packed with salt_cols=['epoch'] scatter: no pack
+    holds all of a doc's copies (unsalted, every doc's copies are adjacent
+    and usually co-packed)."""
+    df, rows = _mk_docs(spark, n=120)
+    up = upsample_stratified(df, {"web": 3.0, "books": 3.0, "code": 3.0}, seed=2)
+    salted = pack_sequences(up, budget=200, key_col=None, n_shards=2,
+                            seed=4, salt_cols=["epoch"]).toPandas()
+    per_doc_packs = salted.groupby("doc_id").apply(
+        lambda g: len(set(zip(g.pack_shard, g.pack_id))), include_groups=False
+    )
+    assert (per_doc_packs > 1).mean() > 0.9  # copies nearly always split up
+    unsalted = pack_sequences(up, budget=200, key_col=None, n_shards=2,
+                              seed=4).toPandas()
+    same_pack_unsalted = unsalted.groupby("doc_id").apply(
+        lambda g: len(set(zip(g.pack_shard, g.pack_id))) == 1, include_groups=False
+    )
+    same_pack_salted = (per_doc_packs == 1)
+    # unsalted copies are adjacent, so they co-pack whenever they don't
+    # straddle a boundary (~half the time at 3x~45 tokens vs budget 200);
+    # salted copies co-pack only by chance — the gap is the point
+    assert same_pack_unsalted.mean() > same_pack_salted.mean() + 0.3

@@ -117,6 +117,7 @@ def pack_sequences(
     key_col: str | None = None,
     n_shards: int | None = None,
     seed: int = 0,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training packs
     (doc-preserving concat-then-chunk): lay the docs of each shard out in
@@ -151,24 +152,33 @@ def pack_sequences(
     Scale: exactly ONE Exchange (hash on the shard key) + one in-partition
     sort (pinned in tests/test_curation.py). NULL token counts count 0.
     Output: input columns + ``pack_shard`` + ``pack_id`` (long).
+
+    ``salt_cols`` folds extra columns into the layout hashes (order, and
+    the id-hash shard when ``key_col`` is None) — after
+    :func:`upsample_stratified`, pass ``["epoch"]`` so a doc's replicas
+    scatter across packs instead of landing adjacent in one (same rule as
+    :func:`shuffle_deterministic`).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    salts = [F.col(c) for c in (salt_cols or [])]
     if key_col is not None:
         shard = F.col(key_col).cast("string")
         if n_shards is not None:
-            sub = F.pmod(F.xxhash64(F.lit(seed + 1), F.col(id_col)), F.lit(n_shards))
+            sub = F.pmod(
+                F.xxhash64(F.lit(seed + 1), F.col(id_col), *salts), F.lit(n_shards)
+            )
             shard = F.concat_ws("/", shard, sub.cast("string"))
         out = df.withColumn("pack_shard", shard)
     else:
         n = n_shards or df.sparkSession.sparkContext.defaultParallelism
         out = df.withColumn(
             "pack_shard",
-            F.pmod(F.xxhash64(F.lit(seed + 1), F.col(id_col)), F.lit(n)),
+            F.pmod(F.xxhash64(F.lit(seed + 1), F.col(id_col), *salts), F.lit(n)),
         )
     w = (
         Window.partitionBy("pack_shard")
-        .orderBy(F.xxhash64(F.lit(seed), F.col(id_col)), F.col(id_col))
+        .orderBy(F.xxhash64(F.lit(seed), F.col(id_col), *salts), F.col(id_col), *salts)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tok = F.coalesce(F.col(n_tok_col).cast("long"), F.lit(0))
