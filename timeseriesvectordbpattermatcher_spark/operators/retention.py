@@ -232,7 +232,11 @@ def fold_stream_batches(
     ``overwrite_partitions(drop_keys=...)`` — no version ever shows a row
     twice. Replaced files become unreferenced; :func:`vacuum` reclaims
     them. Meta (incl. the stream's ``stream_batch_id`` guard) and
-    watermark carry over untouched.
+    watermark carry over untouched. Snapshot-incremental consumers
+    (``changed_partitions``) observe the fold as the doomed keys vanishing
+    and a fold-bucket key (re)appearing at the new version — a consumer
+    tracking per-key state should treat a disappeared key as merged, not
+    deleted (row content is unchanged, pinned in the tests).
 
     Returns ``{"folded": [keys], "partitions_before": n,
     "partitions_after": m, "rows": r}``.

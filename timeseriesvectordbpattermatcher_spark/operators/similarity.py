@@ -348,6 +348,12 @@ def build_ivf_index(
     atomic snapshot commits readers never observe half-done.
 
     Returns the committed :class:`Snapshot`.
+
+    Centroids ride in the snapshot manifest as JSON — right up to
+    ~hundreds of lists x hundreds of dims (a few MB). A billion-vector
+    deployment with tens of thousands of lists should store the centroid
+    matrix as its own small parquet next to the table and keep only its
+    path in the meta.
     """
     refs = refs.filter(F.col(ref_vec).isNotNull())
     cents = train_ivf_centroids(refs, n_lists=n_lists, seed=seed, vec_col=ref_vec)
