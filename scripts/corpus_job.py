@@ -108,6 +108,11 @@ def main() -> int:
                     help="pack curated docs into fixed-token training packs "
                          "of this budget (0 = skip); adds pack_shard/pack_id "
                          "columns to the output")
+    ap.add_argument("--decontaminate", default="",
+                    help="parquet dir of a benchmark/test set (doc_id, text): "
+                         "drop curated docs sharing any --decon-n-gram with it")
+    ap.add_argument("--decon-n", type=int, default=13,
+                    help="decontamination n-gram length (GPT-3 convention: 13)")
     ap.add_argument("--shuffle-seed", type=int, default=None,
                     help="write the curated corpus in a deterministic "
                          "hash-shuffled training order (omit = keep "
@@ -169,6 +174,17 @@ def main() -> int:
     # three are deterministic functions of doc_id, so a job re-run (or a
     # task retry) writes byte-identical rows.
     final = curated
+    if args.decontaminate:
+        from timeseriesvectordbpattermatcher_spark.operators.dedup import (
+            decontaminate,
+        )
+
+        bench = spark.read.parquet(args.decontaminate)
+        n_before = final.count()
+        final = _materialize(
+            decontaminate(final, bench, n=args.decon_n, mode="drop")
+        )
+        stats["decontaminated"] = n_before - final.count()
     if args.sample:
         from timeseriesvectordbpattermatcher_spark.operators.curation import (
             sample_stratified,
@@ -203,8 +219,10 @@ def main() -> int:
     out = spark.read.parquet(args.output)
     # "curated" is always the post-filter count (the quality/lang
     # reconciliation below depends on it); "sampled" is the written count
-    # when a sampling stage ran (pack/shuffle never change row counts)
-    stats["stages"]["curated"] = curated.count() if args.sample else out.count()
+    # when a sampling stage ran (pack/shuffle never change row counts,
+    # decontamination drops are counted separately above)
+    row_changing = bool(args.sample or args.decontaminate)
+    stats["stages"]["curated"] = curated.count() if row_changing else out.count()
     if args.sample:
         stats["stages"]["sampled"] = out.count()
     # split the filter attribution: quality drops vs language drops (an

@@ -80,3 +80,39 @@ def test_corpus_job_sample_pack_shuffle(tmp_path):
     # in name order = range-partition order)
     keys = [(h(17, d), d) for d in out.doc_id]
     assert keys == sorted(keys)
+
+
+def test_corpus_job_decontaminate(tmp_path):
+    """--decontaminate drops curated docs sharing a 13-gram with the
+    benchmark set; the stats line attributes the drops."""
+    import pandas as pd
+
+    # benchmark = verbatim copies of two synthetic docs (synth_docs is
+    # deterministic, so regenerate their texts here through the job itself
+    # by first running WITHOUT decontamination and lifting two texts)
+    probe_dir = str(tmp_path / "probe")
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--synthetic-docs", "300", "--output", probe_dir, "--cpus", "8"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    docs = pd.read_parquet(probe_dir).sort_values("doc_id")
+    bench = docs.iloc[:2][["doc_id", "text"]]
+    bench_dir = str(tmp_path / "bench.parquet")
+    bench.to_parquet(bench_dir)
+
+    out_dir = str(tmp_path / "clean")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--synthetic-docs", "300", "--output", out_dir, "--cpus", "8",
+         "--decontaminate", bench_dir],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["decontaminated"] >= 2
+    clean = pd.read_parquet(out_dir)
+    assert not set(bench.doc_id) & set(clean.doc_id)
+    assert len(clean) == stats["stages"]["curated"] - stats["decontaminated"]

@@ -18,7 +18,7 @@ from timeseriesvectordbpattermatcher_spark.operators.textstats import (
 )
 
 BASE = "the quick brown fox jumps over the lazy dog and runs far away tonight"
-NEAR = "the quick brown fox jumps over the lazy dog and runs far away today"  # 1 word差
+NEAR = "the quick brown fox jumps over the lazy dog and runs far away today"  # 1-word diff
 OTHER = "completely different content about spark query engines and shuffles everywhere"
 
 
@@ -356,3 +356,82 @@ def test_durable_materialization_parity(docs, spark, tmp_path):
         pd.testing.assert_frame_equal(dur, loc)
     finally:
         spark.conf.set(MATERIALIZE_CONF, "auto")
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def test_decontaminate_matches_duckdb(spark, duck):
+    from timeseriesvectordbpattermatcher_spark.operators.dedup import decontaminate
+
+    corpus_rows = []
+    for i in range(40):
+        corpus_rows.append((f"c{i:02d}", " ".join(f"w{(i * 3 + j) % 53}" for j in range(20))))
+    corpus_rows += [
+        ("c_bench_copy", "the quick brown fox jumps over the lazy dog again and again today"),
+        ("c_partial", "prefix words here the quick brown fox jumps over the lazy dog again and again today suffix"),
+        ("c_short", "too short"),
+        ("c_null", None),
+    ]
+    bench_rows = [
+        ("b0", "the quick brown fox jumps over the lazy dog again and again today"),
+        ("b1", "completely different benchmark text that matches nothing in the corpus sample"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id string, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id string, text string")
+
+    flagged = decontaminate(corpus, bench, n=13, mode="flag").toPandas()
+    got_dirty = sorted(flagged[flagged.contaminated].doc_id)
+
+    duck.register("corpus_t", __import__("pandas").DataFrame(corpus_rows, columns=["doc_id", "text"]))
+    duck.register("bench_t", __import__("pandas").DataFrame(bench_rows, columns=["doc_id", "text"]))
+    want_dirty = sorted(
+        r[0]
+        for r in duck.sql("""
+        WITH cg AS (
+          SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                 ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] || ' ' ||
+                 ws[i+8] || ' ' || ws[i+9] || ' ' || ws[i+10] || ' ' || ws[i+11] || ' ' || ws[i+12] AS ng
+          FROM (SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') ws
+                FROM corpus_t WHERE text IS NOT NULL),
+               UNNEST(range(1, len(ws) - 11)) t(i)
+        ), bg AS (
+          SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                 ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] || ' ' ||
+                 ws[i+8] || ' ' || ws[i+9] || ' ' || ws[i+10] || ' ' || ws[i+11] || ' ' || ws[i+12] AS ng
+          FROM (SELECT string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') ws
+                FROM bench_t),
+               UNNEST(range(1, len(ws) - 11)) t(i)
+        )
+        SELECT DISTINCT doc_id FROM cg WHERE ng IN (SELECT ng FROM bg)
+        """).fetchall()
+    )
+    assert got_dirty == want_dirty == ["c_bench_copy", "c_partial"]
+    # drop mode == flag-false subset; null/short rows pass through
+    dropped = decontaminate(corpus, bench, n=13, mode="drop")
+    assert sorted(r["doc_id"] for r in dropped.select("doc_id").collect()) == sorted(
+        flagged[~flagged.contaminated].doc_id
+    )
+    assert {"c_short", "c_null"} <= set(flagged[~flagged.contaminated].doc_id)
+
+
+def test_decontaminate_broadcasts_benchmark(spark, tmp_path):
+    from timeseriesvectordbpattermatcher_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(f"c{i}", " ".join(f"x{i}w{j}" for j in range(15))) for i in range(50)],
+        "doc_id string, text string",
+    )
+    p = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(p)
+    bench = spark.createDataFrame([("b0", "a b c d e f g h i j k l m")],
+                                  "doc_id string, text string")
+    plan = (
+        decontaminate(spark.read.parquet(p), bench, n=13)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    with __import__("pytest").raises(ValueError):
+        decontaminate(corpus, bench, mode="purge")

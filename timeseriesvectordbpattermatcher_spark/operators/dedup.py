@@ -763,3 +763,63 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    mode: str = "drop",
+) -> DataFrame:
+    """Remove (or flag) training docs sharing ANY word ``n``-gram with a
+    benchmark/test set — the GPT-3-style 13-gram decontamination pass a
+    training corpus runs before release (distinct from dedup: the match is
+    one-directional, against a small external set, and a single shared
+    gram condemns the doc).
+
+    ``mode='drop'`` returns the clean corpus; ``mode='flag'`` returns every
+    row plus a ``contaminated`` boolean (for auditing what would drop).
+    Docs shorter than ``n`` words have no n-grams and are never flagged;
+    NULL texts pass through untouched.
+
+    Scale: the benchmark gram set is tiny next to the corpus (benchmarks
+    are thousands of docs), so the semi join broadcasts it — corpus grams
+    are checked map-side and NEVER shuffle (plan-pinned in
+    tests/test_dedup_textstats.py). Grams compare as xxhash64 longs, the
+    same keying as ngram_jaccard_pairs.
+    """
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be drop|flag, got {mode!r}")
+    bench_grams = F.broadcast(
+        benchmark.select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        ngrams_col(words_col(bench_text_col), n), lambda g: F.xxhash64(g)
+                    )
+                )
+            ).alias("ng")
+        ).distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(ngrams_col(words_col(text_col), n), lambda g: F.xxhash64(g))
+            )
+        ).alias("ng"),
+    )
+    dirty_ids = doc_grams.join(bench_grams, "ng", "left_semi").select(id_col).distinct()
+    if mode == "drop":
+        return corpus.join(dirty_ids, id_col, "left_anti")
+    return corpus.join(
+        dirty_ids.withColumn("contaminated", F.lit(True)), id_col, "left"
+    ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
