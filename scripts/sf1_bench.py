@@ -193,6 +193,30 @@ def main() -> None:
             "rows_big": n_big,
         }
 
+    # ---- decontamination at both scales (not a driver query) ---------------
+    from pyspark.sql import functions as F  # noqa: shadowing-safe local use
+    from timeseriesvectordbpattermatcher_spark.operators.dedup import decontaminate
+
+    def decon_run(sf_dir: str) -> int:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+        # 50 verbatim docs as the planted test set — selected by id value
+        # (a bare limit() takes whatever rows arrive first: layout-dependent)
+        bench = docs.filter(F.col("doc_id").cast("long") < 50)
+        return decontaminate(docs, bench, n=13, mode="drop").count()
+
+    n_small, n_big = decon_run(SF01), decon_run(SF1_DIR)
+    t_small = _best_of(lambda: decon_run(SF01), k=args.runs, warmup=False)
+    t_big = _best_of(lambda: decon_run(SF1_DIR), k=args.runs, warmup=False)
+    result["queries"]["decontaminate"] = {
+        "sf0.1_sec": t_small,
+        "sf1_sec": t_big,
+        "scale_ratio": round(t_big / t_small, 2),
+        "rows_small": n_small,
+        "rows_big": n_big,
+    }
+
     # ---- matcher pipeline at 10x reference segments ------------------------
     def matcher_run(n_tickers: int) -> None:
         ohlcv = synth_ohlcv(spark, n_tickers=n_tickers, n_days=900)
