@@ -435,3 +435,85 @@ def test_decontaminate_broadcasts_benchmark(spark, tmp_path):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     with __import__("pytest").raises(ValueError):
         decontaminate(corpus, bench, mode="purge")
+
+
+def test_jaccard_hot_gram_skew_probe(spark):
+    """Skew probe for the jaccard candidate join (survey round-5 item,
+    sibling of tests/test_rollup.py::test_skewed_hot_key_salted_rollup):
+    one gram appears in 50% of all docs — the classic shingle self-join
+    would put d^2/2 ~ 31k rows on that single join key (one reducer's
+    straggler task at 100 TB). Pins three things:
+
+    1. suppression — the hot gram sorts LAST in the (doc-frequency, hash)
+       order, so it falls outside every doc's k-extended prefix and never
+       reaches the candidate join AT ALL (0 prefix rows), while the raw
+       gram stream carries its full 250-doc frequency;
+    2. fanout bound — the max per-gram document frequency in the candidate
+       stream stays at the near-dup cluster size (no d^2 partition forms),
+       vs the classic path whose hottest key is the corpus' hot share;
+    3. exactness — the filtered output still equals the classic self-join
+       on the same corpus (the suppression is lossless, not lossy).
+    """
+    import numpy as np
+
+    from timeseriesvectordbpattermatcher_spark.operators.dedup import (
+        _ordered_prefix_stream,
+        ngrams_col,
+        words_col,
+    )
+
+    n_docs, t, k = 500, 0.5, 2
+    rows = []
+    for i in range(n_docs):
+        # 8 words no other doc has (alphanumeric only: words_col splits on
+        # anything else, so an underscore would leak shared digit tokens)
+        uniq = [f"u{i}a{j}" for j in range(8)]
+        words = (["hot"] if i % 2 == 0 else [f"c{i}"]) + uniq
+        rows.append((f"d{i:03d}", " ".join(words)))
+    # a genuine near-dup cluster so exactness has qualifying pairs to check:
+    # 3 docs, each = hot + 8 shared + 1 own tail word (10 grams), pairwise
+    # sharing 9 of 10 -> jaccard 9/11 ~ 0.818. 'hot' sits inside these
+    # qualifying pairs, so its suppression must be covered by the rarer
+    # shared grams surviving in both prefixes.
+    shared = " ".join(f"s{j}" for j in range(8))
+    for tag in ("x", "y", "z"):
+        rows.append((f"dup_{tag}", f"hot {shared} tail{tag}"))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    # same per-doc gram construction as ngram_jaccard_pairs (n=1: grams are
+    # the whitespace words, so 'hot' is itself a gram)
+    per_doc = df.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(ngrams_col(words_col("text"), 1), lambda g: F.xxhash64(g))
+        ).alias("_grams"),
+    )
+    grams = per_doc.select("doc_id", F.explode("_grams").alias("ng"))
+    _, prefix = _ordered_prefix_stream(grams, t, k, "doc_id", materialize=False)
+
+    hot_hash = spark.sql("SELECT xxhash64('hot') AS h").collect()[0]["h"]
+    hot_raw = grams.filter(F.col("ng") == hot_hash).count()
+    assert hot_raw >= n_docs // 2  # the skew is real in the gram stream...
+    # ...and the prefix stream suppresses it completely: even docs have
+    # sz=9, o_min=5 (5/9 >= 0.5, 4/9 < 0.5), prefix len = 9-5+2 = 6 while
+    # 'hot' (highest doc frequency in the corpus) sorts at rank 9; the dup
+    # cluster has sz=10, o_min=5, prefix len = 7 and 'hot' at rank 10
+    assert prefix.filter(F.col("ng") == hot_hash).count() == 0
+
+    # fanout bound: hottest candidate-join key across the WHOLE prefix
+    # stream is the near-dup cluster, not the corpus' 50% share
+    max_df = (
+        prefix.groupBy("ng").count().agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+    assert max_df <= 3, max_df  # the dup cluster's shared grams
+
+    # losslessness on this corpus shape (hot gram inside a qualifying pair:
+    # dup_x/dup_y/dup_z all contain 'hot', and their pairs must survive its
+    # suppression because rarer shared grams remain in both prefixes)
+    fast = ngram_jaccard_pairs(df, threshold=t, n=1, prefix_k=k).toPandas()
+    slow = ngram_jaccard_pairs(df, threshold=t, n=1, prefix_filter=False).toPandas()
+    f = fast.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    s = slow.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(f) == len(s) >= 3, (len(f), len(s))
+    assert (f["doc_a"] == s["doc_a"]).all() and (f["doc_b"] == s["doc_b"]).all()
+    assert np.allclose(f["jaccard"], s["jaccard"])

@@ -147,6 +147,104 @@ def exact_dedup(
 # --------------------------------------------------------------------------
 
 
+def _ordered_prefix_stream(
+    grams: DataFrame,
+    threshold: float,
+    prefix_k: int,
+    id_col: str,
+    materialize: bool,
+):
+    """(doc_ord, prefix) for the AllPairs/PPJoin candidate join.
+
+    ``grams`` is the exploded (id, ng) stream of per-doc DISTINCT hashed
+    n-grams. Returns ``doc_ord`` — one row per doc with the full
+    frequency-ordered gram array ``_arr`` and its size ``_sz`` — and
+    ``prefix`` — the exploded candidate stream restricted to each doc's
+    k-extended AllPairs prefix, carrying (_sz, _omin, _pos) for the
+    positional and k-count filters downstream.
+
+    Factored out of :func:`ngram_jaccard_pairs` so skew probes can measure
+    the candidate stream the join actually sees (hot-gram suppression,
+    per-gram fanout) without duplicating the construction.
+
+    One groupBy(doc) builds BOTH the frequency-ordered gram array (whose
+    leading slice is the AllPairs prefix, with positions = array index)
+    AND the verify-step gram array — the former per-doc window sort
+    (an extra full shuffle + sort of the gram stream) and the separate
+    collect_list pass for verify arrays collapsed into this single agg
+    (sf0.1 documents corpus, same host window: best-of-5 3.8 s -> 2.9 s,
+    and one fewer gram-stream shuffle + two fewer checkpoint barriers at
+    scale). array_sort on struct(_dfg, ng) is the same (doc-frequency,
+    hash) total order the window used; ng is distinct per doc, so the
+    order is deterministic.
+    """
+    dfreq = grams.groupBy("ng").agg(F.count("*").alias("_dfg"))
+    doc_ord = (
+        grams.join(dfreq, "ng")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_dfg", "ng"))).alias("_ords"))
+        .select(
+            id_col,
+            F.transform("_ords", lambda s: s["ng"]).alias("_arr"),
+            F.size("_ords").alias("_sz"),
+        )
+    )
+    if materialize:
+        # doc_ord sits under all four self-join branches (candidate a/b +
+        # verify a/b); without this the doc-frequency agg + join + agg
+        # re-runs per branch — Catalyst does not CSE across aliases. Same
+        # rationale as the per_doc checkpoint in ngram_jaccard_pairs, one
+        # level higher.
+        doc_ord = _materialize(doc_ord)
+    # minimal qualifying overlap o_min = smallest integer o with o/sz >= t
+    # IN THE VERIFY STEP'S OWN DOUBLE ARITHMETIC (a pair at the boundary has
+    # |B| = o and jaccard exactly o/sz). A bare ceil(t*sz) inflates at
+    # exact-integer products (0.3*10 = 3.0000000000000004 -> ceil 4), which
+    # SHORTENS the prefix by one gram and silently drops exact-threshold
+    # pairs — the same FP class the positional filter below was fixed for.
+    # The ±1 correction around the FP ceil makes the bound verify-exact.
+    approx = F.ceil(F.lit(threshold) * F.col("_sz"))
+    o_min = (
+        F.when((approx - 1) / F.col("_sz") >= threshold, approx - 1)
+        .when(approx / F.col("_sz") >= threshold, approx)
+        .otherwise(approx + 1)
+    )
+    # k-extended AllPairs prefix (k = prefix_k): length sz - o_min + k,
+    # capped at sz. Generalized prefix theorem: list the shared grams of a
+    # qualifying pair in the global (frequency, hash) order as x1 < x2 < ...;
+    # xi sits in doc A's EXTENDED prefix whenever at least sz_a - len_a =
+    # o_a - k of A's grams lie above it, and the shared grams above xi
+    # already number inter - i >= o_a - i >= o_a - k for i <= k (inter >=
+    # o_a for a qualifying pair). So the k smallest shared grams land in
+    # BOTH extended prefixes, and requiring >= min(k, o_min_a, o_min_b)
+    # shared prefix grams per candidate pair is lossless (the min() handles
+    # tiny docs whose guaranteed overlap is below k). Each +1 of k grows
+    # the prefix stream by ~|docs| rows but multiplies the rarity of chance
+    # collisions: measured on the sf1 documents corpus (t=0.25, 3-grams),
+    # k=1 -> 6.81M candidate pairs, k=2 -> 466k (14.6x fewer), exact
+    # verification 6.75 s -> 0.77 s, identical output pairs.
+    prefix = (
+        doc_ord.select(
+            id_col,
+            "_sz",
+            o_min.alias("_omin"),
+            F.posexplode(
+                F.slice(
+                    "_arr",
+                    F.lit(1),
+                    F.greatest(
+                        F.least(F.col("_sz") - o_min + prefix_k, F.col("_sz")),
+                        F.lit(0),
+                    ),
+                )
+            ).alias("_pos0", "ng"),
+        )
+        .withColumn("_pos", F.col("_pos0") + 1)  # 1-based rank, as before
+        .drop("_pos0")
+    )
+    return doc_ord, prefix
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.3,
@@ -226,78 +324,8 @@ def ngram_jaccard_pairs(
             .select("doc_a", "doc_b", "jaccard")
         )
 
-    # One groupBy(doc) builds BOTH the frequency-ordered gram array (whose
-    # leading slice is the AllPairs prefix, with positions = array index)
-    # AND the verify-step gram array — the former per-doc window sort
-    # (an extra full shuffle + sort of the gram stream) and the separate
-    # collect_list pass for verify arrays collapsed into this single agg
-    # (sf0.1 documents corpus, same host window: best-of-5 3.8 s -> 2.9 s,
-    # and one fewer gram-stream shuffle + two fewer checkpoint barriers at
-    # scale). array_sort on struct(_dfg, ng) is the same (doc-frequency,
-    # hash) total order the window used; ng is distinct per doc, so the
-    # order is deterministic.
-    dfreq = grams.groupBy("ng").agg(F.count("*").alias("_dfg"))
-    doc_ord = (
-        grams.join(dfreq, "ng")
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("_dfg", "ng"))).alias("_ords"))
-        .select(
-            id_col,
-            F.transform("_ords", lambda s: s["ng"]).alias("_arr"),
-            F.size("_ords").alias("_sz"),
-        )
-    )
-    if materialize:
-        # doc_ord sits under all four self-join branches (candidate a/b +
-        # verify a/b); without this the doc-frequency agg + join + agg
-        # re-runs per branch — Catalyst does not CSE across aliases. Same
-        # rationale as the per_doc checkpoint above, one level higher.
-        doc_ord = _materialize(doc_ord)
-    # minimal qualifying overlap o_min = smallest integer o with o/sz >= t
-    # IN THE VERIFY STEP'S OWN DOUBLE ARITHMETIC (a pair at the boundary has
-    # |B| = o and jaccard exactly o/sz). A bare ceil(t*sz) inflates at
-    # exact-integer products (0.3*10 = 3.0000000000000004 -> ceil 4), which
-    # SHORTENS the prefix by one gram and silently drops exact-threshold
-    # pairs — the same FP class the positional filter below was fixed for.
-    # The ±1 correction around the FP ceil makes the bound verify-exact.
-    approx = F.ceil(F.lit(threshold) * F.col("_sz"))
-    o_min = (
-        F.when((approx - 1) / F.col("_sz") >= threshold, approx - 1)
-        .when(approx / F.col("_sz") >= threshold, approx)
-        .otherwise(approx + 1)
-    )
-    # k-extended AllPairs prefix (k = prefix_k): length sz - o_min + k,
-    # capped at sz. Generalized prefix theorem: list the shared grams of a
-    # qualifying pair in the global (frequency, hash) order as x1 < x2 < ...;
-    # xi sits in doc A's EXTENDED prefix whenever at least sz_a - len_a =
-    # o_a - k of A's grams lie above it, and the shared grams above xi
-    # already number inter - i >= o_a - i >= o_a - k for i <= k (inter >=
-    # o_a for a qualifying pair). So the k smallest shared grams land in
-    # BOTH extended prefixes, and requiring >= min(k, o_min_a, o_min_b)
-    # shared prefix grams per candidate pair is lossless (the min() handles
-    # tiny docs whose guaranteed overlap is below k). Each +1 of k grows
-    # the prefix stream by ~|docs| rows but multiplies the rarity of chance
-    # collisions: measured on the sf1 documents corpus (t=0.25, 3-grams),
-    # k=1 -> 6.81M candidate pairs, k=2 -> 466k (14.6x fewer), exact
-    # verification 6.75 s -> 0.77 s, identical output pairs.
-    prefix = (
-        doc_ord.select(
-            id_col,
-            "_sz",
-            o_min.alias("_omin"),
-            F.posexplode(
-                F.slice(
-                    "_arr",
-                    F.lit(1),
-                    F.greatest(
-                        F.least(F.col("_sz") - o_min + prefix_k, F.col("_sz")),
-                        F.lit(0),
-                    ),
-                )
-            ).alias("_pos0", "ng"),
-        )
-        .withColumn("_pos", F.col("_pos0") + 1)  # 1-based rank, as before
-        .drop("_pos0")
+    doc_ord, prefix = _ordered_prefix_stream(
+        grams, threshold, prefix_k, id_col, materialize
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin positional filter (Xiao et al., WWW'08): a shared gram at
