@@ -517,3 +517,161 @@ def test_jaccard_hot_gram_skew_probe(spark):
     assert len(f) == len(s) >= 3, (len(f), len(s))
     assert (f["doc_a"] == s["doc_a"]).all() and (f["doc_b"] == s["doc_b"]).all()
     assert np.allclose(f["jaccard"], s["jaccard"])
+
+
+def test_repetition_signals_match_duckdb(spark, duck):
+    """Gopher-style repetition signals vs an independent DuckDB recompute
+    (explode + group-by counts — a different algorithm than the engine's
+    sorted run-length aggregate, so agreement is evidence, not echo)."""
+    import numpy as np
+
+    from timeseriesvectordbpattermatcher_spark.operators.textstats import (
+        add_repetition_signals,
+    )
+
+    rows = [
+        ("clean", "the quick brown fox jumps over one lazy dog tonight\nand then "
+                  "it ran far away to the hills beyond the river"),
+        ("spamlines", "buy now\nbuy now\nbuy now\nbuy now\nunique closing line"),
+        ("spamgrams", "spam ham spam ham spam ham spam ham eggs and toast"),
+        ("oneline", "single line of perfectly ordinary text"),
+        ("empty", ""),
+        ("nulldoc", None),
+        ("punct", "Hello, WORLD!! Hello, world?? hello --- world."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = (
+        add_repetition_signals(df, top_n=2, dup_n=3)
+        .select("doc_id", "dup_line_frac", "dup_line_char_frac",
+                "top_ngram_char_frac", "dup_ngram_char_frac")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    duck.register("rep_docs", __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "text"]))
+    want = duck.sql("""
+        WITH lines AS (
+          SELECT doc_id, trim(l) AS line
+          FROM rep_docs, unnest(string_split(text, chr(10))) AS t(l)
+          WHERE trim(l) <> ''
+        ),
+        lc AS (
+          SELECT doc_id, line, count(*) AS c, length(line) AS len
+          FROM lines GROUP BY 1, 2
+        ),
+        lstats AS (
+          SELECT doc_id,
+                 1.0 - count(*) / sum(c) AS dup_line_frac,
+                 coalesce(sum(CASE WHEN c > 1 THEN c*len END), 0) / sum(c*len)
+                   AS dup_line_char_frac
+          FROM lc GROUP BY doc_id
+        ),
+        w AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+          FROM rep_docs
+          WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+        ),
+        gexp AS (
+          SELECT doc_id, n, unnest(list_transform(
+                   generate_series(1, len(ws) - n + 1),
+                   i -> array_to_string(ws[i:i+n-1], ' '))) AS g
+          FROM w, (VALUES (2), (3)) AS ns(n)
+        ),
+        gc AS (
+          SELECT doc_id, n, g, count(*) AS c, length(g) AS len
+          FROM gexp GROUP BY 1, 2, 3
+        ),
+        gstats AS (
+          SELECT doc_id,
+                 max(CASE WHEN n = 2 THEN c*len END)
+                   / sum(CASE WHEN n = 2 THEN c*len END) AS top_ngram_char_frac,
+                 coalesce(sum(CASE WHEN n = 3 AND c > 1 THEN c*len END), 0)
+                   / sum(CASE WHEN n = 3 THEN c*len END) AS dup_ngram_char_frac
+          FROM gc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(l.dup_line_frac, 0)       AS dup_line_frac,
+               coalesce(l.dup_line_char_frac, 0)  AS dup_line_char_frac,
+               coalesce(g.top_ngram_char_frac, 0) AS top_ngram_char_frac,
+               coalesce(g.dup_ngram_char_frac, 0) AS dup_ngram_char_frac
+        FROM rep_docs d
+        LEFT JOIN lstats l USING (doc_id)
+        LEFT JOIN gstats g USING (doc_id)
+    """).df().set_index("doc_id").sort_index()
+
+    assert list(got.index) == list(want.index)
+    for col in got.columns:
+        assert np.allclose(got[col], want[col]), (col, got[col], want[col])
+    # every signal is a fraction, and the planted spam docs actually fire
+    assert ((got >= 0) & (got <= 1)).all().all()
+    assert got.loc["spamlines", "dup_line_frac"] == 0.6  # 5 lines, 2 distinct
+    assert got.loc["spamlines", "dup_line_char_frac"] > 0.5
+    assert got.loc["spamgrams", "top_ngram_char_frac"] > 0.35  # "spam ham"x4: 32/81 chars
+    assert got.loc["spamgrams", "dup_ngram_char_frac"] > 0.5
+    assert got.loc["clean"].max() < 0.35
+    assert got.loc[["empty", "nulldoc"]].max().max() == 0.0
+
+
+def test_paragraph_dedup_matches_duckdb(spark, duck):
+    """CCNet-style paragraph dedup vs an independent DuckDB window-SQL
+    recompute: corpus-wide first occurrence survives, boilerplate-only docs
+    drop, normalization collapses case/whitespace variants, carried columns
+    and null-text docs ride through."""
+    import pandas as pd
+
+    from timeseriesvectordbpattermatcher_spark.operators.dedup import paragraph_dedup
+
+    BP = "This site uses cookies.\nAccept to continue."
+    rows = [
+        ("a1", "web", f"{BP}\n\nUnique prose of doc one."),
+        ("a2", "web", f"Doc two opening.\n\n{BP}\n\nDoc two closing."),
+        # case/whitespace variant of the boilerplate -> same digest
+        ("a3", "web", "THIS  site   uses cookies.\nACCEPT to  continue.\n\nThird doc body."),
+        ("bp_only", "web", BP),
+        ("blank", "web", "\n\n \n\n"),
+        ("nulldoc", "web", None),
+        ("clean", "news", "Fully unique paragraph.\n\nAnother unique paragraph."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = paragraph_dedup(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    duck.register("pd_docs", pd.DataFrame(rows, columns=["doc_id", "source", "text"]))
+    want = duck.sql(r"""
+        WITH parts AS (
+          SELECT doc_id, source, string_split(text, chr(10)||chr(10)) AS ps
+          FROM pd_docs WHERE text IS NOT NULL
+        ),
+        p AS (
+          SELECT doc_id, source, i AS pidx, ps[i] AS para
+          FROM parts, unnest(generate_series(1, len(ps))) AS t(i)
+          WHERE trim(ps[i]) <> ''
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY regexp_replace(trim(lower(para)), '\s+', ' ', 'g')
+            ORDER BY doc_id, pidx) AS rk
+          FROM p
+        )
+        SELECT doc_id, any_value(source) AS source,
+               string_agg(para, chr(10)||chr(10) ORDER BY pidx) AS text
+        FROM r WHERE rk = 1 GROUP BY doc_id
+        ORDER BY doc_id
+    """).df()
+
+    got_nonnull = out[out.text.notna()].reset_index(drop=True)
+    assert list(got_nonnull.doc_id) == list(want.doc_id)
+    assert list(got_nonnull.source) == list(want.source)
+    assert list(got_nonnull.text) == list(want.text)
+    # semantics spot-checks
+    by_id = dict(zip(out.doc_id, out.text))
+    assert by_id["a1"].startswith(BP)               # first occurrence keeps it
+    assert BP not in by_id["a2"]                    # later docs lose it
+    assert by_id["a2"] == "Doc two opening.\n\nDoc two closing."
+    assert by_id["a3"] == "Third doc body."         # variant collapsed too
+    assert "bp_only" not in by_id and "blank" not in by_id
+    assert by_id["nulldoc"] is None                 # null text passes through
+    assert by_id["clean"] == "Fully unique paragraph.\n\nAnother unique paragraph."

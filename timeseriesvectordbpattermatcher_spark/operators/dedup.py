@@ -30,7 +30,7 @@ mirroring the reference's keep-first convention in its result dedupe
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # --------------------------------------------------------------------------
@@ -851,3 +851,72 @@ def decontaminate(
     return corpus.join(
         dirty_ids.withColumn("contaminated", F.lit(True)), id_col, "left"
     ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    normalize: bool = True,
+) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup (Wenzek et al. 2020): split
+    each doc on ``sep``, keep only the corpus-wide FIRST occurrence of each
+    distinct paragraph (first = lowest ``(doc_id, paragraph index)``),
+    reassemble the surviving paragraphs in their original order, and drop
+    docs left with no paragraphs. Web boilerplate (nav bars, cookie
+    banners, footers) repeats across millions of pages — removing it at
+    paragraph granularity keeps the unique prose exact_dedup would miss.
+
+    ``normalize=True`` dedups on a lowercased, whitespace-collapsed copy
+    (a light version of CCNet's normalization; digits and punctuation are
+    kept so near-identical legal/numeric paragraphs stay distinct). The
+    ORIGINAL paragraph text is what survives into the output.
+
+    Docs with NULL text pass through untouched (same convention as
+    exact_dedup). Blank paragraphs (empty after trim) are dropped from the
+    reassembly regardless of duplication.
+
+    Scale design: two shuffles — one on the paragraph digest (winner =
+    min (doc, idx) per digest via a window, no self-join), one on doc_id
+    for the ordered reassembly — plus the final doc_id join back to the
+    carried columns. Paragraph text never rides through the digest
+    shuffle twice: the winner window carries (digest, doc, idx) only.
+    """
+    other_cols = [c for c in df.columns if c != text_col]
+    with_text = df.filter(F.col(text_col).isNotNull())
+    paras = (
+        with_text.select(
+            *other_cols,
+            # sep is used as a java regex by split(); \n\n etc. are literal
+            F.posexplode(F.split(F.col(text_col), sep)).alias("_pidx", "_para"),
+        )
+        .filter(F.trim("_para") != "")
+    )
+    norm = (
+        F.regexp_replace(F.trim(F.lower(F.col("_para"))), r"\s+", " ")
+        if normalize
+        else F.col("_para")
+    )
+    paras = paras.withColumn("_digest", F.xxhash64(norm))
+    w = Window.partitionBy("_digest").orderBy(F.col(id_col), F.col("_pidx"))
+    survivors = (
+        paras.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_digest")
+    )
+    rebuilt = (
+        survivors.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_pidx", "_para"))).alias("_ps")
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                sep, F.transform("_ps", lambda p: p["_para"])
+            ).alias(text_col),
+        )
+    )
+    kept = with_text.drop(text_col).join(rebuilt, id_col, "inner")
+    null_docs = df.filter(F.col(text_col).isNull())
+    return kept.select(df.columns).unionByName(null_docs)

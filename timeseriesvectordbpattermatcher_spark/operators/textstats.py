@@ -101,3 +101,129 @@ def add_fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFr
         F.size(grams) > 0, F.array_min(F.transform(grams, lambda g: F.md5(g)))
     ).otherwise(F.md5(F.lower(F.col(text_col))))
     return df.withColumn("fingerprint", fp)
+
+
+def add_repetition_signals(
+    df: DataFrame, text_col: str = "text", top_n: int = 2, dup_n: int = 5
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, table A1's
+    repetition filters; also used by MassiveText/Dolma-class pipelines):
+
+    - ``dup_line_frac``     — fraction of non-empty lines that are repeats of
+      an earlier-or-later identical line (1 - distinct/total);
+    - ``dup_line_char_frac`` — fraction of line characters sitting in lines
+      that occur more than once (every occurrence counts);
+    - ``top_ngram_char_frac`` — characters covered by the heaviest word
+      ``top_n``-gram (max over distinct grams of count × gram length, a
+      deterministic tie-free variant of Gopher's most-frequent-gram rule)
+      over total gram characters;
+    - ``dup_ngram_char_frac`` — characters covered by word ``dup_n``-grams
+      occurring more than once (count × length, overlapping occurrences
+      counted) over total gram characters.
+
+    A doc repeating one sentence a hundred times scores near 1.0 on all
+    four; clean prose scores near 0. Thresholds are the caller's policy
+    (Gopher drops dup_line_frac > 0.30, top 2-gram frac > 0.20,
+    dup 5-gram frac > 0.15).
+
+    Scale design: every signal is a pure codegen'd SQL expression over the
+    row's own text — no shuffle, no UDF, no corpus-wide state. The n-gram
+    counts run on the SORTED gram array with a single O(G) ``aggregate``
+    pass (run-length counting), not a G^2 self-comparison, so long docs
+    stay linear in gram count after the O(G log G) ``array_sort``.
+    """
+    t = F.col(text_col)
+    # ---- line-level: split on newlines, keep non-blank trimmed lines ----
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))) / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    # chars in duplicated lines / chars in all lines, via one sorted
+    # run-length pass: a line's chars count as duplicated iff its run > 1
+    # (first run member retro-counted when the second arrives).
+    sorted_lines = F.array_sort(lines)
+    line_acc = F.aggregate(
+        sorted_lines,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(1).alias("run"),
+            F.lit(0.0).alias("dupchars"),
+            F.lit(0.0).alias("allchars"),
+        ),
+        lambda a, l: F.struct(
+            l.alias("prev"),
+            F.when(l == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            (
+                a["dupchars"]
+                + F.when(
+                    l == a["prev"],
+                    # second occurrence pays for itself AND the first
+                    F.when(a["run"] == 1, F.length(l) * 2.0).otherwise(
+                        F.length(l).cast("double")
+                    ),
+                ).otherwise(F.lit(0.0))
+            ).alias("dupchars"),
+            (a["allchars"] + F.length(l)).alias("allchars"),
+        ),
+    )
+    dup_line_char_frac = F.when(
+        line_acc["allchars"] > 0, line_acc["dupchars"] / line_acc["allchars"]
+    ).otherwise(F.lit(0.0))
+
+    def _gram_stats(n: int):
+        """(top_char_frac, dup_char_frac) over word n-grams, one sorted
+        run-length aggregate each. Denominator = total characters across
+        ALL n-gram occurrences (consistent between the two signals)."""
+        grams = F.array_sort(ngrams_col(words_col(text_col), n))
+        acc = F.aggregate(
+            grams,
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(1).alias("run"),
+                F.lit(0.0).alias("bestchars"),
+                F.lit(0.0).alias("dupchars"),
+                F.lit(0.0).alias("allchars"),
+            ),
+            lambda a, g: F.struct(
+                g.alias("prev"),
+                F.when(g == a["prev"], a["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    a["bestchars"],
+                    F.when(g == a["prev"], (a["run"] + 1) * F.length(g))
+                    .otherwise(F.length(g))
+                    .cast("double"),
+                ).alias("bestchars"),
+                (
+                    a["dupchars"]
+                    + F.when(
+                        g == a["prev"],
+                        F.when(a["run"] == 1, F.length(g) * 2.0).otherwise(
+                            F.length(g).cast("double")
+                        ),
+                    ).otherwise(F.lit(0.0))
+                ).alias("dupchars"),
+                (a["allchars"] + F.length(g)).alias("allchars"),
+            ),
+        )
+        top = F.when(acc["allchars"] > 0, acc["bestchars"] / acc["allchars"]).otherwise(
+            F.lit(0.0)
+        )
+        dup = F.when(acc["allchars"] > 0, acc["dupchars"] / acc["allchars"]).otherwise(
+            F.lit(0.0)
+        )
+        return top, dup
+
+    top_frac, _ = _gram_stats(top_n)
+    _, dup_frac = _gram_stats(dup_n)
+    return (
+        df.withColumn("dup_line_frac", dup_line_frac)
+        .withColumn("dup_line_char_frac", dup_line_char_frac)
+        .withColumn("top_ngram_char_frac", top_frac)
+        .withColumn("dup_ngram_char_frac", dup_frac)
+    )
