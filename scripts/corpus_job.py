@@ -4,11 +4,16 @@ would run them.
 
     raw docs
       -> exact dedup          (shuffle: 16-byte md5 per row, never text)
+      -> [--paragraph-dedup]  (CCNet-style: corpus-wide first occurrence
+                               per normalized paragraph; boilerplate-only
+                               docs drop, others reassemble in order)
       -> MinHash-LSH near-dup (banded signature bucket join + fixpoint
                                closure over edge nodes only)
       -> text analysis        (lang-id, quality score, token counts,
-                               fingerprint — one pass, pure codegen exprs)
-      -> quality/lang filter  (pushed to the scan of the curated write)
+                               fingerprint — one pass, pure codegen exprs;
+                               + Gopher repetition signals when any
+                               --max-*-frac cap is set)
+      -> quality/lang/repetition filter (pushed to the curated write scan)
       -> [--sample]           (deterministic per-source keep fractions —
                                hash of doc_id, zero shuffle)
       -> [--pack-budget]      (fixed-token training packs: one window
@@ -113,6 +118,20 @@ def main() -> int:
                          "drop curated docs sharing any --decon-n-gram with it")
     ap.add_argument("--decon-n", type=int, default=13,
                     help="decontamination n-gram length (GPT-3 convention: 13)")
+    ap.add_argument("--paragraph-dedup", action="store_true",
+                    help="CCNet-style paragraph-level exact dedup between "
+                         "the exact and near-dup stages (keeps the "
+                         "corpus-wide first occurrence of each normalized "
+                         "paragraph)")
+    ap.add_argument("--max-dup-line-frac", type=float, default=None,
+                    help="drop docs whose duplicate-line fraction exceeds "
+                         "this (Gopher uses 0.30; unset = no cap)")
+    ap.add_argument("--max-top-ngram-frac", type=float, default=None,
+                    help="drop docs whose top-2-gram char mass fraction "
+                         "exceeds this (Gopher uses 0.20; unset = no cap)")
+    ap.add_argument("--max-dup-ngram-frac", type=float, default=None,
+                    help="drop docs whose duplicated-5-gram char fraction "
+                         "exceeds this (Gopher uses 0.15; unset = no cap)")
     ap.add_argument("--shuffle-seed", type=int, default=None,
                     help="write the curated corpus in a deterministic "
                          "hash-shuffled training order (omit = keep "
@@ -157,6 +176,31 @@ def main() -> int:
     exact = _materialize(exact_dedup(docs))
     stats["stages"]["exact_dedup"] = exact.count()
 
+    if args.paragraph_dedup:
+        from timeseriesvectordbpattermatcher_spark.operators.dedup import (
+            paragraph_dedup,
+        )
+
+        # paragraph removal changes CONTENT, not just rows — count both so
+        # the stats line keeps the "no silent caps" contract at paragraph
+        # granularity too
+        def n_paras(df):
+            return df.select(
+                F.sum(
+                    F.size(
+                        F.filter(
+                            F.split(F.coalesce(F.col("text"), F.lit("")), "\n\n"),
+                            lambda p: F.trim(p) != "",
+                        )
+                    )
+                )
+            ).collect()[0][0] or 0
+
+        paras_before = n_paras(exact)
+        exact = _materialize(paragraph_dedup(exact))
+        stats["stages"]["para_dedup"] = exact.count()
+        stats["paragraphs_dropped"] = int(paras_before - n_paras(exact))
+
     # minhash_lsh_dedup already returns the surviving ROWS (anti join of
     # losers) — no recovery join needed
     near = _materialize(minhash_lsh_dedup(exact, threshold=args.threshold))
@@ -167,6 +211,23 @@ def main() -> int:
     langs = [s for s in args.langs.split(",") if s]
     if langs:
         keep = keep & F.col("lang_pred").isin(langs)
+    rep_caps = [
+        ("dup_line_frac", args.max_dup_line_frac),
+        ("top_ngram_char_frac", args.max_top_ngram_frac),
+        ("dup_ngram_char_frac", args.max_dup_ngram_frac),
+    ]
+    rep_ok = None
+    if any(v is not None for _, v in rep_caps):
+        from timeseriesvectordbpattermatcher_spark.operators.textstats import (
+            add_repetition_signals,
+        )
+
+        analyzed = add_repetition_signals(analyzed)
+        rep_ok = F.lit(True)
+        for col, cap in rep_caps:
+            if cap is not None:
+                rep_ok = rep_ok & (F.col(col) <= cap)
+        keep = keep & rep_ok
     curated = analyzed.filter(keep)
 
     # optional late stages: source-mix sampling -> token-budget packing ->
@@ -233,8 +294,19 @@ def main() -> int:
     stats["quality_filtered"] = int(
         analyzed.filter(~(F.col("quality") >= args.min_quality)).count()
     )
+    # attribution precedence: quality, then language among quality-passers,
+    # then repetition among quality+language passers — each doc is counted
+    # by exactly one bucket, so the buckets + curated sum back to near_dedup
+    if rep_ok is not None:
+        qual_lang_ok = F.col("quality") >= args.min_quality
+        if langs:
+            qual_lang_ok = qual_lang_ok & F.col("lang_pred").isin(langs)
+        stats["repetition_filtered"] = int(
+            analyzed.filter(qual_lang_ok & ~rep_ok).count()
+        )
     stats["lang_filtered"] = (
-        stats["stages"]["near_dedup"] - stats["stages"]["curated"] - stats["quality_filtered"]
+        stats["stages"]["near_dedup"] - stats["stages"]["curated"]
+        - stats["quality_filtered"] - stats.get("repetition_filtered", 0)
         if langs else 0
     )
     stats["wall_sec"] = round(time.time() - t0, 2)

@@ -116,3 +116,55 @@ def test_corpus_job_decontaminate(tmp_path):
     clean = pd.read_parquet(out_dir)
     assert not set(bench.doc_id) & set(clean.doc_id)
     assert len(clean) == stats["stages"]["curated"] - stats["decontaminated"]
+
+
+def test_corpus_job_paragraph_and_repetition(tmp_path):
+    """--paragraph-dedup and the Gopher repetition caps compose into the
+    pipeline: boilerplate paragraphs survive only in their first doc,
+    boilerplate-only docs drop at the paragraph stage, a repeated-line spam
+    doc is dropped by --max-dup-line-frac, and every stats bucket
+    reconciles (no silent caps at either row or paragraph granularity)."""
+    import pandas as pd
+
+    BP = "This website uses cookies to improve your experience."
+    rows = [
+        ("a", f"{BP}\n\nFirst article body with plenty of ordinary words."),
+        ("b", f"Second article opening paragraph.\n\n{BP}\n\nSecond closing."),
+        ("c", BP),  # boilerplate-only -> dropped at the paragraph stage
+        ("d", "Completely unique article about distributed query engines."),
+        ("spam", "\n".join(["buy cheap tokens now"] * 9 + ["one honest line"])),
+    ]
+    in_dir = str(tmp_path / "in")
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        in_dir, engine="pyarrow")
+    out_dir = str(tmp_path / "curated")
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--input", in_dir, "--output", out_dir, "--cpus", "8",
+         "--paragraph-dedup", "--max-dup-line-frac", "0.3",
+         "--min-quality", "0.0"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+
+    assert stats["stages"]["raw"] == 5
+    assert stats["stages"]["exact_dedup"] == 5          # all texts distinct
+    assert stats["stages"]["para_dedup"] == 4           # 'c' drops entirely
+    # 8 paragraphs total; BP kept once -> its 2 later copies drop
+    assert stats["paragraphs_dropped"] == 2
+    assert stats["repetition_filtered"] == 1            # the spam doc
+    # bucket reconciliation back to the near-dedup stage count
+    assert stats["stages"]["near_dedup"] == (
+        stats["stages"]["curated"] + stats["quality_filtered"]
+        + stats["repetition_filtered"] + stats["lang_filtered"]
+    )
+
+    curated = pd.read_parquet(out_dir)
+    by_id = dict(zip(curated["doc_id"], curated["text"]))
+    assert "spam" not in by_id and "c" not in by_id
+    assert by_id["a"].startswith(BP)                    # first occurrence kept
+    assert BP not in by_id["b"]
+    assert by_id["b"] == "Second article opening paragraph.\n\nSecond closing."
+    assert "dup_line_frac" in curated.columns           # signals ride through

@@ -483,3 +483,53 @@ def test_pack_salt_cols_spreads_upsampled_copies(spark):
     # straddle a boundary (~half the time at 3x~45 tokens vs budget 200);
     # salted copies co-pack only by chance — the gap is the point
     assert same_pack_unsalted.mean() > same_pack_salted.mean() + 0.3
+
+
+def test_assign_splits_deterministic_disjoint(spark):
+    """Hash-based train/val/test assignment: exact per-row agreement with
+    the pure-python XXH64 oracle, exhaustive+disjoint coverage, stability
+    under corpus growth (a doc's split never changes when rows are added),
+    and loud rejection of malformed weights."""
+    import pytest as _pytest
+
+    from timeseriesvectordbpattermatcher_spark.operators.curation import (
+        SAMPLE_RESOLUTION,
+        assign_splits,
+    )
+
+    ids = [f"doc{i:05d}" for i in range(2000)]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = assign_splits(df, weights, seed=7).toPandas()
+
+    # oracle: same draw as the engine, pure python
+    b_train = int(round(0.8 * SAMPLE_RESOLUTION))
+    b_val = int(round(0.9 * SAMPLE_RESOLUTION))
+
+    def want(doc_id):
+        u = _h_seed_str(7, doc_id) % SAMPLE_RESOLUTION
+        return "train" if u < b_train else ("val" if u < b_val else "test")
+
+    got = dict(zip(out.doc_id, out.split))
+    assert got == {i: want(i) for i in ids}
+    # exhaustive+disjoint is structural (one column, always set); check the
+    # mix lands near the weights at n=2000
+    frac_train = sum(1 for s in got.values() if s == "train") / len(ids)
+    assert 0.75 < frac_train < 0.85
+    assert set(got.values()) == {"train", "val", "test"}
+
+    # growth stability: assigning over a 10x corpus keeps every old doc's split
+    more = spark.createDataFrame(
+        [(f"doc{i:05d}",) for i in range(20000)], "doc_id string")
+    grown = dict(
+        zip(*(lambda p: (p.doc_id, p.split))(
+            assign_splits(more, weights, seed=7).toPandas()))
+    )
+    assert all(grown[i] == got[i] for i in ids)
+
+    with _pytest.raises(ValueError):
+        assign_splits(df, {"train": 0.5, "val": 0.4})  # sums to 0.9
+    with _pytest.raises(ValueError):
+        assign_splits(df, {"train": 1.2, "val": -0.2})
+    with _pytest.raises(ValueError):
+        assign_splits(df, {})

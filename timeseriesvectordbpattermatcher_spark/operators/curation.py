@@ -469,3 +469,46 @@ def upsample_stratified(
         n_copies >= 1, F.sequence(F.lit(0).cast("long"), n_copies - 1)
     ).otherwise(F.array().cast("array<long>"))
     return df.withColumn("epoch", F.explode(copies))
+
+
+def assign_splits(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row draws the same
+    hash-uniform ``u = pmod(xxhash64(seed, id), RESOLUTION)`` as the
+    sampling operators and lands in the split whose cumulative-weight
+    interval contains it (intervals follow ``weights``' insertion order).
+
+    Splits are disjoint and exhaustive by construction, and — unlike
+    ``randomSplit`` — a document keeps its split across re-runs, cluster
+    sizes, and corpus growth: appending a new crawl never moves an old doc
+    between train and test, the property that prevents silent cross-split
+    leakage on incremental corpora. Weights must sum to 1 (±1e-9).
+
+    Scale: zero shuffle — one codegen'd hash + chained comparisons per
+    row; downstream writers can partition the output by ``split_col``.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    for k, v in weights.items():
+        if v < 0:
+            raise ValueError(f"weight for split {k!r} must be >= 0, got {v}")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(SAMPLE_RESOLUTION))
+    # quantized cumulative bounds; the LAST split absorbs rounding residue
+    # so coverage is exhaustive at every resolution
+    names = list(weights)
+    bounds, acc = [], 0.0
+    for k in names[:-1]:
+        acc += weights[k]
+        bounds.append(int(round(acc * SAMPLE_RESOLUTION)))
+    expr = F.lit(names[-1])
+    for k, b in zip(reversed(names[:-1]), reversed(bounds)):
+        expr = F.when(u < b, F.lit(k)).otherwise(expr)
+    return df.withColumn(split_col, expr)
