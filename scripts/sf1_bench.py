@@ -217,6 +217,34 @@ def main() -> None:
         "rows_big": n_big,
     }
 
+    # ---- paragraph dedup at both scales (not a driver query) ---------------
+    from timeseriesvectordbpattermatcher_spark.operators.dedup import paragraph_dedup
+
+    def para_run(sf_dir: str) -> int:
+        # give every doc 3 paragraphs: its own text, a corpus-wide shared
+        # boilerplate line (dedups to ONE survivor — the hot-digest case),
+        # and its 60-char prefix (collides within near-dup families only)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.concat_ws(
+                "\n\n", F.col("text"),
+                F.lit("This corpus row carries a shared boilerplate notice."),
+                F.substring("text", 1, 60),
+            ).alias("text"),
+        )
+        return paragraph_dedup(docs).count()
+
+    n_small, n_big = para_run(SF01), para_run(SF1_DIR)
+    t_small = _best_of(lambda: para_run(SF01), k=args.runs, warmup=False)
+    t_big = _best_of(lambda: para_run(SF1_DIR), k=args.runs, warmup=False)
+    result["queries"]["paragraph_dedup"] = {
+        "sf0.1_sec": t_small,
+        "sf1_sec": t_big,
+        "scale_ratio": round(t_big / t_small, 2),
+        "rows_small": n_small,
+        "rows_big": n_big,
+    }
+
     # ---- matcher pipeline at 10x reference segments ------------------------
     def matcher_run(n_tickers: int) -> None:
         ohlcv = synth_ohlcv(spark, n_tickers=n_tickers, n_days=900)
