@@ -260,3 +260,27 @@ def test_asof_match_uses_running_frames_only(spark):
     x = spark.createDataFrame([("a", 2)], "series_id string, exit_ts long")
     plan = _plan(asof_match_exit(e, x))
     assert "unboundedfollowing" not in plan.lower().replace(" ", ""), plan[:2000]
+
+
+def test_paragraph_dedup_text_never_rides_digest_shuffle(spark):
+    """paragraph_dedup's scale contract: winner selection shuffles only the
+    slim (doc_id, _pidx, _digest) stream — document text stays out of the
+    digest Exchange (it moves once, in the final doc_id join) — and Spark
+    plants a map-side WindowGroupLimit so rank-1 filtering shrinks the slim
+    shuffle before it even happens. Three Exchanges total: text by doc_id
+    (join), keep-lists by doc_id (agg), slim stream by _digest."""
+    from timeseriesvectordbpattermatcher_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [("a", "x\n\ny"), ("b", "x\n\nz"), ("c", None)],
+        "doc_id string, text string",
+    )
+    plan = _plan(paragraph_dedup(df))
+    assert plan.count("Exchange hashpartitioning") == 3, plan[:3000]
+    seg = plan.split("Exchange hashpartitioning(_digest")[1]
+    proj = next(l for l in seg.splitlines() if "Project [" in l)
+    # slim projection: doc_id + _pidx + the digest; _para appears only
+    # INSIDE the xxhash64 expression, never as a carried column
+    assert "Project [doc_id#" in proj and "AS _digest#" in proj, proj
+    assert ", _para#" not in proj.split("xxhash64")[0], proj
+    assert "WindowGroupLimit" in seg, seg[:2000]

@@ -877,46 +877,44 @@ def paragraph_dedup(
     exact_dedup). Blank paragraphs (empty after trim) are dropped from the
     reassembly regardless of duplication.
 
-    Scale design: two shuffles — one on the paragraph digest (winner =
-    min (doc, idx) per digest via a window, no self-join), one on doc_id
-    for the ordered reassembly — plus the final doc_id join back to the
-    carried columns. Paragraph text never rides through the digest
-    shuffle twice: the winner window carries (digest, doc, idx) only.
+    Scale design: document text never rides the dedup shuffles at all.
+    Winner selection runs on a slim ``(digest, doc_id, paragraph index)``
+    stream — the digest Exchange and the per-doc keep-list aggregation
+    move ~24 bytes/paragraph regardless of paragraph size — and each doc
+    is rebuilt IN PLACE by re-splitting its own text and picking the kept
+    indices, so the only shuffle that carries text is the final doc_id
+    join of the keep lists back to the corpus (elidable by bucketing the
+    corpus on ``id_col``).
     """
-    other_cols = [c for c in df.columns if c != text_col]
     with_text = df.filter(F.col(text_col).isNotNull())
-    paras = (
-        with_text.select(
-            *other_cols,
-            # sep is used as a java regex by split(); \n\n etc. are literal
-            F.posexplode(F.split(F.col(text_col), sep)).alias("_pidx", "_para"),
-        )
-        .filter(F.trim("_para") != "")
-    )
+    # sep is used as a java regex by split(); \n\n etc. are literal
+    paras = with_text.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pidx", "_para"),
+    ).filter(F.trim("_para") != "")
     norm = (
         F.regexp_replace(F.trim(F.lower(F.col("_para"))), r"\s+", " ")
         if normalize
         else F.col("_para")
     )
-    paras = paras.withColumn("_digest", F.xxhash64(norm))
+    slim = paras.select(id_col, "_pidx", F.xxhash64(norm).alias("_digest"))
     w = Window.partitionBy("_digest").orderBy(F.col(id_col), F.col("_pidx"))
-    survivors = (
-        paras.withColumn("_rk", F.row_number().over(w))
+    keep_idx = (
+        slim.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .drop("_rk", "_digest")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_pidx")).alias("_keep"))
     )
+    arr = F.split(F.col(text_col), sep)
     rebuilt = (
-        survivors.groupBy(id_col)
-        .agg(
-            F.array_sort(F.collect_list(F.struct("_pidx", "_para"))).alias("_ps")
-        )
-        .select(
-            id_col,
+        with_text.join(keep_idx, id_col, "inner")
+        .withColumn(
+            text_col,
             F.concat_ws(
-                sep, F.transform("_ps", lambda p: p["_para"])
-            ).alias(text_col),
+                sep, F.transform("_keep", lambda i: F.element_at(arr, i + 1))
+            ),
         )
+        .drop("_keep")
     )
-    kept = with_text.drop(text_col).join(rebuilt, id_col, "inner")
     null_docs = df.filter(F.col(text_col).isNull())
-    return kept.select(df.columns).unionByName(null_docs)
+    return rebuilt.select(df.columns).unionByName(null_docs)
