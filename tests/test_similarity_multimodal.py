@@ -403,3 +403,49 @@ def test_ivf_index_rebuild_is_atomic_version(spark, emb, tmp_path):
     assert v2 == v1 + 1
     # pinned read of the OLD index version still works (time travel)
     assert table.read(spark, version=v1).count() == table.read(spark).count()
+
+
+def test_semantic_dedup_matches_exact_oracle(spark):
+    """SemDeDup-style dedup on a corpus of 3 orthogonal clusters with
+    planted near-identical groups: within-group cosine ~0.99999 (>= tau),
+    cross-seed cosine ~0.98 (< tau), cross-cluster ~0 — so the engine's
+    cluster-bucketed pairs must EXACTLY reproduce the clusterless numpy
+    oracle (exact all-pairs cosine + keep-first drop), regardless of how
+    k-means happens to carve the lists. Null embeddings pass through."""
+    import numpy as np
+
+    from timeseriesvectordbpattermatcher_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    base = np.eye(8)[:3]
+    rows, vid = [], 0
+    for c in range(3):
+        for g in range(5):
+            v = base[c] + 0.05 * rng.standard_normal(8)
+            for _k in range(1 + g % 3):  # groups of 1..3 near-identical copies
+                vv = v + 0.001 * rng.standard_normal(8)
+                rows.append((vid, [float(x) for x in vv]))
+                vid += 1
+    null_id = vid
+    rows.append((null_id, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = semantic_dedup(df, tau=0.999, n_lists=3, seed=37)
+    got = sorted(r.vec_id for r in out.collect())
+    out2 = sorted(r.vec_id for r in semantic_dedup(df, tau=0.999, n_lists=3, seed=37).collect())
+    assert got == out2  # deterministic across runs
+
+    X = {i: np.asarray(v) for i, v in rows if v is not None}
+    drop = set()
+    ids = sorted(X)
+    for i in ids:
+        for j in ids:
+            if i < j and X[i] @ X[j] / (
+                np.linalg.norm(X[i]) * np.linalg.norm(X[j])
+            ) >= 0.999:
+                drop.add(j)
+    want = sorted((set(X) - drop) | {null_id})
+    assert got == want, (got, want)
+    assert len(drop) > 0  # the planted groups actually deduped

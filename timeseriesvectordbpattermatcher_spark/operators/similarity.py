@@ -431,3 +431,65 @@ def ivf_probe_index(
         .filter(F.col("rank") <= k)
         .select(query_id, "rank", ref_id, "score")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    tau: float = 0.95,
+    n_lists: int = 16,
+    seed: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    embeddings with the IVF coarse quantizer, find cosine >= ``tau`` pairs
+    WITHIN each cluster only, and keep the smallest-id row of every pair
+    (the engine-wide keep-first convention; like SemDeDup itself this is a
+    greedy per-pair drop, not a transitive closure — in a chain a~b~c both
+    b and c drop even though b is gone, i.e. one representative survives
+    per semantic neighborhood).
+
+    Near-identical embeddings land in the same list except exactly at a
+    cluster boundary, so recall vs the exact all-pairs rule is high but
+    not 1.0 by construction — raise ``n_lists`` resolution or ``tau``
+    headroom accordingly (the exact rule is ``cosine_dup_pairs(...,
+    exact=True)`` + the same keep-first drop, used as the oracle in
+    tests). NULL embeddings pass through untouched.
+
+    Scale: training is driver-cheap (hash-slice sample, see
+    ``train_ivf_centroids``); assignment is one Arrow matmul pass; the
+    candidate join is cluster-bucketed (shuffle on ``list_id``), so the
+    pair count is sum over lists of n_l^2 rather than N^2 — the SemDeDup
+    pitch. The drop itself is a left_anti join on the id.
+    """
+    with_vec = df.filter(F.col(vec_col).isNotNull())
+    cents = train_ivf_centroids(with_vec, n_lists=n_lists, seed=seed, vec_col=vec_col)
+    if cents is None:
+        return df
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_list(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cents.T, axis=1).astype(np.int32))
+
+    assigned = with_vec.select(
+        F.col(id_col), F.col(vec_col), assign_list(F.col(vec_col)).alias("list_id")
+    )
+    a = assigned.select(
+        F.col("list_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    )
+    b = assigned.select(
+        F.col("list_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    )
+    losers = (
+        a.join(b, ["list_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", cosine_score_col("v_a", "v_b"))
+        .filter(F.col("score") >= tau)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.filter(F.col(vec_col).isNull()).unionByName(
+        with_vec.join(losers, id_col, "left_anti")
+    )
