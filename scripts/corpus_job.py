@@ -14,6 +14,9 @@ would run them.
                                + Gopher repetition signals when any
                                --max-*-frac cap is set)
       -> quality/lang/repetition filter (pushed to the curated write scan)
+      -> [--redact-pii]       (emails/SSNs/cards/IPs/phones -> typed
+                               placeholder tokens; pure regex projection,
+                               docs counted, rows never dropped)
       -> [--sample]           (deterministic per-source keep fractions —
                                hash of doc_id, zero shuffle)
       -> [--pack-budget]      (fixed-token training packs: one window
@@ -132,6 +135,10 @@ def main() -> int:
     ap.add_argument("--max-dup-ngram-frac", type=float, default=None,
                     help="drop docs whose duplicated-5-gram char fraction "
                          "exceeds this (Gopher uses 0.15; unset = no cap)")
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="scrub emails/SSNs/cards/IPs/phones to typed "
+                         "placeholder tokens after filtering/decontam "
+                         "(stats report affected docs + match count)")
     ap.add_argument("--shuffle-seed", type=int, default=None,
                     help="write the curated corpus in a deterministic "
                          "hash-shuffled training order (omit = keep "
@@ -246,6 +253,22 @@ def main() -> int:
             decontaminate(final, bench, n=args.decon_n, mode="drop")
         )
         stats["decontaminated"] = n_before - final.count()
+    if args.redact_pii:
+        from timeseriesvectordbpattermatcher_spark.operators.pii import (
+            add_pii_signals,
+            redact_pii,
+        )
+
+        # redaction never drops rows, but it DOES change content — report
+        # how much, per the no-silent-caps contract (decontamination runs
+        # first so benchmark n-grams match against raw text)
+        hit = add_pii_signals(final).agg(
+            F.sum((F.col("pii_total") > 0).cast("long")).alias("docs"),
+            F.sum("pii_total").alias("matches"),
+        ).collect()[0]
+        stats["pii_docs_redacted"] = int(hit["docs"] or 0)
+        stats["pii_matches_redacted"] = int(hit["matches"] or 0)
+        final = redact_pii(final)
     if args.sample:
         from timeseriesvectordbpattermatcher_spark.operators.curation import (
             sample_stratified,

@@ -168,3 +168,39 @@ def test_corpus_job_paragraph_and_repetition(tmp_path):
     assert BP not in by_id["b"]
     assert by_id["b"] == "Second article opening paragraph.\n\nSecond closing."
     assert "dup_line_frac" in curated.columns           # signals ride through
+
+
+def test_corpus_job_redact_pii(tmp_path):
+    """--redact-pii scrubs emails/IPs/phones/SSNs/cards to typed tokens
+    without dropping rows, and the stats line attributes how many docs and
+    matches were touched."""
+    import pandas as pd
+
+    rows = [
+        ("p1", "Contact alice@example.com or 555-123-4567 for details."),
+        ("p2", "Server logs show 192.168.1.1 hitting the endpoint twice."),
+        ("p3", "A perfectly clean document about columnar storage formats."),
+        ("p4", "ssn 123-45-6789 and card 4111 1111 1111 1111 in one line."),
+    ]
+    in_dir = str(tmp_path / "in")
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        in_dir, engine="pyarrow")
+    out_dir = str(tmp_path / "curated")
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--input", in_dir, "--output", out_dir, "--cpus", "8",
+         "--redact-pii", "--min-quality", "0.0"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["pii_docs_redacted"] == 3
+    assert stats["pii_matches_redacted"] == 5  # p1:2, p2:1, p4:2
+    assert stats["stages"]["curated"] == 4  # redaction never drops rows
+
+    by_id = dict(zip(*pd.read_parquet(out_dir)[["doc_id", "text"]].T.values))
+    assert by_id["p1"] == "Contact <EMAIL> or <PHONE> for details."
+    assert by_id["p2"] == "Server logs show <IP> hitting the endpoint twice."
+    assert by_id["p3"] == rows[2][1]  # untouched
+    assert by_id["p4"] == "ssn <SSN> and card <CARD> in one line."
