@@ -533,3 +533,100 @@ def test_assign_splits_deterministic_disjoint(spark):
         assign_splits(df, {"train": 1.2, "val": -0.2})
     with _pytest.raises(ValueError):
         assign_splits(df, {})
+
+
+# ---------------------------------------------------------------- vocab stats
+
+
+def _seqs_with_null(spark, tmp_path, n=400):
+    from timeseriesvectordbpattermatcher_spark.sources.synth import synth_seqs
+
+    seqs = synth_seqs(spark, n, seed=7).select("doc_id", "tokens", "source")
+    null_row = spark.createDataFrame(
+        [("docnull", None, "web")], "doc_id string, tokens array<int>, source string"
+    )
+    path = str(tmp_path / "seqs")
+    seqs.unionByName(null_row).write.parquet(path)
+    return spark.read.parquet(path), path
+
+
+def test_token_histogram_matches_duckdb(spark, tmp_path):
+    from timeseriesvectordbpattermatcher_spark.operators.curation import (
+        token_histogram,
+    )
+
+    df, path = _seqs_with_null(spark, tmp_path)
+    got = (
+        token_histogram(df).orderBy("source", "token").toPandas()
+    )
+    con = duckdb.connect()
+    want = con.sql(
+        f"""SELECT source, token, count(*) AS cnt
+            FROM (SELECT source, unnest(tokens) AS token FROM '{path}/*.parquet')
+            GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).df()
+    assert got.source.tolist() == want.source.tolist()
+    assert got.token.tolist() == want.token.tolist()
+    assert got.cnt.tolist() == want.cnt.tolist()
+    # global histogram (by=None) sums the per-source one
+    tot = token_histogram(df, by=None).agg(F.sum("cnt")).collect()[0][0]
+    assert tot == got.cnt.sum()
+
+
+def test_vocab_coverage_and_oov_match_duckdb(spark, tmp_path):
+    from timeseriesvectordbpattermatcher_spark.operators.curation import (
+        oov_stats,
+        token_histogram,
+        vocab_coverage,
+    )
+
+    df, path = _seqs_with_null(spark, tmp_path)
+    got = (
+        vocab_coverage(token_histogram(df), top_k=50)
+        .orderBy("source")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    want = con.sql(
+        f"""WITH h AS (
+              SELECT source, token, count(*) AS cnt
+              FROM (SELECT source, unnest(tokens) AS token FROM '{path}/*.parquet')
+              GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY cnt DESC, token) AS rk FROM h)
+            SELECT source, count(*) AS n_distinct, sum(cnt) AS total_tokens,
+                   sum(CASE WHEN rk <= 50 THEN cnt ELSE 0 END)::DOUBLE
+                     / sum(cnt) AS topk_mass_frac
+            FROM r GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert got.source.tolist() == want.source.tolist()
+    assert got.n_distinct.tolist() == want.n_distinct.tolist()
+    assert got.total_tokens.tolist() == want.total_tokens.tolist()
+    assert got.topk_mass_frac.tolist() == pytest.approx(want.topk_mass_frac.tolist())
+
+    # OOV: pick a cutoff below the synth vocab (50257) so some tokens are out
+    o = oov_stats(df, vocab_size=25000).orderBy("source").toPandas()
+    wo = con.sql(
+        f"""SELECT source, count(*) AS total_tokens,
+                   sum(CASE WHEN token < 0 OR token >= 25000 THEN 1 ELSE 0 END)
+                     AS oov_tokens
+            FROM (SELECT source, unnest(tokens) AS token FROM '{path}/*.parquet')
+            GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert o.source.tolist() == wo.source.tolist()
+    assert o.total_tokens.tolist() == wo.total_tokens.tolist()
+    assert o.oov_tokens.tolist() == wo.oov_tokens.tolist()
+    assert (o.oov_frac == o.oov_tokens / o.total_tokens).all()
+    assert (o.oov_frac > 0).any()  # cutoff actually bites
+
+
+def test_oov_stats_plan_is_narrow(spark, tmp_path):
+    """The OOV numerator/denominator are per-row codegen'd exprs: the plan
+    must contain exactly one Exchange (the tiny final groupBy) and no
+    Python eval nodes."""
+    from timeseriesvectordbpattermatcher_spark.operators.curation import oov_stats
+
+    df, _ = _seqs_with_null(spark, tmp_path)
+    plan = oov_stats(df, vocab_size=1000)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan

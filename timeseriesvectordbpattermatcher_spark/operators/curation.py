@@ -512,3 +512,72 @@ def assign_splits(
     for k, b in zip(reversed(names[:-1]), reversed(bounds)):
         expr = F.when(u < b, F.lit(k)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def token_histogram(
+    seqs: DataFrame, token_col: str = "tokens", by: str | None = "source"
+) -> DataFrame:
+    """Corpus-wide token-id frequency table: (``by``, token, cnt).
+
+    The distributed histogram is explode -> groupBy(token): the explode is
+    narrow (stays in the scan stage), and hash aggregation's map-side
+    partial combine collapses each task's stream to at most |vocab| rows
+    BEFORE the exchange — shuffle volume is tasks x vocab (~50k rows/task),
+    independent of corpus size, which is why this is the 100 TB shape and
+    not a per-row UDF. NULL token arrays contribute nothing.
+    """
+    cols = ([F.col(by)] if by else []) + [
+        F.explode(F.col(token_col)).alias("token")
+    ]
+    keys = ([by] if by else []) + ["token"]
+    return seqs.select(*cols).groupBy(*keys).agg(F.count("*").alias("cnt"))
+
+
+def vocab_coverage(
+    hist: DataFrame, top_k: int = 1000, by: str | None = "source"
+) -> DataFrame:
+    """Per-``by`` vocabulary summary over a ``token_histogram`` result:
+    distinct token count, total token mass, and the fraction of mass
+    captured by the ``top_k`` most frequent tokens (ties broken by token
+    id so the cut is deterministic). Input is already vocab-sized, so the
+    rank window and final agg are trivial at any corpus scale."""
+    part = Window.partitionBy(*([by] if by else [])).orderBy(
+        F.col("cnt").desc(), F.col("token")
+    )
+    ranked = hist.withColumn("rk", F.row_number().over(part))
+    keys = [by] if by else []
+    agg = ranked.groupBy(*keys).agg(
+        F.count("*").alias("n_distinct"),
+        F.sum("cnt").alias("total_tokens"),
+        F.sum(F.when(F.col("rk") <= top_k, F.col("cnt")).otherwise(0)).alias("_top"),
+    )
+    return agg.withColumn(
+        "topk_mass_frac", F.col("_top") / F.col("total_tokens")
+    ).drop("_top")
+
+
+def oov_stats(
+    seqs: DataFrame,
+    vocab_size: int,
+    token_col: str = "tokens",
+    by: str | None = "source",
+) -> DataFrame:
+    """Out-of-vocabulary rate per ``by``: tokens outside [0, vocab_size)
+    counted with a per-row array filter — a pure codegen'd projection, so
+    the only exchange is the final tiny groupBy (one row per source).
+    Rows with NULL token arrays are excluded from both numerator and
+    denominator."""
+    t = F.col(token_col)
+    oov = F.size(F.filter(t, lambda x: (x < 0) | (x >= F.lit(vocab_size))))
+    keys = [by] if by else []
+    agg = (
+        seqs.filter(t.isNotNull())
+        .select(*keys, F.size(t).alias("_n"), oov.alias("_oov"))
+        .groupBy(*keys)
+        .agg(F.sum("_n").alias("total_tokens"), F.sum("_oov").alias("oov_tokens"))
+    )
+    return agg.withColumn(
+        "oov_frac",
+        F.when(F.col("total_tokens") > 0, F.col("oov_tokens") / F.col("total_tokens"))
+        .otherwise(F.lit(0.0)),
+    )
