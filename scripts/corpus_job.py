@@ -3,6 +3,9 @@ pipeline: the LLM-data operators composed the way a 100 TB corpus job
 would run them.
 
     raw docs
+      -> [--block-domains]    (canonical-host block filter; zero shuffle)
+      -> [--url-dedup]        (keep-first per canonical URL — the cheap
+                               crawl pre-filter; needs a url column)
       -> exact dedup          (shuffle: 16-byte md5 per row, never text)
       -> [--paragraph-dedup]  (CCNet-style: corpus-wide first occurrence
                                per normalized paragraph; boilerplate-only
@@ -135,6 +138,12 @@ def main() -> int:
     ap.add_argument("--max-dup-ngram-frac", type=float, default=None,
                     help="drop docs whose duplicated-5-gram char fraction "
                          "exceeds this (Gopher uses 0.15; unset = no cap)")
+    ap.add_argument("--url-dedup", action="store_true",
+                    help="keep-first dedup per canonical URL before content "
+                         "dedup (input must carry a url column)")
+    ap.add_argument("--block-domains", default="",
+                    help="comma-separated domain blocklist applied to the "
+                         "canonical host (parent-domain suffixes match)")
     ap.add_argument("--redact-pii", action="store_true",
                     help="scrub emails/SSNs/cards/IPs/phones to typed "
                          "placeholder tokens after filtering/decontam "
@@ -174,11 +183,32 @@ def main() -> int:
         ap.error("one of --input / --synthetic-docs is required")
 
     stats: dict = {"stages": {}}
-    keep_cols = ["doc_id", "text"] + (["source"] if "source" in docs.columns else [])
+    keep_cols = ["doc_id", "text"] + [
+        c for c in ("source", "url") if c in docs.columns
+    ]
     if args.sample and "source" not in docs.columns:
         ap.error("--sample needs a source column in the input")
+    if (args.url_dedup or args.block_domains) and "url" not in docs.columns:
+        ap.error("--url-dedup/--block-domains need a url column in the input")
     docs = _materialize(docs.select(*keep_cols))
     stats["stages"]["raw"] = docs.count()
+
+    if args.block_domains:
+        from timeseriesvectordbpattermatcher_spark.operators.urls import (
+            filter_domains,
+        )
+
+        docs = _materialize(
+            filter_domains(docs, args.block_domains.split(","))
+        )
+        stats["stages"]["domain_filter"] = docs.count()
+    if args.url_dedup:
+        from timeseriesvectordbpattermatcher_spark.operators.urls import (
+            url_dedup,
+        )
+
+        docs = _materialize(url_dedup(docs))
+        stats["stages"]["url_dedup"] = docs.count()
 
     exact = _materialize(exact_dedup(docs))
     stats["stages"]["exact_dedup"] = exact.count()

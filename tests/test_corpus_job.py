@@ -204,3 +204,39 @@ def test_corpus_job_redact_pii(tmp_path):
     assert by_id["p2"] == "Server logs show <IP> hitting the endpoint twice."
     assert by_id["p3"] == rows[2][1]  # untouched
     assert by_id["p4"] == "ssn <SSN> and card <CARD> in one line."
+
+
+def test_corpus_job_url_stages(tmp_path):
+    """--block-domains and --url-dedup run ahead of content dedup when the
+    input carries a url column, each with its own stage count."""
+    import pandas as pd
+
+    rows = [
+        ("u1", "Article body one about engines.", "https://www.good.com/a?utm_source=x"),
+        ("u2", "Article body two, different text.", "https://good.com/a"),  # canon dup of u1
+        ("u3", "Article body three, unique.", "https://good.com/b"),
+        ("u4", "Spammy body.", "https://ads.blocked.io/z"),
+        ("u5", "No url row.", None),
+    ]
+    in_dir = str(tmp_path / "in")
+    pd.DataFrame(rows, columns=["doc_id", "text", "url"]).to_parquet(
+        in_dir, engine="pyarrow")
+    out_dir = str(tmp_path / "curated")
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--input", in_dir, "--output", out_dir, "--cpus", "8",
+         "--url-dedup", "--block-domains", "blocked.io",
+         "--min-quality", "0.0"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["stages"]["raw"] == 5
+    assert stats["stages"]["domain_filter"] == 4   # u4 dropped
+    assert stats["stages"]["url_dedup"] == 3       # u2 folds into u1; null url rides
+    assert stats["stages"]["curated"] == 3
+
+    curated = pd.read_parquet(out_dir)
+    assert sorted(curated.doc_id) == ["u1", "u3", "u5"]
+    assert "url" in curated.columns
