@@ -17,6 +17,8 @@ would run them.
                                + Gopher repetition signals when any
                                --max-*-frac cap is set)
       -> quality/lang/repetition filter (pushed to the curated write scan)
+      -> [--clf-weights]      (hashed linear classifier gate: broadcast
+                               weight join + per-doc mean pool, all JVM)
       -> [--redact-pii]       (emails/SSNs/cards/IPs/phones -> typed
                                placeholder tokens; pure regex projection,
                                docs counted, rows never dropped)
@@ -138,6 +140,16 @@ def main() -> int:
     ap.add_argument("--max-dup-ngram-frac", type=float, default=None,
                     help="drop docs whose duplicated-5-gram char fraction "
                          "exceeds this (Gopher uses 0.15; unset = no cap)")
+    ap.add_argument("--clf-weights", default="",
+                    help="parquet of (bucket, weight) rows: score docs with "
+                         "the hashed linear classifier and keep "
+                         "clf_score >= --min-clf-score")
+    ap.add_argument("--min-clf-score", type=float, default=0.5,
+                    help="classifier keep threshold (with --clf-weights)")
+    ap.add_argument("--clf-bias", type=float, default=0.0,
+                    help="classifier bias term (with --clf-weights)")
+    ap.add_argument("--clf-buckets", type=int, default=1 << 15,
+                    help="feature-hash bucket count (must match training)")
     ap.add_argument("--url-dedup", action="store_true",
                     help="keep-first dedup per canonical URL before content "
                          "dedup (input must carry a url column)")
@@ -265,6 +277,18 @@ def main() -> int:
             if cap is not None:
                 rep_ok = rep_ok & (F.col(col) <= cap)
         keep = keep & rep_ok
+    clf_ok = None
+    if args.clf_weights:
+        from timeseriesvectordbpattermatcher_spark.operators.classifier import (
+            score_linear_model,
+        )
+
+        weights = spark.read.parquet(args.clf_weights)
+        analyzed = score_linear_model(
+            analyzed, weights, bias=args.clf_bias, n_buckets=args.clf_buckets
+        )
+        clf_ok = F.col("clf_score") >= args.min_clf_score
+        keep = keep & clf_ok
     curated = analyzed.filter(keep)
 
     # optional late stages: source-mix sampling -> token-budget packing ->
@@ -350,16 +374,22 @@ def main() -> int:
     # attribution precedence: quality, then language among quality-passers,
     # then repetition among quality+language passers — each doc is counted
     # by exactly one bucket, so the buckets + curated sum back to near_dedup
+    qual_lang_ok = F.col("quality") >= args.min_quality
+    if langs:
+        qual_lang_ok = qual_lang_ok & F.col("lang_pred").isin(langs)
     if rep_ok is not None:
-        qual_lang_ok = F.col("quality") >= args.min_quality
-        if langs:
-            qual_lang_ok = qual_lang_ok & F.col("lang_pred").isin(langs)
         stats["repetition_filtered"] = int(
             analyzed.filter(qual_lang_ok & ~rep_ok).count()
         )
+    # classifier drops attributed last (among quality+lang+repetition
+    # passers), keeping each doc in exactly one bucket
+    if clf_ok is not None:
+        prior_ok = qual_lang_ok if rep_ok is None else qual_lang_ok & rep_ok
+        stats["clf_filtered"] = int(analyzed.filter(prior_ok & ~clf_ok).count())
     stats["lang_filtered"] = (
         stats["stages"]["near_dedup"] - stats["stages"]["curated"]
         - stats["quality_filtered"] - stats.get("repetition_filtered", 0)
+        - stats.get("clf_filtered", 0)
         if langs else 0
     )
     stats["wall_sec"] = round(time.time() - t0, 2)

@@ -240,3 +240,55 @@ def test_corpus_job_url_stages(tmp_path):
     curated = pd.read_parquet(out_dir)
     assert sorted(curated.doc_id) == ["u1", "u3", "u5"]
     assert "url" in curated.columns
+
+
+def test_corpus_job_classifier_gate(tmp_path):
+    """--clf-weights gates on the hashed linear classifier score with its
+    own attribution bucket; the threshold is derived in-test from the
+    pure-python oracle so the planted split is exact."""
+    import math
+    import re
+
+    import pandas as pd
+
+    from tests.oracle.xxh64_pure import SPARK_SEED, hash_bytes, to_i64
+
+    N_BUCKETS = 4096
+    wts = {b: ((b * 2654435761) % 2001 - 1000) / 1000.0 for b in range(N_BUCKETS)}
+
+    def score(text):
+        cleaned = re.sub("[^a-z0-9]+", " ", text.lower()).strip()
+        words = cleaned.split(" ") if cleaned else []
+        feats = words + [" ".join(words[i:i + 2]) for i in range(len(words) - 1)]
+        hs = [to_i64(hash_bytes(f.encode(), SPARK_SEED)) % N_BUCKETS for f in feats]
+        mean = sum(wts[b] for b in hs) / len(hs) if hs else 0.0
+        return 1.0 / (1.0 + math.exp(-mean))
+
+    rows = [(f"c{i}", f"document body {i} about engines and curation w{i}")
+            for i in range(6)]
+    scores = sorted(score(t) for _, t in rows)
+    thresh = (scores[2] + scores[3]) / 2  # split 3 keep / 3 drop exactly
+
+    in_dir = str(tmp_path / "in")
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(in_dir, engine="pyarrow")
+    w_dir = str(tmp_path / "weights")
+    pd.DataFrame(
+        {"bucket": list(wts), "weight": [wts[b] for b in wts]}
+    ).to_parquet(w_dir, engine="pyarrow")
+    out_dir = str(tmp_path / "curated")
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--input", in_dir, "--output", out_dir, "--cpus", "8",
+         "--clf-weights", w_dir, "--clf-buckets", str(N_BUCKETS),
+         "--min-clf-score", str(thresh), "--min-quality", "0.0"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["clf_filtered"] == 3
+    assert stats["stages"]["curated"] == 3
+    curated = pd.read_parquet(out_dir)
+    want = sorted(d for d, t in rows if score(t) >= thresh)
+    assert sorted(curated.doc_id) == want
+    assert (curated.clf_score >= thresh).all()
