@@ -10,6 +10,8 @@ would run them.
       -> [--paragraph-dedup]  (CCNet-style: corpus-wide first occurrence
                                per normalized paragraph; boilerplate-only
                                docs drop, others reassemble in order)
+      -> [--span-dedup N]     (ExactSubstr: corpus-wide duplicate word
+                               spans >= N removed, first occurrence kept)
       -> MinHash-LSH near-dup (banded signature bucket join + fixpoint
                                closure over edge nodes only)
       -> text analysis        (lang-id, quality score, token counts,
@@ -131,6 +133,12 @@ def main() -> int:
                          "the exact and near-dup stages (keeps the "
                          "corpus-wide first occurrence of each normalized "
                          "paragraph)")
+    ap.add_argument("--span-dedup", type=int, default=0,
+                    help="ExactSubstr-style duplicate-span removal between "
+                         "the paragraph and near-dup stages: remove word "
+                         "spans of this length occurring elsewhere in the "
+                         "corpus, keeping the first occurrence (0 = skip; "
+                         "the paper's convention is 50)")
     ap.add_argument("--max-dup-line-frac", type=float, default=None,
                     help="drop docs whose duplicate-line fraction exceeds "
                          "this (Gopher uses 0.30; unset = no cap)")
@@ -249,6 +257,22 @@ def main() -> int:
         exact = _materialize(paragraph_dedup(exact))
         stats["stages"]["para_dedup"] = exact.count()
         stats["paragraphs_dropped"] = int(paras_before - n_paras(exact))
+
+    if args.span_dedup:
+        from timeseriesvectordbpattermatcher_spark.operators.dedup import (
+            duplicate_span_removal,
+            words_col,
+        )
+
+        def n_words(df):
+            return df.select(F.sum(F.size(words_col("text")))).collect()[0][0] or 0
+
+        words_before = n_words(exact)
+        exact = _materialize(
+            duplicate_span_removal(exact, min_len=args.span_dedup)
+        )
+        stats["stages"]["span_dedup"] = exact.count()
+        stats["span_words_removed"] = int(words_before - n_words(exact))
 
     # minhash_lsh_dedup already returns the surviving ROWS (anti join of
     # losers) — no recovery join needed

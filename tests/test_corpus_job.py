@@ -292,3 +292,35 @@ def test_corpus_job_classifier_gate(tmp_path):
     want = sorted(d for d, t in rows if score(t) >= thresh)
     assert sorted(curated.doc_id) == want
     assert (curated.clf_score >= thresh).all()
+
+
+def test_corpus_job_span_dedup(tmp_path):
+    """--span-dedup removes corpus-wide duplicate word spans (first
+    occurrence kept) between the exact and near-dup stages, reporting
+    removed-word accounting."""
+    import pandas as pd
+
+    block = " ".join(f"boiler{i}" for i in range(6))
+    rows = [
+        ("s1", f"first article body keeps the block {block} intact here"),
+        ("s2", f"second article body where {block} must vanish entirely"),
+        ("s3", "third article totally unique wording throughout"),
+    ]
+    in_dir = str(tmp_path / "in")
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(in_dir, engine="pyarrow")
+    out_dir = str(tmp_path / "curated")
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--input", in_dir, "--output", out_dir, "--cpus", "8",
+         "--span-dedup", "6", "--min-quality", "0.0"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["stages"]["span_dedup"] == 3   # no doc fully covered
+    assert stats["span_words_removed"] == 6
+    by_id = dict(zip(*pd.read_parquet(out_dir)[["doc_id", "text"]].T.values))
+    assert by_id["s1"] == rows[0][1]            # first occurrence verbatim
+    assert by_id["s2"] == "second article body where must vanish entirely"
+    assert by_id["s3"] == rows[2][1]

@@ -918,3 +918,91 @@ def paragraph_dedup(
     )
     null_docs = df.filter(F.col(text_col).isNull())
     return rebuilt.select(df.columns).unionByName(null_docs)
+
+
+def duplicate_span_removal(
+    df: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    drop_empty: bool = True,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any word
+    span of length ``min_len`` that occurs more than once in the corpus is
+    removed from every occurrence EXCEPT the globally-first one (smallest
+    ``(doc_id, position)`` — the engine-wide keep-first convention; the
+    paper removes all copies, keeping one is the conservative variant).
+    A duplicated region longer than ``min_len`` is covered by its
+    overlapping ``min_len``-grams, so the whole region is removed at once
+    via interval union.
+
+    Word-level like the rest of the dedup family: text is normalized with
+    ``words_col`` and touched docs are rebuilt as space-joined surviving
+    words (untouched docs keep their original text verbatim). Docs whose
+    every word is covered drop entirely when ``drop_empty`` (mirroring
+    ``paragraph_dedup``'s boilerplate-only rule); NULL text passes
+    through.
+
+    Plan/scale: per-position span hashes are a chained fold of per-word
+    ``xxhash64`` values over a sliding slice — O(min_len) longs per
+    position, no 50-word string materialization — and the only wide ops
+    are one Exchange on the span hash (where map-side combine does
+    nothing, this is the honest cost of exact substring dedup — the
+    shuffle IS the suffix-array analogue) and one tiny Exchange on the
+    few docs carrying removals. Hash collisions across distinct spans are
+    possible in principle (64-bit; corpus-wide birthday bound) and would
+    remove a non-duplicate span — the paper's suffix array is exact, this
+    is exact-at-64-bit, documented trade.
+    """
+    words = words_col(text_col)
+    w_hash = F.transform(words, lambda w: F.xxhash64(w))
+    # span_hash(i) = fold acc -> xxhash64(acc, word_hash[j]) over the slice,
+    # acc0 = 0: mirrored bit-exactly by the spec-derived oracle in tests
+    n_spans = F.size(words) - F.lit(min_len - 1)
+    # guard: sequence(1, 0) DESCENDS in Spark, so short docs need an
+    # explicit empty-span branch rather than an empty sequence
+    spans = F.when(n_spans < 1, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_spans, F.lit(1))),
+            lambda i: F.aggregate(
+                F.slice(w_hash, i, min_len),
+                F.lit(0).cast("long"),
+                lambda acc, h: F.xxhash64(acc, h),
+            ),
+        )
+    )
+    occ = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.posexplode(spans).alias("_pos", "_h"))
+    )
+    w = Window.partitionBy("_h").orderBy(F.col(id_col), F.col("_pos"))
+    cnt = Window.partitionBy("_h")
+    removals = (
+        occ.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(cnt))
+        .filter((F.col("_n") > 1) & (F.col("_rk") > 1))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("_pos")).alias("_starts"))
+    )
+    # rebuild: word index i survives unless some start s covers it
+    # (s <= i < s + min_len); starts are few per doc (dup occurrences)
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_starts"), lambda s: (s <= i) & (i < s + F.lit(min_len))
+    )
+    idx = F.sequence(F.lit(0), F.size(words) - 1)
+    kept_words = F.filter(
+        F.transform(idx, lambda i: F.when(~covered(i), F.element_at(words, i + 1))),
+        lambda x: x.isNotNull(),
+    )
+    touched = (
+        df.join(removals, id_col, "inner")
+        .withColumn("_kept", kept_words)
+        .withColumn(text_col, F.concat_ws(" ", F.col("_kept")))
+        .withColumn("_empty", F.size("_kept") == 0)
+        .drop("_starts", "_kept")
+    )
+    if drop_empty:
+        touched = touched.filter(~F.col("_empty"))
+    untouched = df.join(removals.select(id_col), id_col, "left_anti")
+    return untouched.unionByName(touched.drop("_empty"))
