@@ -3,6 +3,7 @@ pipeline: the LLM-data operators composed the way a 100 TB corpus job
 would run them.
 
     raw docs
+      -> [--html-input]       (regex HTML->text extraction, narrow)
       -> [--block-domains]    (canonical-host block filter; zero shuffle)
       -> [--url-dedup]        (keep-first per canonical URL — the cheap
                                crawl pre-filter; needs a url column)
@@ -133,6 +134,9 @@ def main() -> int:
                          "the exact and near-dup stages (keeps the "
                          "corpus-wide first occurrence of each normalized "
                          "paragraph)")
+    ap.add_argument("--html-input", action="store_true",
+                    help="input docs carry an html column: extract text "
+                         "from it before any other stage")
     ap.add_argument("--span-dedup", type=int, default=0,
                     help="ExactSubstr-style duplicate-span removal between "
                          "the paragraph and near-dup stages: remove word "
@@ -201,6 +205,15 @@ def main() -> int:
         )
     else:
         ap.error("one of --input / --synthetic-docs is required")
+
+    if args.html_input:
+        from timeseriesvectordbpattermatcher_spark.operators.html import (
+            extract_text,
+        )
+
+        if "html" not in docs.columns:
+            ap.error("--html-input needs an html column in the input")
+        docs = extract_text(docs).drop("html")
 
     stats: dict = {"stages": {}}
     keep_cols = ["doc_id", "text"] + [

@@ -324,3 +324,38 @@ def test_corpus_job_span_dedup(tmp_path):
     assert by_id["s1"] == rows[0][1]            # first occurrence verbatim
     assert by_id["s2"] == "second article body where must vanish entirely"
     assert by_id["s3"] == rows[2][1]
+
+
+def test_corpus_job_html_input(tmp_path):
+    """--html-input extracts text from an html column before every other
+    stage; downstream dedup/analysis run on the extracted text."""
+    import pandas as pd
+
+    page = ("<html><head><script>x()</script></head><body>"
+            "<h1>Title A</h1><p>Body text with enough ordinary words here.</p>"
+            "</body></html>")
+    rows = [
+        ("h1", page),
+        ("h2", page.replace("Title A", "Title B")),  # differs post-extraction
+        ("h3", "<p>" + "Body text with enough ordinary words here.</p>"),
+    ]
+    in_dir = str(tmp_path / "in")
+    pd.DataFrame(rows, columns=["doc_id", "html"]).to_parquet(in_dir, engine="pyarrow")
+    out_dir = str(tmp_path / "curated")
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--input", in_dir, "--output", out_dir, "--cpus", "8",
+         "--html-input", "--min-quality", "0.0", "--threshold", "0.9"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["stages"]["raw"] == 3
+    curated = pd.read_parquet(out_dir)
+    by_id = dict(zip(curated.doc_id, curated.text))
+    assert by_id["h1"] == "Title A\n\nBody text with enough ordinary words here."
+    assert "html" not in curated.columns
+    # h3 extracts to a strict subset (no title) — a DIFFERENT exact text,
+    # so it survives exact dedup
+    assert "h3" in by_id
