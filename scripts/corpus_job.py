@@ -22,6 +22,9 @@ would run them.
       -> quality/lang/repetition filter (pushed to the curated write scan)
       -> [--clf-weights]      (hashed linear classifier gate: broadcast
                                weight join + per-doc mean pool, all JVM)
+      -> [--max-ppl]          (CCNet-style LM gate: hashed-bigram
+                               perplexity vs --lm-ref, broadcast count
+                               joins; high-ppl docs drop)
       -> [--redact-pii]       (emails/SSNs/cards/IPs/phones -> typed
                                placeholder tokens; pure regex projection,
                                docs counted, rows never dropped)
@@ -162,6 +165,18 @@ def main() -> int:
                     help="classifier bias term (with --clf-weights)")
     ap.add_argument("--clf-buckets", type=int, default=1 << 15,
                     help="feature-hash bucket count (must match training)")
+    ap.add_argument("--max-ppl", type=float, default=None,
+                    help="drop docs whose hashed-bigram LM perplexity "
+                         "exceeds this (CCNet-style gate; unset = off; "
+                         "NULL-perplexity docs — no words — also drop)")
+    ap.add_argument("--lm-ref", default="",
+                    help="LM training corpus: a parquet path with a text "
+                         "column; must be held-out from the input (with "
+                         "--max-ppl)")
+    ap.add_argument("--lm-buckets", type=int, default=1 << 18,
+                    help="LM hash-bucket count (train and score share it)")
+    ap.add_argument("--lm-lambda", type=float, default=0.9,
+                    help="Jelinek-Mercer bigram interpolation weight")
     ap.add_argument("--url-dedup", action="store_true",
                     help="keep-first dedup per canonical URL before content "
                          "dedup (input must carry a url column)")
@@ -326,6 +341,28 @@ def main() -> int:
         )
         clf_ok = F.col("clf_score") >= args.min_clf_score
         keep = keep & clf_ok
+    ppl_ok = None
+    if args.max_ppl is not None:
+        from timeseriesvectordbpattermatcher_spark.operators.lm import (
+            add_perplexity,
+            train_bigram_counts,
+        )
+
+        # the reference MUST be external/held-out (the CCNet shape).
+        # Training on the corpus itself is a footgun this job refuses:
+        # a bigram count model contains every document's own bigrams, so
+        # even one-off gibberish predicts itself with probability ~lambda
+        # and scores ppl ~1/lambda — the gate would pass everything.
+        if not args.lm_ref:
+            ap.error("--max-ppl needs --lm-ref (a held-out reference "
+                     "corpus parquet with a text column)")
+        ref = spark.read.parquet(args.lm_ref)
+        counts = train_bigram_counts(ref, n_buckets=args.lm_buckets)
+        analyzed = add_perplexity(
+            analyzed, counts, n_buckets=args.lm_buckets, lam=args.lm_lambda
+        )
+        ppl_ok = F.col("ppl") <= args.max_ppl
+        keep = keep & ppl_ok
     curated = analyzed.filter(keep)
 
     # optional late stages: source-mix sampling -> token-budget packing ->
@@ -402,11 +439,16 @@ def main() -> int:
         stats["stages"]["sampled"] = out.count()
     # split the filter attribution: quality drops vs language drops (an
     # operator tuning --min-quality must not be shown language casualties).
-    # Null-inclusive: a NULL quality fails `quality >= min` and must be
-    # counted as a quality drop — `quality < min` would miss it and the
-    # stage counts would stop reconciling (or inflate lang_filtered).
+    # Null-inclusive: a NULL quality (null-text rows ride through exact
+    # dedup by design) fails `quality >= min` in `keep` and must be counted
+    # as a quality drop. NOTE `~(quality >= min)` alone is NOT enough —
+    # three-valued logic makes it NULL (not TRUE) for NULL quality and the
+    # row would vanish from every bucket; the explicit isNull() arm keeps
+    # the stage counts reconciling.
     stats["quality_filtered"] = int(
-        analyzed.filter(~(F.col("quality") >= args.min_quality)).count()
+        analyzed.filter(
+            ~(F.col("quality") >= args.min_quality) | F.col("quality").isNull()
+        ).count()
     )
     # attribution precedence: quality, then language among quality-passers,
     # then repetition among quality+language passers — each doc is counted
@@ -418,15 +460,26 @@ def main() -> int:
         stats["repetition_filtered"] = int(
             analyzed.filter(qual_lang_ok & ~rep_ok).count()
         )
-    # classifier drops attributed last (among quality+lang+repetition
+    # classifier drops attributed next (among quality+lang+repetition
     # passers), keeping each doc in exactly one bucket
+    prior_ok = qual_lang_ok if rep_ok is None else qual_lang_ok & rep_ok
     if clf_ok is not None:
-        prior_ok = qual_lang_ok if rep_ok is None else qual_lang_ok & rep_ok
         stats["clf_filtered"] = int(analyzed.filter(prior_ok & ~clf_ok).count())
+        prior_ok = prior_ok & clf_ok
+    # perplexity drops attributed last; NULL ppl (docs with no words that
+    # survived the quality gate — possible only if --min-quality is 0)
+    # needs the explicit isNull() arm, same three-valued-logic trap as
+    # quality above
+    if ppl_ok is not None:
+        stats["ppl_filtered"] = int(
+            analyzed.filter(
+                prior_ok & (~ppl_ok | F.col("ppl").isNull())
+            ).count()
+        )
     stats["lang_filtered"] = (
         stats["stages"]["near_dedup"] - stats["stages"]["curated"]
         - stats["quality_filtered"] - stats.get("repetition_filtered", 0)
-        - stats.get("clf_filtered", 0)
+        - stats.get("clf_filtered", 0) - stats.get("ppl_filtered", 0)
         if langs else 0
     )
     stats["wall_sec"] = round(time.time() - t0, 2)

@@ -359,3 +359,63 @@ def test_corpus_job_html_input(tmp_path):
     # h3 extracts to a strict subset (no title) — a DIFFERENT exact text,
     # so it survives exact dedup
     assert "h3" in by_id
+
+
+def test_corpus_job_ppl_gate_and_null_attribution(tmp_path):
+    """--max-ppl drops OOV gibberish scored against a held-out reference;
+    NULL-text rows (which ride through exact dedup by design) are
+    attributed to quality_filtered, so the buckets + curated reconcile to
+    near_dedup even with NULLs present."""
+    import pandas as pd
+
+    vocab = [f"word{v:02d}" for v in range(20)]
+    # held-out reference: every ordered vocab bigram once -> any
+    # vocab-word document is fully in-domain for the LM
+    ref = [{"text": f"{a} {b}"} for a in vocab for b in vocab]
+    ref_dir = str(tmp_path / "ref.parquet")
+    pd.DataFrame(ref).to_parquet(ref_dir)
+
+    # in-domain docs: word j of doc i = vocab[(7i + j^2) % 20] — distinct
+    # docs share NO 3-gram shingles (j = k mod 10 and i' = i is the only
+    # solution), so none of them near-dup together
+    rows = [
+        {"doc_id": f"d{i:03d}",
+         "text": " ".join(vocab[(7 * i + j * j) % 20] for j in range(40))}
+        for i in range(20)
+    ]
+    rows += [
+        {"doc_id": f"g{i}", "text": " ".join(f"zq{i}x{j}v" for j in range(40))}
+        for i in range(3)
+    ]  # every word unseen in the reference -> OOV, huge perplexity
+    rows += [{"doc_id": "n0", "text": None}, {"doc_id": "n1", "text": None}]
+    in_dir = str(tmp_path / "docs.parquet")
+    pd.DataFrame(rows).to_parquet(in_dir)
+
+    out_dir = str(tmp_path / "curated")
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--input", in_dir, "--output", out_dir, "--cpus", "8",
+         "--min-quality", "0.0", "--max-ppl", "10000", "--lm-ref", ref_dir],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+
+    # nothing deduped away: 20 in-domain + 3 gibberish + 2 null
+    assert stats["stages"]["near_dedup"] == 25
+    # NULL quality counts as a quality drop (three-valued-logic regression)
+    assert stats["quality_filtered"] == 2
+    # all three gibberish docs exceed the cap; in-domain docs survive
+    assert stats["ppl_filtered"] == 3
+    # full attribution: buckets + curated == near_dedup, nulls included
+    assert (
+        stats["stages"]["curated"]
+        + stats["quality_filtered"]
+        + stats["ppl_filtered"]
+        + stats["lang_filtered"]
+        == stats["stages"]["near_dedup"]
+    )
+    out = pd.read_parquet(out_dir)
+    assert len(out) == stats["stages"]["curated"] == 20
+    assert "ppl" in out.columns and (out["ppl"] <= 10000).all()
