@@ -28,7 +28,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import ngrams_col, words_col
+from .dedup import _spread, ngrams_col, words_col
 
 
 def hashed_features_col(text_col: str, bigrams: bool = True):
@@ -62,7 +62,11 @@ def score_linear_model(
     fastText's empty-line behavior. The output keeps every input row and
     column — one broadcast join plus one shuffle keyed on ``id_col``.
     """
-    feats = df.select(
+    # spread ONLY the (id, text) projection before the per-word parse — a
+    # single-file input would otherwise tokenize+hash on one task (same
+    # partition-starvation the dedup parsers guard against); the full row
+    # set, with its other columns, never shuffles
+    feats = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode_outer(hashed_features_col(text_col, bigrams)).alias("_h"),
     ).withColumn("_b", F.pmod(F.col("_h"), F.lit(n_buckets)))

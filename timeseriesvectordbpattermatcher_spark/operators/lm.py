@@ -58,7 +58,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import ngrams_col, words_col
+from .dedup import _spread, ngrams_col, words_col
 
 #: Default hash-bucket count — 2^18 buckets keeps the counts table ~6 MB
 #: (bucket + two longs) while collisions stay rare for a reference corpus
@@ -141,7 +141,12 @@ def add_perplexity(
         ),
     ).otherwise(F.array().cast(pair_t))
 
-    ex = df.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
+    # spread ONLY the (id, text) projection before the per-word parse —
+    # a single-file input would otherwise tokenize+hash on one task (the
+    # two-scale probe read a 10x corpus FASTER than the unspread small
+    # one); the full row set, with its other columns, never shuffles
+    ex_src = _spread(df.select(F.col(id_col), F.col(text_col)))
+    ex = ex_src.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
         id_col,
         _bucket(F.col("_p.cur"), n_buckets).alias("_bu"),
         F.when(
