@@ -245,6 +245,38 @@ def main() -> None:
         "rows_big": n_big,
     }
 
+    # ---- LM perplexity scoring at both scales (not a driver query) ----------
+    from timeseriesvectordbpattermatcher_spark.operators.lm import (
+        add_perplexity,
+        train_bigram_counts,
+    )
+
+    # train ONCE on the sf0.1 corpus (the held-out-reference shape); time
+    # only the scoring pass at each scale. The replica word-tagging makes
+    # replicas 1..9 fully OOV — realistic for the gate's reject path.
+    lm_counts = train_bigram_counts(
+        spark.read.parquet(f"{SF01}/documents.parquet")
+    ).persist()
+    lm_counts.count()
+
+    def ppl_run(sf_dir: str) -> int:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+        return int(add_perplexity(docs, lm_counts).agg(F.count("ppl")).collect()[0][0])
+
+    n_small, n_big = ppl_run(SF01), ppl_run(SF1_DIR)
+    t_small = _best_of(lambda: ppl_run(SF01), k=args.runs, warmup=False)
+    t_big = _best_of(lambda: ppl_run(SF1_DIR), k=args.runs, warmup=False)
+    result["queries"]["lm_perplexity"] = {
+        "sf0.1_sec": t_small,
+        "sf1_sec": t_big,
+        "scale_ratio": round(t_big / t_small, 2),
+        "rows_small": n_small,
+        "rows_big": n_big,
+    }
+    lm_counts.unpersist()
+
     # ---- matcher pipeline at 10x reference segments ------------------------
     def matcher_run(n_tickers: int) -> None:
         ohlcv = synth_ohlcv(spark, n_tickers=n_tickers, n_days=900)
