@@ -630,3 +630,104 @@ def test_oov_stats_plan_is_narrow(spark, tmp_path):
     plan = oov_stats(df, vocab_size=1000)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "EvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# best-fit-decreasing packing
+# --------------------------------------------------------------------------
+
+
+def _bfd_oracle(rows, budget, seed=0, n_shards=4):
+    """Engine-free replay of pack_sequences_bestfit: shard by pure XXH64,
+    sort (n_tok desc, hash, id), best-fit via linear scan over bins."""
+    shards = {}
+    for doc_id, n_tok in rows:
+        s = _h_seed_str(seed + 1, doc_id) % n_shards
+        shards.setdefault(str(s), []).append((doc_id, n_tok or 0))
+    out = {}
+    fills = {}
+    for s, docs in shards.items():
+        docs.sort(key=lambda d: (-d[1], _h_seed_str(seed, d[0]), d[0]))
+        bins = []  # (remaining, bin_id), unordered — linear best-fit scan
+        nxt = 0
+        for doc_id, t in docs:
+            if t >= budget:
+                out[doc_id] = (s, nxt)
+                fills[(s, nxt)] = t
+                nxt += 1
+                continue
+            best = None
+            for k, (r, b) in enumerate(bins):
+                if r >= t and (best is None or r < bins[best][0] or
+                               (r == bins[best][0] and b < bins[best][1])):
+                    best = k
+            if best is not None:
+                r, b = bins.pop(best)
+                out[doc_id] = (s, b)
+                fills[(s, b)] += t
+                if r - t > 0:
+                    bins.append((r - t, b))
+            else:
+                out[doc_id] = (s, nxt)
+                fills[(s, nxt)] = t
+                bins.append((budget - t, nxt))
+                nxt += 1
+    return out, fills
+
+
+def test_bestfit_matches_pure_python_oracle(spark):
+    from timeseriesvectordbpattermatcher_spark.operators.curation import (
+        pack_sequences_bestfit,
+    )
+
+    # heavy-tailed lengths incl. an oversized doc, a zero, and a NULL
+    rows = [(f"d{i:04d}", (i * 37) % 900 + 10) for i in range(300)]
+    rows += [("big0", 5000), ("zero", 0)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int").unionByName(
+        spark.createDataFrame([("nul0", None)], "doc_id string, n_tok int")
+    )
+    got = pack_sequences_bestfit(df, budget=1024, n_shards=4).toPandas()
+    want, fills = _bfd_oracle(
+        [(r[0], r[1]) for r in rows] + [("nul0", None)], budget=1024
+    )
+    assert len(got) == 303
+    for _, r in got.iterrows():
+        ws, wb = want[r.doc_id]
+        assert (r.pack_shard, r.pack_id) == (ws, wb), r.doc_id
+        assert r.pack_fill == fills[(ws, wb)], r.doc_id
+
+
+def test_bestfit_properties(spark):
+    from timeseriesvectordbpattermatcher_spark.operators.curation import (
+        pack_sequences_bestfit,
+    )
+
+    rows = [(f"d{i:04d}", (i * 131) % 700 + 5, ["web", "code"][i % 2])
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int, source string")
+    budget = 2048
+    got = pack_sequences_bestfit(
+        df, budget=budget, key_col="source", n_shards=2
+    ).toPandas()
+    # every pack total <= budget (no oversized docs in this corpus) and
+    # pack_fill is the true per-pack token sum on every row
+    sums = got.groupby(["pack_shard", "pack_id"]).n_tok.sum()
+    assert (sums <= budget).all()
+    for (sh, pid), s in sums.items():
+        assert (got[(got.pack_shard == sh) & (got.pack_id == pid)]
+                .pack_fill == s).all()
+    # packs never mix sources (shard prefix is the key)
+    assert (got.pack_shard.str.split("/").str[0] == got.source).all()
+    # BFD fill quality: all but <= n_bins tail-bins are > half full
+    # (standard bound: two bins <= half full would have been merged)
+    per_shard_small = (
+        (sums <= budget // 2).groupby(level=0).sum()
+    )
+    assert (per_shard_small <= 1).all()
+    # deterministic: second run identical
+    again = pack_sequences_bestfit(
+        df, budget=budget, key_col="source", n_shards=2
+    ).toPandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)

@@ -186,6 +186,108 @@ def pack_sequences(
     return out.withColumn("pack_id", F.floor(cum_before / F.lit(budget)))
 
 
+def pack_sequences_bestfit(
+    df: DataFrame,
+    budget: int,
+    n_tok_col: str = "n_tok",
+    id_col: str = "doc_id",
+    key_col: str | None = None,
+    n_shards: int | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Assign documents to packs by best-fit-decreasing bin packing —
+    the padding-minimizing alternative to :func:`pack_sequences`.
+
+    :func:`pack_sequences` concatenates in hash order and chunks at
+    budget boundaries: zero padding but docs straddle packs. Training
+    setups that must NOT split documents (each pack is padded to
+    ``budget`` instead) care about pad-token waste, and greedy layout
+    wastes up to ~25% on heavy-tailed length distributions; best-fit
+    decreasing (sort by length desc, place each doc in the fullest bin it
+    fits) is the standard near-optimal packer (Krell et al. 2021 use the
+    same family for BERT pretraining). Every pack total is <= ``budget``;
+    docs longer than ``budget`` get a singleton pack (flagged oversized
+    rather than silently truncated — the writer decides).
+
+    Bin packing is inherently sequential, so it runs per shard as a
+    grouped map (`applyInPandas`): the same sharding rule as
+    :func:`pack_sequences` (``key_col`` and/or id-hash sub-shards, packs
+    never span shards) bounds each task's working set, and within a shard
+    the Arrow batch is one python pass with a bisect-maintained remaining-
+    capacity list (O(n log n)). Scale: ONE Exchange on the shard key,
+    shard rows must fit one task (pick ``n_shards`` so rows/shard is a
+    few hundred thousand). Determinism: placement order is (n_tok desc,
+    xxhash64(seed, id), id) — no RNG, replayable from the row set alone;
+    the pytest oracle replays the exact packing engine-free via the
+    standalone XXH64.
+
+    Output: input columns + ``pack_shard`` + ``pack_id`` (long,
+    contiguous per shard) + ``pack_fill`` (long: the pack's total tokens,
+    same value on every row of a pack — ``budget - pack_fill`` is the pad
+    waste the writer will add). NULL token counts count 0.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if key_col is not None:
+        shard = F.col(key_col).cast("string")
+        if n_shards is not None:
+            sub = F.pmod(F.xxhash64(F.lit(seed + 1), F.col(id_col)), F.lit(n_shards))
+            shard = F.concat_ws("/", shard, sub.cast("string"))
+    else:
+        n = n_shards or df.sparkSession.sparkContext.defaultParallelism
+        shard = F.pmod(F.xxhash64(F.lit(seed + 1), F.col(id_col)), F.lit(n)).cast("string")
+    out = df.withColumn("pack_shard", shard).withColumn(
+        "_ord", F.xxhash64(F.lit(seed), F.col(id_col))
+    )
+
+    import pandas as pd  # noqa: deferred so module import stays lazy
+
+    result_schema = out.drop("_ord").schema.add("pack_id", "long").add(
+        "pack_fill", "long"
+    )
+
+    def _pack_one(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import bisect
+
+        toks = pdf[n_tok_col].fillna(0).astype("int64").clip(lower=0)
+        order = pdf.assign(_t=toks).sort_values(
+            ["_t", "_ord", id_col], ascending=[False, True, True]
+        ).index
+        # rem holds (remaining_capacity, bin_id) sorted by remaining; best
+        # fit = the smallest remaining >= tok, found by bisect
+        rem: list[tuple[int, int]] = []
+        assign: dict = {}
+        fills: dict = {}
+        next_bin = 0
+        for idx in order:
+            t = int(toks.loc[idx])
+            if t >= budget:
+                # oversized (or exactly full): singleton pack, never reopened
+                assign[idx] = next_bin
+                fills[next_bin] = t
+                next_bin += 1
+                continue
+            pos = bisect.bisect_left(rem, (t,))
+            if pos < len(rem):
+                r, b = rem.pop(pos)
+                assign[idx] = b
+                fills[b] += t
+                nr = r - t
+                if nr > 0:
+                    bisect.insort(rem, (nr, b))
+            else:
+                assign[idx] = next_bin
+                fills[next_bin] = t
+                bisect.insort(rem, (budget - t, next_bin))
+                next_bin += 1
+        res = pdf.drop(columns=["_ord"]).copy()
+        res["pack_id"] = pd.Series(assign).reindex(pdf.index).astype("int64")
+        res["pack_fill"] = res["pack_id"].map(fills).astype("int64")
+        return res
+
+    return out.groupBy("pack_shard").applyInPandas(_pack_one, schema=result_schema)
+
+
 # --------------------------------------------------------------------------
 # incremental dedup against a persisted survivor store
 # --------------------------------------------------------------------------
