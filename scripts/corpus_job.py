@@ -20,6 +20,9 @@ would run them.
                                + Gopher repetition signals when any
                                --max-*-frac cap is set)
       -> quality/lang/repetition filter (pushed to the curated write scan)
+      -> [--gopher-rules]     (Gopher word-level rule set: word-count
+                               band, symbol/bullet/ellipsis/alpha
+                               fractions, required stopwords)
       -> [--clf-weights]      (hashed linear classifier gate: broadcast
                                weight join + per-doc mean pool, all JVM)
       -> [--max-ppl]          (CCNet-style LM gate: hashed-bigram
@@ -165,6 +168,12 @@ def main() -> int:
                     help="classifier bias term (with --clf-weights)")
     ap.add_argument("--clf-buckets", type=int, default=1 << 15,
                     help="feature-hash bucket count (must match training)")
+    ap.add_argument("--gopher-rules", action="store_true",
+                    help="apply the Gopher word-level rule set (word count "
+                         "band, symbol/bullet/ellipsis/alpha fractions, "
+                         "required stopwords) and keep gopher_pass rows")
+    ap.add_argument("--gopher-min-words", type=int, default=50,
+                    help="Gopher word-count lower bound (with --gopher-rules)")
     ap.add_argument("--max-ppl", type=float, default=None,
                     help="drop docs whose hashed-bigram LM perplexity "
                          "exceeds this (CCNet-style gate; unset = off; "
@@ -329,6 +338,17 @@ def main() -> int:
             if cap is not None:
                 rep_ok = rep_ok & (F.col(col) <= cap)
         keep = keep & rep_ok
+    gopher_ok = None
+    if args.gopher_rules:
+        from timeseriesvectordbpattermatcher_spark.operators.textstats import (
+            add_gopher_rules,
+        )
+
+        analyzed = add_gopher_rules(
+            analyzed, min_words=args.gopher_min_words
+        )
+        gopher_ok = F.col("gopher_pass")  # already null-safe (False on NULL)
+        keep = keep & gopher_ok
     clf_ok = None
     if args.clf_weights:
         from timeseriesvectordbpattermatcher_spark.operators.classifier import (
@@ -460,9 +480,16 @@ def main() -> int:
         stats["repetition_filtered"] = int(
             analyzed.filter(qual_lang_ok & ~rep_ok).count()
         )
-    # classifier drops attributed next (among quality+lang+repetition
-    # passers), keeping each doc in exactly one bucket
     prior_ok = qual_lang_ok if rep_ok is None else qual_lang_ok & rep_ok
+    # Gopher-rule drops attributed next (among quality+lang+repetition
+    # passers); gopher_pass is already False (never NULL) on NULL text
+    if gopher_ok is not None:
+        stats["gopher_filtered"] = int(
+            analyzed.filter(prior_ok & ~gopher_ok).count()
+        )
+        prior_ok = prior_ok & gopher_ok
+    # classifier drops attributed next, keeping each doc in exactly one
+    # bucket
     if clf_ok is not None:
         stats["clf_filtered"] = int(analyzed.filter(prior_ok & ~clf_ok).count())
         prior_ok = prior_ok & clf_ok
@@ -480,6 +507,7 @@ def main() -> int:
         stats["stages"]["near_dedup"] - stats["stages"]["curated"]
         - stats["quality_filtered"] - stats.get("repetition_filtered", 0)
         - stats.get("clf_filtered", 0) - stats.get("ppl_filtered", 0)
+        - stats.get("gopher_filtered", 0)
         if langs else 0
     )
     stats["wall_sec"] = round(time.time() - t0, 2)

@@ -419,3 +419,45 @@ def test_corpus_job_ppl_gate_and_null_attribution(tmp_path):
     out = pd.read_parquet(out_dir)
     assert len(out) == stats["stages"]["curated"] == 20
     assert "ppl" in out.columns and (out["ppl"] <= 10000).all()
+
+
+def test_corpus_job_gopher_rules(tmp_path):
+    """--gopher-rules drops rule violators with their own attribution
+    bucket, and the buckets still reconcile to near_dedup."""
+    import pandas as pd
+
+    prose = ("the quick brown fox jumps over the lazy dog and then it ran "
+             "far away to have a rest with friends near the river that "
+             "flows beyond the hills while birds sing softly in the trees "
+             "and the evening light fades over quiet fields of grain "
+             "where farmers walk home slowly after work")  # > 50 words
+    rows = [{"doc_id": f"p{i}",
+             "text": prose + " " + " ".join(f"extra{i}word{j}" for j in range(15))}
+            for i in range(3)]  # unique 15-word tails keep them below the
+    # near-dup threshold while the shared prose keeps gopher_pass true
+    rows += [{"doc_id": "b0",
+              "text": "\n".join(f"- bullet {i} entry listing" for i in range(20))}]
+    rows += [{"doc_id": "s0", "text": "way too short with the and of that"}]
+    in_dir = str(tmp_path / "docs.parquet")
+    pd.DataFrame(rows).to_parquet(in_dir)
+
+    out_dir = str(tmp_path / "curated")
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--input", in_dir, "--output", out_dir, "--cpus", "8",
+         "--min-quality", "0.0", "--threshold", "0.95", "--gopher-rules"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+    # b0 (bullet spam, no stopwords, short) and s0 (word count) drop
+    assert stats["gopher_filtered"] == 2
+    assert (
+        stats["stages"]["curated"] + stats["quality_filtered"]
+        + stats["gopher_filtered"] + stats["lang_filtered"]
+        == stats["stages"]["near_dedup"]
+    )
+    out = pd.read_parquet(out_dir)
+    assert set(out.doc_id) == {"p0", "p1", "p2"}
+    assert out.gopher_pass.all()

@@ -675,3 +675,97 @@ def test_paragraph_dedup_matches_duckdb(spark, duck):
     assert "bp_only" not in by_id and "blank" not in by_id
     assert by_id["nulldoc"] is None                 # null text passes through
     assert by_id["clean"] == "Fully unique paragraph.\n\nAnother unique paragraph."
+
+
+def test_gopher_rules_match_duckdb(spark, duck):
+    """Gopher word-level rules vs an independent DuckDB recompute of all
+    seven columns (list/regex functions, not the Spark expressions)."""
+    from timeseriesvectordbpattermatcher_spark.operators.textstats import (
+        add_gopher_rules,
+    )
+
+    prose = ("the quick brown fox jumps over the lazy dog and then it ran "
+             "far away to have a rest with friends near the river that "
+             "flows beyond the hills while birds sing softly in the trees "
+             "and the evening light fades over quiet fields of grain "
+             "where farmers walk home slowly after work")  # > 50 words
+    rows = [
+        ("clean", prose),
+        ("short", "too short to pass the word count rule"),
+        ("bullets", "\n".join(f"- item {i} in a long bulleted list" for i in range(10))),
+        ("ellipsis", "so it goes...\nand more...\nthen silence…\nplain end"),
+        ("symbols", "# " * 30 + "hash heavy text with the and of that"),
+        ("numeric", " ".join(str(i) for i in range(60))),
+        ("nostops", " ".join(f"w{i}" for i in range(60))),
+        ("empty", ""),
+        ("nulldoc", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    cols = ["gopher_n_words", "symbol_word_ratio", "bullet_line_frac",
+            "ellipsis_line_frac", "alpha_word_frac", "gopher_stop_hits",
+            "gopher_pass"]
+    got = (
+        add_gopher_rules(df, min_words=50)
+        .select("doc_id", *cols)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+
+    import pandas as pd
+
+    duck.register("gq_docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = duck.sql(r"""
+      WITH base AS (
+        SELECT doc_id,
+          list_filter(regexp_split_to_array(coalesce(text,''), '\s+'),
+                      w -> w != '') AS ws,
+          list_filter(list_transform(string_split(coalesce(text,''), chr(10)),
+                      l -> trim(l)), l -> l != '') AS ls,
+          coalesce(text,'') AS t
+        FROM gq_docs)
+      SELECT doc_id,
+        len(ws) AS gopher_n_words,
+        (len(regexp_extract_all(t, '#'))
+          + len(regexp_extract_all(t, '(\.\.\.|…)'))) * 1.0
+          / greatest(len(ws), 1) AS symbol_word_ratio,
+        len(list_filter(ls, l -> regexp_matches(l, '^[-*•]'))) * 1.0
+          / greatest(len(ls), 1) AS bullet_line_frac,
+        len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$'))) * 1.0
+          / greatest(len(ls), 1) AS ellipsis_line_frac,
+        len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) * 1.0
+          / greatest(len(ws), 1) AS alpha_word_frac,
+        (CASE WHEN regexp_matches(lower(t), '\bthe\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(t), '\bbe\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(t), '\bto\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(t), '\bof\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(t), '\band\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(t), '\bthat\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(t), '\bhave\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(t), '\bwith\b') THEN 1 ELSE 0 END
+        ) AS gopher_stop_hits
+      FROM base ORDER BY doc_id
+    """).df().set_index("doc_id").sort_index()
+
+    for c in cols[:-1]:
+        for d in want.index:
+            g, w = got.loc[d, c], want.loc[d, c]
+            # NULL text: Spark signals are NULL except pass=False; DuckDB
+            # recomputes on '' — compare only where Spark is non-null
+            if g == g and g is not None:
+                assert abs(float(g) - float(w)) < 1e-12, (d, c, g, w)
+    # pass verdicts: independent python recompute of the thresholds
+    def want_pass(d):
+        r = want.loc[d]
+        return bool(
+            50 <= r.gopher_n_words <= 100_000
+            and r.symbol_word_ratio <= 0.1
+            and r.bullet_line_frac <= 0.9
+            and r.ellipsis_line_frac <= 0.3
+            and r.alpha_word_frac >= 0.8
+            and r.gopher_stop_hits >= 2
+        )
+    for d in want.index:
+        expect = False if d == "nulldoc" else want_pass(d)
+        assert bool(got.loc[d, "gopher_pass"]) == expect, d
+    assert bool(got.loc["clean", "gopher_pass"])
+    for d in ("short", "symbols", "numeric", "nostops", "empty", "nulldoc"):
+        assert not got.loc[d, "gopher_pass"], d

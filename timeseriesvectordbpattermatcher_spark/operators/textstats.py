@@ -227,3 +227,84 @@ def add_repetition_signals(
         .withColumn("top_ngram_char_frac", top_frac)
         .withColumn("dup_ngram_char_frac", dup_frac)
     )
+
+
+#: Gopher's required-stopword list (Rae et al. 2021 table A1): a doc must
+#: contain at least 2 of these to pass the rule set.
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def add_gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher word-level quality rules (Rae et al. 2021, table A1 — the
+    non-repetition half; :func:`add_repetition_signals` is the other):
+
+    - ``gopher_n_words``        — whitespace word count (raw split, NOT the
+      alphanumeric normalizer: bullet glyphs and symbols must count);
+    - ``symbol_word_ratio``     — ``#`` and ellipsis (``...`` / U+2026)
+      occurrences per word (Gopher drops > 0.1);
+    - ``bullet_line_frac``      — fraction of non-blank lines starting with
+      a bullet glyph (``-``, ``*``, U+2022) (drops > 0.9);
+    - ``ellipsis_line_frac``    — fraction of non-blank lines ending with an
+      ellipsis (drops > 0.3);
+    - ``alpha_word_frac``       — fraction of words containing at least one
+      ASCII letter (drops < 0.8);
+    - ``gopher_stop_hits``      — how many of the 8 required stopwords
+      appear (drops < 2);
+    - ``gopher_pass``           — all of the above plus
+      ``min_words <= n_words <= max_words``; NULL text fails.
+
+    Every signal is a pure codegen'd SQL expression over the row's own
+    text — no shuffle, no UDF, no corpus state — and each rule stays in
+    the Java-regex ∩ RE2 subset, so a DuckDB oracle reproduces all seven
+    columns exactly (tests/test_dedup_textstats.py).
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    n_lines = F.size(lines)
+    n_sym = F.regexp_count(t, F.lit("#")) + F.regexp_count(
+        t, F.lit(r"(\.\.\.|…)")
+    )
+    symbol_ratio = n_sym / F.greatest(n_words, F.lit(1))
+    bullet_frac = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^[-*•]"))
+    ) / F.greatest(n_lines, F.lit(1))
+    ellipsis_frac = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+    ) / F.greatest(n_lines, F.lit(1))
+    alpha_frac = F.size(
+        F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+    ) / F.greatest(n_words, F.lit(1))
+    lowered = F.lower(t)
+    stop_terms = [
+        F.when(lowered.rlike(rf"\b{s}\b"), 1).otherwise(0) for s in GOPHER_STOPS
+    ]
+    stop_hits = stop_terms[0]
+    for term in stop_terms[1:]:
+        stop_hits = stop_hits + term
+    gopher_pass = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return (
+        df.withColumn("gopher_n_words", n_words)
+        .withColumn("symbol_word_ratio", symbol_ratio)
+        .withColumn("bullet_line_frac", bullet_frac)
+        .withColumn("ellipsis_line_frac", ellipsis_frac)
+        .withColumn("alpha_word_frac", alpha_frac)
+        .withColumn("gopher_stop_hits", stop_hits)
+        .withColumn("gopher_pass", F.coalesce(gopher_pass, F.lit(False)))
+    )
