@@ -731,3 +731,69 @@ def test_bestfit_properties(spark):
     a = got.sort_values("doc_id").reset_index(drop=True)
     b = again.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_materialize_packs_matches_pure_python_oracle(spark):
+    from timeseriesvectordbpattermatcher_spark.operators.curation import (
+        materialize_packs,
+        pack_sequences,
+    )
+
+    # deterministic token arrays; one doc oversized, one empty, one NULL
+    rows = []
+    for i in range(120):
+        n = (i * 29) % 240 + 1
+        rows.append((f"d{i:04d}", list(range(i * 1000, i * 1000 + n)), n))
+    rows.append(("big0", list(range(900000, 900000 + 1500)), 1500))
+    rows.append(("emp0", [], 0))
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int"
+    ).unionByName(
+        spark.createDataFrame(
+            [("nul0", None, None)], "doc_id string, tokens array<int>, n_tok int"
+        )
+    )
+    budget, n_shards, seed = 512, 3, 0
+    packed = pack_sequences(df, budget=budget, n_shards=n_shards, seed=seed)
+    got = materialize_packs(packed, budget=budget, seed=seed).toPandas()
+
+    # ---- engine-free replay (pure-python XXH64) -------------------------
+    data = {r[0]: (r[1] or []) for r in rows}
+    data["nul0"] = []
+    shards = {}
+    for doc_id in data:
+        # pack_sequences(key_col=None) keeps the shard numeric
+        shards.setdefault(
+            _h_seed_str(seed + 1, doc_id) % n_shards, []
+        ).append(doc_id)
+    want = {}
+    for s, ids in shards.items():
+        ids.sort(key=lambda d: (_h_seed_str(seed, d), d))
+        cum = 0
+        packs = {}
+        for d in ids:
+            pid = cum // budget
+            packs.setdefault(pid, []).append((d, cum))
+            cum += len(data[d])
+        for pid, members in packs.items():
+            base = members[0][1]
+            toks = [t for d, _ in members for t in data[d]]
+            want[(s, pid)] = {
+                "doc_ids": [d for d, _ in members],
+                "doc_offsets": [off - base for _, off in members],
+                "tokens": toks[:budget],
+                "n_tok_packed": min(len(toks), budget),
+                "n_tok_dropped": max(len(toks) - budget, 0),
+            }
+
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        w = want[(r.pack_shard, r.pack_id)]
+        assert list(r.doc_ids) == w["doc_ids"], (r.pack_shard, r.pack_id)
+        assert list(r.doc_offsets) == w["doc_offsets"]
+        assert list(r.tokens) == w["tokens"]
+        assert r.n_tok_packed == w["n_tok_packed"]
+        assert r.n_tok_dropped == w["n_tok_dropped"]
+    # conservation: every input token is packed or dropped, none invented
+    total_in = sum(len(v) for v in data.values())
+    assert got.n_tok_packed.sum() + got.n_tok_dropped.sum() == total_in

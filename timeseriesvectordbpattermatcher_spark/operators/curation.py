@@ -288,6 +288,76 @@ def pack_sequences_bestfit(
     return out.groupBy("pack_shard").applyInPandas(_pack_one, schema=result_schema)
 
 
+def materialize_packs(
+    packed: DataFrame,
+    budget: int,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    truncate: bool = True,
+) -> DataFrame:
+    """Turn pack ASSIGNMENTS (:func:`pack_sequences` output) into actual
+    training examples: one row per pack with the concatenated token array.
+
+    Docs inside a pack concatenate in the same deterministic layout order
+    the packer used — ``(xxhash64(seed, id), id)`` — so the materialized
+    stream is exactly the stream whose boundaries defined the packs; pass
+    the packer's ``seed``. Output per (``pack_shard``, ``pack_id``):
+
+    - ``tokens``       — the pack's token stream, sliced to ``budget``
+      when ``truncate=True`` (the boundary-straddling tail doc loses its
+      overflow; training setups that roll the tail instead can set
+      ``truncate=False`` and split downstream);
+    - ``doc_ids``      — member doc ids in stream order;
+    - ``doc_offsets``  — each member's start index in the PRE-truncation
+      stream (0-based) — the attention-boundary / loss-masking input;
+    - ``n_tok_packed`` / ``n_tok_dropped`` — kept vs truncated tokens.
+
+    Scale: ONE Exchange keyed on (pack_shard, pack_id); the per-group
+    state is one pack's tokens (~budget + one doc by the packer's
+    overflow bound), so ``collect_list`` here is bounded by construction,
+    not by corpus size. NULL token arrays contribute nothing but their
+    doc id still appears (offset equal to the previous boundary).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    member = F.struct(
+        F.xxhash64(F.lit(seed), F.col(id_col)).alias("o"),
+        F.col(id_col).alias("i"),
+        F.coalesce(F.col(tokens_col), F.array().cast("array<int>")).alias("t"),
+    )
+    grouped = (
+        packed.groupBy("pack_shard", "pack_id")
+        .agg(F.sort_array(F.collect_list(member)).alias("_m"))
+    )
+    sizes = F.transform(F.col("_m"), lambda m: F.size(m["t"]))
+    # 0-based start offsets: running sum over member sizes, last dropped
+    offsets = F.slice(
+        F.aggregate(
+            sizes,
+            F.array(F.lit(0).cast("long")),
+            lambda acc, s: F.concat(
+                acc, F.array(F.element_at(acc, -1) + s.cast("long"))
+            ),
+        ),
+        1,
+        F.size(F.col("_m")),
+    )
+    flat = F.flatten(F.transform(F.col("_m"), lambda m: m["t"]))
+    total = F.size(flat)
+    kept = F.least(total, F.lit(budget)) if truncate else total
+    out_tokens = F.slice(flat, 1, kept) if truncate else flat
+    return grouped.select(
+        "pack_shard",
+        "pack_id",
+        out_tokens.alias("tokens"),
+        F.transform(F.col("_m"), lambda m: m["i"]).alias("doc_ids"),
+        offsets.alias("doc_offsets"),
+        kept.cast("long").alias("n_tok_packed"),
+        (total - kept).cast("long").alias("n_tok_dropped"),
+    )
+
+
 # --------------------------------------------------------------------------
 # incremental dedup against a persisted survivor store
 # --------------------------------------------------------------------------
