@@ -797,3 +797,138 @@ def test_materialize_packs_matches_pure_python_oracle(spark):
     # conservation: every input token is packed or dropped, none invented
     total_in = sum(len(v) for v in data.values())
     assert got.n_tok_packed.sum() + got.n_tok_dropped.sum() == total_in
+
+
+# --------------------------------------------------------------------------
+# temperature_mix
+# --------------------------------------------------------------------------
+
+
+def _mk_skewed(spark):
+    rows = []
+    for src, n in (("web", 400), ("books", 100), ("code", 25)):
+        for i in range(n):
+            rows.append((f"{src}-{i:05d}", src, 10 + (i % 7)))
+    return (
+        spark.createDataFrame(rows, "doc_id string, source string, n_tok int"),
+        rows,
+    )
+
+
+def test_temperature_mix_factors_match_formula(spark):
+    from timeseriesvectordbpattermatcher_spark.operators.curation import (
+        temperature_mix_factors,
+    )
+
+    df, rows = _mk_skewed(spark)
+    alpha = 0.3
+    sizes = {"web": 400.0, "books": 100.0, "code": 25.0}
+
+    got = temperature_mix_factors(df, alpha=alpha, anchor="min")
+    for k, n in sizes.items():
+        assert got[k] == pytest.approx((n / 25.0) ** (alpha - 1.0), rel=1e-12)
+    assert got["code"] == pytest.approx(1.0)
+    assert all(v <= 1.0 + 1e-12 for v in got.values())
+
+    got_max = temperature_mix_factors(df, alpha=alpha, anchor="max")
+    for k, n in sizes.items():
+        assert got_max[k] == pytest.approx((n / 400.0) ** (alpha - 1.0), rel=1e-12)
+    assert got_max["web"] == pytest.approx(1.0)
+    assert all(v >= 1.0 - 1e-12 for v in got_max.values())
+
+    # token-weighted shares use sum(n_tok), not row counts
+    tok_sizes = {}
+    for _, src, nt in rows:
+        tok_sizes[src] = tok_sizes.get(src, 0) + nt
+    got_tok = temperature_mix_factors(
+        df, alpha=alpha, anchor="min", size_col="n_tok"
+    )
+    ref = min(tok_sizes.values())
+    for k, n in tok_sizes.items():
+        assert got_tok[k] == pytest.approx((n / ref) ** (alpha - 1.0), rel=1e-12)
+
+    # alpha=1 is the identity mix
+    assert all(
+        v == pytest.approx(1.0)
+        for v in temperature_mix_factors(df, alpha=1.0).values()
+    )
+
+
+def test_temperature_mix_downsample_matches_replay(spark):
+    from timeseriesvectordbpattermatcher_spark.operators.curation import (
+        temperature_mix,
+        temperature_mix_factors,
+    )
+
+    df, rows = _mk_skewed(spark)
+    alpha, seed = 0.5, 9
+    fr = temperature_mix_factors(df, alpha=alpha, anchor="min")
+    want = sorted(
+        doc_id
+        for doc_id, src, _ in rows
+        if _h_seed_str(seed, doc_id) % SAMPLE_RESOLUTION
+        < round(min(1.0, fr[src]) * SAMPLE_RESOLUTION)
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in temperature_mix(df, alpha=alpha, seed=seed).collect()
+    )
+    assert got == want
+    # realized mix moved toward p^alpha: code kept whole, web thinned most
+    kept = {}
+    for d in got:
+        kept[d.split("-")[0]] = kept.get(d.split("-")[0], 0) + 1
+    assert kept["code"] == 25
+    assert kept["web"] / 400 < kept["books"] / 100 < 1.0 + 1e-12
+
+
+def test_temperature_mix_epoch_matches_replay(spark):
+    from timeseriesvectordbpattermatcher_spark.operators.curation import (
+        temperature_mix,
+        temperature_mix_factors,
+    )
+
+    df, rows = _mk_skewed(spark)
+    alpha, seed = 0.3, 4
+    fac = temperature_mix_factors(df, alpha=alpha, anchor="max")
+    assert fac["web"] == pytest.approx(1.0)
+
+    import math
+
+    want = {}
+    for doc_id, src, _ in rows:
+        f = fac[src]
+        n = int(math.floor(f))
+        u = _h_seed_str(seed, doc_id) % SAMPLE_RESOLUTION
+        if u < round((f - math.floor(f)) * SAMPLE_RESOLUTION):
+            n += 1
+        if n:
+            want[doc_id] = n
+    got = {}
+    out = temperature_mix(df, alpha=alpha, mode="epoch", seed=seed).collect()
+    for r in out:
+        got[r["doc_id"]] = got.get(r["doc_id"], 0) + 1
+        assert 0 <= r["epoch"] < want[r["doc_id"]]
+    assert got == want
+    # small sources replicate, the anchor source never does
+    assert all(got[d] == 1 for d in got if d.startswith("web-"))
+    assert any(got[d] > 1 for d in got if d.startswith("code-"))
+
+
+def test_temperature_mix_rejects_bad_params(spark):
+    from timeseriesvectordbpattermatcher_spark.operators.curation import (
+        temperature_mix,
+        temperature_mix_factors,
+    )
+
+    df, _ = _mk_skewed(spark)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix_factors(df, alpha=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix_factors(df, alpha=1.5)
+    with pytest.raises(ValueError, match="anchor"):
+        temperature_mix_factors(df, anchor="median")
+    with pytest.raises(ValueError, match="mode"):
+        temperature_mix(df, mode="resample")
+    empty = df.filter("1=0")
+    assert temperature_mix_factors(empty) == {}

@@ -643,6 +643,99 @@ def upsample_stratified(
     return df.withColumn("epoch", F.explode(copies))
 
 
+def temperature_mix_factors(
+    df: DataFrame,
+    *,
+    alpha: float = 0.3,
+    source_col: str = "source",
+    size_col: str | None = None,
+    anchor: str = "min",
+) -> dict[str, float]:
+    """Per-source temperature-mixing factors ``(p_i / p_anchor)^(alpha-1)``.
+
+    The multilingual-pretraining mix rule (exponentiated smoothing, used
+    by mBERT/XLM-R and most data-mixture recipes): with natural source
+    shares ``p_i``, sample so realized shares follow ``q_i ∝ p_i^alpha``
+    — ``alpha=1`` keeps the natural mix, ``alpha→0`` approaches uniform,
+    boosting small sources. Since ``q_i/p_i ∝ p_i^(alpha-1)``, the
+    per-source factor anchored at source ``a`` is
+    ``(p_i/p_a)^(alpha-1)``:
+
+    - ``anchor="min"`` — the SMALLEST source gets factor 1.0 and every
+      other factor is <= 1: a pure downsampling mix, feed to
+      :func:`sample_stratified`.
+    - ``anchor="max"`` — the LARGEST source gets 1.0 and every other
+      factor is >= 1: an epoch-replication mix, feed to
+      :func:`upsample_stratified` (small sources run multiple epochs,
+      the standard trade when you can't afford to throw data away).
+
+    ``size_col`` weights shares by that column's sum (pass ``"n_tok"``
+    for token-weighted shares) instead of row counts. Sources with zero
+    total size are excluded (no rows to sample anyway).
+
+    Scale: one Exchange bounded by the number of sources, then a collect
+    of one row per source — a training mix has tens of sources, so the
+    driver holds a dict, same contract as every ``fractions``/``factors``
+    argument in this module.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if anchor not in ("min", "max"):
+        raise ValueError(f"anchor must be 'min' or 'max', got {anchor!r}")
+    size = F.sum(size_col) if size_col else F.count(F.lit(1))
+    sizes = {
+        r["k"]: float(r["n"])
+        for r in df.groupBy(F.col(source_col).alias("k"))
+        .agg(size.cast("double").alias("n"))
+        .collect()
+        if r["n"] and r["n"] > 0
+    }
+    if not sizes:
+        return {}
+    ref = min(sizes.values()) if anchor == "min" else max(sizes.values())
+    return {k: (n / ref) ** (alpha - 1.0) for k, n in sorted(sizes.items())}
+
+
+def temperature_mix(
+    df: DataFrame,
+    *,
+    alpha: float = 0.3,
+    mode: str = "downsample",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    size_col: str | None = None,
+) -> DataFrame:
+    """Apply a temperature-``alpha`` source mix in one call.
+
+    ``mode="downsample"`` thins large sources toward ``q_i ∝ p_i^alpha``
+    via :func:`sample_stratified` (zero shuffle, no duplication);
+    ``mode="epoch"`` replicates small sources instead via
+    :func:`upsample_stratified` (adds the ``epoch`` column — spread the
+    copies with :func:`shuffle_deterministic`, ``salt_cols=["epoch"]``).
+    Both are deterministic in ``seed`` and corpus content.
+    """
+    if mode == "downsample":
+        fr = temperature_mix_factors(
+            df, alpha=alpha, source_col=source_col, size_col=size_col,
+            anchor="min",
+        )
+        # factors are <=1 by construction; guard float dust
+        fr = {k: min(1.0, v) for k, v in fr.items()}
+        return sample_stratified(
+            df, fr, key_col=source_col, id_col=id_col, seed=seed
+        )
+    if mode == "epoch":
+        fac = temperature_mix_factors(
+            df, alpha=alpha, source_col=source_col, size_col=size_col,
+            anchor="max",
+        )
+        return upsample_stratified(
+            df, fac, key_col=source_col, id_col=id_col, seed=seed
+        )
+    raise ValueError(f"mode must be 'downsample' or 'epoch', got {mode!r}")
+
+
 def assign_splits(
     df: DataFrame,
     weights: dict[str, float],
