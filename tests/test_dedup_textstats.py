@@ -769,3 +769,122 @@ def test_gopher_rules_match_duckdb(spark, duck):
     assert bool(got.loc["clean", "gopher_pass"])
     for d in ("short", "symbols", "numeric", "nostops", "empty", "nulldoc"):
         assert not got.loc[d, "gopher_pass"], d
+
+
+def test_c4_line_clean_matches_duckdb(spark, duck):
+    """C4 line-level cleanup vs an independent DuckDB recompute."""
+    from timeseriesvectordbpattermatcher_spark.operators.textstats import (
+        c4_line_clean,
+    )
+
+    rows = [
+        ("keep", "This line has enough words and ends well.\n"
+                 "short line.\n"
+                 "This javascript warning line would otherwise survive here.\n"
+                 "No terminal punctuation on this long enough line\n"
+                 'A quoted ending line with plenty of words here."'),
+        ("empty", ""),
+        ("nulldoc", None),
+        ("allbad", "nope\nstill nope\ntiny.\n"),
+        ("exclaim", "An exclamation line with quite enough words here!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = (
+        c4_line_clean(df, min_line_words=5)
+        .select("doc_id", "text_c4", "c4_lines_kept", "c4_lines_removed")
+        .toPandas().set_index("doc_id").sort_index()
+    )
+
+    import pandas as pd
+
+    duck.register("c4l_docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = duck.sql(r"""
+      WITH base AS (
+        SELECT doc_id, text,
+          list_transform(string_split(text, chr(10)), l -> trim(l)) AS ls
+        FROM c4l_docs),
+      f AS (
+        SELECT doc_id, text,
+          list_filter(ls, l ->
+            regexp_matches(l, '[.!?"]$')
+            AND len(list_filter(regexp_split_to_array(l, '\s+'),
+                                w -> w != '')) >= 5
+            AND NOT regexp_matches(lower(l), '\bjavascript\b')) AS keep,
+          list_filter(ls, l -> l != '') AS nonblank
+        FROM base)
+      SELECT doc_id,
+        CASE WHEN text IS NULL THEN NULL
+             ELSE coalesce(array_to_string(keep, chr(10)), '') END AS text_c4,
+        coalesce(len(keep), 0) AS c4_lines_kept,
+        coalesce(len(nonblank) - len(keep), 0) AS c4_lines_removed
+      FROM f
+    """).df().set_index("doc_id").sort_index()
+
+    for doc in got.index:
+        for c in ("text_c4", "c4_lines_kept", "c4_lines_removed"):
+            g, w = got.loc[doc, c], want.loc[doc, c]
+            assert (pd.isna(g) and pd.isna(w)) or g == w, (doc, c, g, w)
+
+    # the kept set is exactly the compliant lines
+    kept = got.loc["keep", "text_c4"].split("\n")
+    assert kept == [
+        "This line has enough words and ends well.",
+        'A quoted ending line with plenty of words here."',
+    ]
+    assert got.loc["keep", "c4_lines_removed"] == 3
+
+
+def test_c4_rules_match_duckdb(spark, duck):
+    """C4 document-level rules vs an independent DuckDB recompute."""
+    from timeseriesvectordbpattermatcher_spark.operators.textstats import (
+        add_c4_rules,
+    )
+
+    rows = [
+        ("clean", "One full sentence here. Another one follows! A third?"),
+        ("short", "Only one sentence lives here."),
+        ("lorem", "Lorem ipsum dolor sit amet. More text. And more."),
+        ("brace", "Some config { nested } here. Two more. Sentences!"),
+        ("bad", "This text says badx once. Another sentence. And more."),
+        ("empty", ""),
+        ("nulldoc", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    cols = ["c4_n_sentences", "c4_has_lorem", "c4_has_brace",
+            "c4_bad_hits", "c4_pass"]
+    got = (
+        add_c4_rules(df, min_sentences=3, badwords=["badx", "evily"])
+        .select("doc_id", *cols)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+
+    import pandas as pd
+
+    duck.register("c4r_docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = duck.sql(r"""
+      SELECT doc_id,
+        len(regexp_extract_all(text, '[.!?](\s|$)')) AS c4_n_sentences,
+        contains(lower(text), 'lorem ipsum') AS c4_has_lorem,
+        contains(text, '{') AS c4_has_brace,
+        (CASE WHEN regexp_matches(lower(text), '\bbadx\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\bevily\b') THEN 1 ELSE 0 END
+        ) AS c4_bad_hits,
+        coalesce(
+          len(regexp_extract_all(text, '[.!?](\s|$)')) >= 3
+          AND NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{')
+          AND NOT (regexp_matches(lower(text), '\bbadx\b')
+                   OR regexp_matches(lower(text), '\bevily\b')),
+          FALSE) AS c4_pass
+      FROM c4r_docs
+    """).df().set_index("doc_id").sort_index()
+
+    for doc in got.index:
+        for c in cols:
+            g, w = got.loc[doc, c], want.loc[doc, c]
+            assert (pd.isna(g) and pd.isna(w)) or g == w, (doc, c, g, w)
+    assert bool(got.loc["clean", "c4_pass"])
+    assert not any(
+        got.loc[d, "c4_pass"]
+        for d in ("short", "lorem", "brace", "bad", "empty", "nulldoc")
+    )

@@ -308,3 +308,97 @@ def add_gopher_rules(
         .withColumn("gopher_stop_hits", stop_hits)
         .withColumn("gopher_pass", F.coalesce(gopher_pass, F.lit(False)))
     )
+
+
+def c4_line_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 5,
+) -> DataFrame:
+    """C4's line-level cleanup (Raffel et al. 2020, §2.2): rebuild each
+    document from only the lines that
+
+    - end in a terminal punctuation mark (``.`` ``!`` ``?`` ``"``);
+    - have at least ``min_line_words`` whitespace words;
+    - do not contain the word ``javascript`` (case-insensitive) —
+      C4's cookie/JS-warning boilerplate tell.
+
+    Appends ``text_c4`` (kept lines re-joined with newlines; NULL when
+    the input text is NULL, empty string when no line survives),
+    ``c4_lines_kept`` and ``c4_lines_removed``. Pair with
+    :func:`add_c4_rules` on the CLEANED column for the document-level
+    drops — C4 cleans lines first, then discards pages.
+
+    Pure codegen'd array/regex expressions over the row's own text — no
+    shuffle, no UDF — and DuckDB-exact (tests/test_dedup_textstats.py).
+    """
+    t = F.col(text_col)
+    lines = F.transform(F.split(t, "\n"), lambda l: F.trim(l))
+    keep = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"]$')
+        & (F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+           >= min_line_words)
+        & ~F.lower(l).rlike(r"\bjavascript\b"),
+    )
+    n_all = F.size(F.filter(lines, lambda l: l != ""))
+    n_keep = F.size(keep)
+    return (
+        df.withColumn("text_c4", F.concat_ws("\n", keep))
+        .withColumn("c4_lines_kept", F.coalesce(n_keep, F.lit(0)))
+        .withColumn(
+            "c4_lines_removed", F.coalesce(n_all - n_keep, F.lit(0))
+        )
+        # concat_ws on a NULL array yields '' — restore NULL-in/NULL-out
+        .withColumn(
+            "text_c4", F.when(t.isNotNull(), F.col("text_c4"))
+        )
+    )
+
+
+def add_c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_sentences: int = 3,
+    badwords: list[str] | None = None,
+) -> DataFrame:
+    """C4's document-level drop rules (Raffel et al. 2020, §2.2):
+
+    - ``c4_n_sentences`` — terminal-punctuation sentence count
+      (occurrences of ``. ! ?`` at a word end); pages with fewer than
+      ``min_sentences`` drop;
+    - ``c4_has_lorem``   — contains "lorem ipsum" (placeholder text);
+    - ``c4_has_brace``   — contains ``{`` (leaked code/templates);
+    - ``c4_bad_hits``    — how many of ``badwords`` appear (whole-word,
+      case-insensitive). C4 uses the public "bad words" blocklist; none
+      ships here, so the list is a parameter and defaults to empty;
+    - ``c4_pass``        — all of the above; False (never NULL) on NULL
+      text.
+
+    Pure per-row SQL expressions, DuckDB-exact. Run AFTER
+    :func:`c4_line_clean` (pass ``text_col="text_c4"``) to reproduce the
+    C4 order: clean lines, then drop pages.
+    """
+    t = F.col(text_col)
+    n_sent = F.regexp_count(t, F.lit(r"[.!?](\s|$)"))
+    lowered = F.lower(t)
+    has_lorem = lowered.contains("lorem ipsum")
+    has_brace = t.contains("{")
+    bad_hits = F.lit(0)
+    for w in sorted(badwords or []):
+        bad_hits = bad_hits + F.when(
+            lowered.rlike(rf"\b{w.lower()}\b"), 1
+        ).otherwise(0)
+    c4_pass = (
+        (n_sent >= min_sentences)
+        & ~has_lorem
+        & ~has_brace
+        & (bad_hits == 0)
+    )
+    return (
+        df.withColumn("c4_n_sentences", n_sent)
+        .withColumn("c4_has_lorem", has_lorem)
+        .withColumn("c4_has_brace", has_brace)
+        .withColumn("c4_bad_hits", bad_hits)
+        .withColumn("c4_pass", F.coalesce(c4_pass, F.lit(False)))
+    )
