@@ -4,6 +4,10 @@ would run them.
 
     raw docs
       -> [--html-input]       (regex HTML->text extraction, narrow)
+      -> [--c4-clean]         (C4 line cleanup: rebuild docs from lines
+                               ending in terminal punctuation with enough
+                               words and no 'javascript'; runs BEFORE
+                               dedup, the C4 order)
       -> [--block-domains]    (canonical-host block filter; zero shuffle)
       -> [--url-dedup]        (keep-first per canonical URL — the cheap
                                crawl pre-filter; needs a url column)
@@ -33,6 +37,13 @@ would run them.
                                docs counted, rows never dropped)
       -> [--sample]           (deterministic per-source keep fractions —
                                hash of doc_id, zero shuffle)
+      -> [--mix-alpha]        (temperature mixing toward q_i ∝ p_i^alpha:
+                               downsample mode thins large sources, epoch
+                               mode replicates small ones; factors audited
+                               in the stats line)
+      -> [--dsir-target/-k]   (DSIR importance resampling toward a target
+                               corpus: hashed n-gram log-weights, Gumbel
+                               top-k — selects exactly k docs)
       -> [--pack-budget]      (fixed-token training packs: one window
                                cumsum per source shard)
       -> [--shuffle-seed]     (reproducible global training order via a
@@ -174,6 +185,23 @@ def main() -> int:
                          "required stopwords) and keep gopher_pass rows")
     ap.add_argument("--gopher-min-words", type=int, default=50,
                     help="Gopher word-count lower bound (with --gopher-rules)")
+    ap.add_argument("--c4-clean", action="store_true",
+                    help="C4 line-level cleanup before any dedup: rebuild "
+                         "each doc from lines that end in terminal "
+                         "punctuation, have >= --c4-min-line-words words, "
+                         "and don't mention javascript")
+    ap.add_argument("--c4-min-line-words", type=int, default=5,
+                    help="C4 per-line word minimum (with --c4-clean)")
+    ap.add_argument("--c4-rules", action="store_true",
+                    help="apply the C4 document-level drops (sentence "
+                         "count, lorem ipsum, curly brace, badword list) "
+                         "and keep c4_pass rows")
+    ap.add_argument("--c4-min-sentences", type=int, default=3,
+                    help="C4 sentence-count lower bound (with --c4-rules)")
+    ap.add_argument("--c4-badwords", default="",
+                    help="comma-separated whole-word blocklist for "
+                         "--c4-rules (C4 uses the public badwords list; "
+                         "none ships here)")
     ap.add_argument("--max-ppl", type=float, default=None,
                     help="drop docs whose hashed-bigram LM perplexity "
                          "exceeds this (CCNet-style gate; unset = off; "
@@ -196,6 +224,23 @@ def main() -> int:
                     help="scrub emails/SSNs/cards/IPs/phones to typed "
                          "placeholder tokens after filtering/decontam "
                          "(stats report affected docs + match count)")
+    ap.add_argument("--mix-alpha", type=float, default=None,
+                    help="temperature-alpha source mixing toward "
+                         "q_i ∝ p_i^alpha (needs a source column; "
+                         "alpha in (0,1], 1 = natural mix)")
+    ap.add_argument("--mix-mode", default="downsample",
+                    choices=["downsample", "epoch"],
+                    help="mix by thinning large sources (downsample) or "
+                         "replicating small ones (epoch; adds an epoch "
+                         "column and the shuffle salts on it)")
+    ap.add_argument("--dsir-target", default="",
+                    help="parquet dir of target-domain docs(text); "
+                         "enables DSIR importance resampling toward it")
+    ap.add_argument("--dsir-k", type=int, default=0,
+                    help="number of documents DSIR selects (required "
+                         "with --dsir-target)")
+    ap.add_argument("--dsir-buckets", type=int, default=1 << 18,
+                    help="hashed n-gram vocabulary size for DSIR")
     ap.add_argument("--shuffle-seed", type=int, default=None,
                     help="write the curated corpus in a deterministic "
                          "hash-shuffled training order (omit = keep "
@@ -240,6 +285,27 @@ def main() -> int:
         docs = extract_text(docs).drop("html")
 
     stats: dict = {"stages": {}}
+    if args.c4_clean:
+        # C4's order: clean lines FIRST, then dedup/filter the cleaned
+        # text. A transform, not a drop — row count is unchanged, so it
+        # reports docs touched + lines removed instead of a stage count.
+        from timeseriesvectordbpattermatcher_spark.operators.textstats import (
+            c4_line_clean,
+        )
+
+        cleaned = _materialize(
+            c4_line_clean(docs, min_line_words=args.c4_min_line_words)
+        )
+        agg = cleaned.agg(
+            F.sum("c4_lines_removed").alias("lines"),
+            F.sum((F.col("c4_lines_removed") > 0).cast("long")).alias("docs"),
+        ).collect()[0]
+        stats["c4_lines_removed"] = int(agg["lines"] or 0)
+        stats["c4_docs_cleaned"] = int(agg["docs"] or 0)
+        docs = (
+            cleaned.drop("text", "c4_lines_kept", "c4_lines_removed")
+            .withColumnRenamed("text_c4", "text")
+        )
     keep_cols = ["doc_id", "text"] + [
         c for c in ("source", "url") if c in docs.columns
     ]
@@ -349,6 +415,19 @@ def main() -> int:
         )
         gopher_ok = F.col("gopher_pass")  # already null-safe (False on NULL)
         keep = keep & gopher_ok
+    c4_ok = None
+    if args.c4_rules:
+        from timeseriesvectordbpattermatcher_spark.operators.textstats import (
+            add_c4_rules,
+        )
+
+        analyzed = add_c4_rules(
+            analyzed,
+            min_sentences=args.c4_min_sentences,
+            badwords=[w for w in args.c4_badwords.split(",") if w],
+        )
+        c4_ok = F.col("c4_pass")  # already null-safe (False on NULL)
+        keep = keep & c4_ok
     clf_ok = None
     if args.clf_weights:
         from timeseriesvectordbpattermatcher_spark.operators.classifier import (
@@ -430,6 +509,47 @@ def main() -> int:
             final, fractions, key_col="source",
             default_fraction=args.sample_default,
         )
+    if args.mix_alpha is not None:
+        from timeseriesvectordbpattermatcher_spark.operators.curation import (
+            temperature_mix,
+            temperature_mix_factors,
+        )
+
+        if "source" not in final.columns:
+            ap.error("--mix-alpha needs a source column in the input")
+        # record the factors the mix applied — they're the audit trail
+        # for "why did web shrink 4x" questions
+        anchor = "min" if args.mix_mode == "downsample" else "max"
+        stats["mix_factors"] = {
+            k: round(v, 6)
+            for k, v in temperature_mix_factors(
+                final, alpha=args.mix_alpha, anchor=anchor
+            ).items()
+        }
+        final = temperature_mix(
+            final, alpha=args.mix_alpha, mode=args.mix_mode
+        )
+    if bool(args.dsir_target) != bool(args.dsir_k):
+        ap.error("--dsir-target and --dsir-k go together")
+    if args.dsir_target:
+        from timeseriesvectordbpattermatcher_spark.operators.dsir import (
+            dsir_log_weight,
+            dsir_resample,
+        )
+        from timeseriesvectordbpattermatcher_spark.operators.lm import (
+            train_bigram_counts,
+        )
+
+        target = spark.read.parquet(args.dsir_target)
+        tc = train_bigram_counts(target, n_buckets=args.dsir_buckets)
+        # q is the distribution of the corpus being selected FROM — for
+        # importance weights that self-training is the definition, unlike
+        # the ppl gate where it is a footgun
+        qc = train_bigram_counts(final, n_buckets=args.dsir_buckets)
+        final = dsir_resample(
+            dsir_log_weight(final, tc, qc, n_buckets=args.dsir_buckets),
+            args.dsir_k,
+        ).drop("dsir_logw", "dsir_key")
     if args.pack_budget:
         from timeseriesvectordbpattermatcher_spark.operators.curation import (
             pack_sequences,
@@ -445,7 +565,13 @@ def main() -> int:
             shuffle_deterministic,
         )
 
-        final = shuffle_deterministic(final, seed=args.shuffle_seed)
+        final = shuffle_deterministic(
+            final,
+            seed=args.shuffle_seed,
+            # epoch-mode mixing replicates doc_ids — salt the order hash
+            # so a doc's copies spread instead of clumping adjacent
+            salt_cols=["epoch"] if "epoch" in final.columns else None,
+        )
 
     final.write.mode("overwrite").parquet(args.output)
     out = spark.read.parquet(args.output)
@@ -453,9 +579,12 @@ def main() -> int:
     # reconciliation below depends on it); "sampled" is the written count
     # when a sampling stage ran (pack/shuffle never change row counts,
     # decontamination drops are counted separately above)
-    row_changing = bool(args.sample or args.decontaminate)
+    row_changing = bool(
+        args.sample or args.decontaminate
+        or args.mix_alpha is not None or args.dsir_k
+    )
     stats["stages"]["curated"] = curated.count() if row_changing else out.count()
-    if args.sample:
+    if args.sample or args.mix_alpha is not None or args.dsir_k:
         stats["stages"]["sampled"] = out.count()
     # split the filter attribution: quality drops vs language drops (an
     # operator tuning --min-quality must not be shown language casualties).
@@ -488,6 +617,13 @@ def main() -> int:
             analyzed.filter(prior_ok & ~gopher_ok).count()
         )
         prior_ok = prior_ok & gopher_ok
+    # C4 document drops attributed next (among all prior passers);
+    # c4_pass is already False (never NULL) on NULL text
+    if c4_ok is not None:
+        stats["c4_filtered"] = int(
+            analyzed.filter(prior_ok & ~c4_ok).count()
+        )
+        prior_ok = prior_ok & c4_ok
     # classifier drops attributed next, keeping each doc in exactly one
     # bucket
     if clf_ok is not None:
@@ -507,7 +643,7 @@ def main() -> int:
         stats["stages"]["near_dedup"] - stats["stages"]["curated"]
         - stats["quality_filtered"] - stats.get("repetition_filtered", 0)
         - stats.get("clf_filtered", 0) - stats.get("ppl_filtered", 0)
-        - stats.get("gopher_filtered", 0)
+        - stats.get("gopher_filtered", 0) - stats.get("c4_filtered", 0)
         if langs else 0
     )
     stats["wall_sec"] = round(time.time() - t0, 2)

@@ -461,3 +461,148 @@ def test_corpus_job_gopher_rules(tmp_path):
     out = pd.read_parquet(out_dir)
     assert set(out.doc_id) == {"p0", "p1", "p2"}
     assert out.gopher_pass.all()
+
+
+def test_corpus_job_mix_and_dsir(tmp_path):
+    """--mix-alpha (both modes) and --dsir-target/--dsir-k wire into the
+    late-stage pipeline: factors are audited in the stats line, epoch
+    mode replicates, DSIR selects exactly k curated docs."""
+    import pandas as pd
+
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="8")
+    base_dir = str(tmp_path / "base")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--synthetic-docs", "600", "--output", base_dir, "--cpus", "8"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    base = pd.read_parquet(base_dir)
+
+    # downsample mix: factors audited, web (the largest source) thinned,
+    # smallest source kept whole
+    mix_dir = str(tmp_path / "mixed")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--synthetic-docs", "600", "--output", mix_dir, "--cpus", "8",
+         "--mix-alpha", "0.5"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    fac = stats["mix_factors"]
+    assert set(fac) == {"web", "books", "code"}
+    assert max(fac.values()) == 1.0 and min(fac.values()) < 1.0
+    mixed = pd.read_parquet(mix_dir)
+    assert stats["stages"]["sampled"] == len(mixed)
+    n_base = base["source"].value_counts()
+    n_mix = mixed["source"].value_counts()
+    small = n_base.idxmin()
+    assert n_mix[small] == n_base[small]      # smallest source kept whole
+    assert n_mix["web"] < n_base["web"]       # largest source thinned
+
+    # epoch mix replicates small sources and salts the shuffle on epoch
+    epoch_dir = str(tmp_path / "epoch")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--synthetic-docs", "600", "--output", epoch_dir, "--cpus", "8",
+         "--mix-alpha", "0.5", "--mix-mode", "epoch", "--shuffle-seed", "3"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    ep = pd.read_parquet(epoch_dir)
+    assert "epoch" in ep.columns
+    assert len(ep) > len(base)                # replication grew the corpus
+    assert (ep[ep["source"] == "web"].groupby("doc_id").size() == 1).all()
+
+    # DSIR selects exactly k docs, all from the curated population
+    dsir_dir = str(tmp_path / "dsir")
+    target_dir = str(tmp_path / "target")
+    base.head(30)[["doc_id", "text"]].to_parquet(
+        os.path.join(tmp_path, "target"), index=False
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--synthetic-docs", "600", "--output", dsir_dir, "--cpus", "8",
+         "--dsir-target", target_dir, "--dsir-k", "50"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    sel = pd.read_parquet(dsir_dir)
+    assert len(sel) == 50 == stats["stages"]["sampled"]
+    assert set(sel["doc_id"]) <= set(base["doc_id"])
+    assert "dsir_logw" not in sel.columns and "dsir_key" not in sel.columns
+
+    # --dsir-target without --dsir-k is a usage error, not a silent no-op
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--synthetic-docs", "100", "--output", str(tmp_path / "x"),
+         "--cpus", "8", "--dsir-target", target_dir],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode != 0
+
+
+def test_corpus_job_c4_gates(tmp_path):
+    """--c4-clean rewrites docs from compliant lines before any dedup
+    (lines removed + docs touched audited) and --c4-rules drops pages in
+    its own attribution bucket that reconciles with the stage counts."""
+    import pandas as pd
+
+    prose_line = ("The quick brown fox jumps over the lazy dog and then "
+                  "runs far away to rest near the quiet river tonight.")
+    rows = [
+        # three keepers: enough clean sentences, unique tails dodge near-dup
+        {"doc_id": f"k{i}",
+         "text": "\n".join(
+             prose_line.replace("fox", f"fox{i}word{j}") for j in range(4))}
+        for i in range(3)
+    ]
+    # boilerplate doc: one good line + junk lines that --c4-clean strips,
+    # leaving < 3 sentences so --c4-rules drops it
+    rows += [{"doc_id": "boiler",
+              "text": prose_line + "\n"
+              "Enable javascript to view this site with all the features.\n"
+              "cookies\n"
+              "menu home about contact login"}]
+    # brace doc: clean lines but a curly brace -> c4_rules drop
+    rows += [{"doc_id": "brace",
+              "text": "\n".join(
+                  prose_line.replace("dog", "dog{" + str(j) + "}")
+                  for j in range(4))}]
+    in_dir = str(tmp_path / "docs.parquet")
+    pd.DataFrame(rows).to_parquet(in_dir)
+
+    out_dir = str(tmp_path / "curated")
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--input", in_dir, "--output", out_dir, "--cpus", "8",
+         "--min-quality", "0.0", "--threshold", "0.95",
+         "--c4-clean", "--c4-rules"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    # line clean touched only the boilerplate doc: 3 junk lines removed
+    assert stats["c4_docs_cleaned"] == 1
+    assert stats["c4_lines_removed"] == 3
+    # document rules dropped boiler (1 sentence left) and brace
+    assert stats["c4_filtered"] == 2
+    assert (
+        stats["stages"]["curated"] + stats["quality_filtered"]
+        + stats["c4_filtered"] + stats["lang_filtered"]
+        == stats["stages"]["near_dedup"]
+    )
+    out = pd.read_parquet(out_dir)
+    assert set(out.doc_id) == {"k0", "k1", "k2"}
+    assert out.c4_pass.all()
+    # the cleaned text is what got written: no javascript line survives
+    assert not out.text.str.contains("javascript").any()
