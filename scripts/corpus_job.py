@@ -32,6 +32,11 @@ would run them.
       -> [--max-ppl]          (CCNet-style LM gate: hashed-bigram
                                perplexity vs --lm-ref, broadcast count
                                joins; high-ppl docs drop)
+      -> [--ppl-buckets]      (CCNet head/middle/tail split per language
+                               over the survivors — approx-percentile
+                               cut points, no per-language window;
+                               --keep-ppl-buckets head,middle drops the
+                               rest with its own attribution bucket)
       -> [--redact-pii]       (emails/SSNs/cards/IPs/phones -> typed
                                placeholder tokens; pure regex projection,
                                docs counted, rows never dropped)
@@ -212,6 +217,14 @@ def main() -> int:
                          "--max-ppl)")
     ap.add_argument("--lm-buckets", type=int, default=1 << 18,
                     help="LM hash-bucket count (train and score share it)")
+    ap.add_argument("--ppl-buckets", action="store_true",
+                    help="annotate curated docs with CCNet head/middle/"
+                         "tail perplexity buckets per predicted language "
+                         "(needs --lm-ref; approx-percentile scale mode)")
+    ap.add_argument("--keep-ppl-buckets", default="",
+                    help="comma list of buckets to keep (e.g. "
+                         "head,middle — CCNet's training choice); empty "
+                         "= annotate only, drop nothing")
     ap.add_argument("--lm-lambda", type=float, default=0.9,
                     help="Jelinek-Mercer bigram interpolation weight")
     ap.add_argument("--url-dedup", action="store_true",
@@ -441,7 +454,7 @@ def main() -> int:
         clf_ok = F.col("clf_score") >= args.min_clf_score
         keep = keep & clf_ok
     ppl_ok = None
-    if args.max_ppl is not None:
+    if args.max_ppl is not None or args.ppl_buckets:
         from timeseriesvectordbpattermatcher_spark.operators.lm import (
             add_perplexity,
             train_bigram_counts,
@@ -453,16 +466,40 @@ def main() -> int:
         # even one-off gibberish predicts itself with probability ~lambda
         # and scores ppl ~1/lambda — the gate would pass everything.
         if not args.lm_ref:
-            ap.error("--max-ppl needs --lm-ref (a held-out reference "
-                     "corpus parquet with a text column)")
+            ap.error("--max-ppl/--ppl-buckets need --lm-ref (a held-out "
+                     "reference corpus parquet with a text column)")
         ref = spark.read.parquet(args.lm_ref)
         counts = train_bigram_counts(ref, n_buckets=args.lm_buckets)
         analyzed = add_perplexity(
             analyzed, counts, n_buckets=args.lm_buckets, lam=args.lm_lambda
         )
-        ppl_ok = F.col("ppl") <= args.max_ppl
-        keep = keep & ppl_ok
+        if args.max_ppl is not None:
+            ppl_ok = F.col("ppl") <= args.max_ppl
+            keep = keep & ppl_ok
     curated = analyzed.filter(keep)
+    if args.ppl_buckets:
+        from timeseriesvectordbpattermatcher_spark.operators.lm import (
+            ppl_buckets,
+        )
+
+        # buckets are quantiles of the SURVIVORS per predicted language
+        # (the CCNet shape: split what you'd train on, not what you
+        # dropped), scale mode — no per-language window
+        curated = ppl_buckets(curated, by="lang_pred", exact=False)
+        stats["ppl_bucket_counts"] = {
+            (r["ppl_bucket"] or "null"): r["n"]
+            for r in curated.groupBy("ppl_bucket")
+            .agg(F.count("*").alias("n")).collect()
+        }
+        kept_buckets = [b for b in args.keep_ppl_buckets.split(",") if b]
+        if kept_buckets:
+            curated = curated.filter(F.col("ppl_bucket").isin(kept_buckets))
+            # drops derived from the (already collected) bucket counts —
+            # NULL buckets (NULL ppl) fail isin and drop too
+            stats["ppl_bucket_filtered"] = sum(
+                n for b, n in stats["ppl_bucket_counts"].items()
+                if b not in kept_buckets
+            )
 
     # optional late stages: source-mix sampling -> token-budget packing ->
     # deterministic training-order shuffle (operators/curation.py). All
@@ -644,6 +681,7 @@ def main() -> int:
         - stats["quality_filtered"] - stats.get("repetition_filtered", 0)
         - stats.get("clf_filtered", 0) - stats.get("ppl_filtered", 0)
         - stats.get("gopher_filtered", 0) - stats.get("c4_filtered", 0)
+        - stats.get("ppl_bucket_filtered", 0)
         if langs else 0
     )
     stats["wall_sec"] = round(time.time() - t0, 2)

@@ -606,3 +606,78 @@ def test_corpus_job_c4_gates(tmp_path):
     assert out.c4_pass.all()
     # the cleaned text is what got written: no javascript line survives
     assert not out.text.str.contains("javascript").any()
+
+
+def test_corpus_job_ppl_buckets(tmp_path):
+    """--ppl-buckets annotates survivors with the CCNet head/middle/tail
+    split; --keep-ppl-buckets drops the rest in its own attribution
+    bucket so the stage counts still reconcile."""
+    import pandas as pd
+
+    vocab = [f"word{v:02d}" for v in range(20)]
+    ref = [{"text": f"{a} {b}"} for a in vocab for b in vocab]
+    ref_dir = str(tmp_path / "ref.parquet")
+    pd.DataFrame(ref).to_parquet(ref_dir)
+
+    # perplexity gradient: doc i mixes i OOV words into 40-i in-domain
+    # words (same no-shared-shingle construction as the ppl-gate test)
+    rows = [
+        {"doc_id": f"d{i:03d}",
+         "text": " ".join(
+             (f"zq{i}x{j}v" if j < i else vocab[(7 * i + j * j) % 20])
+             for j in range(40))}
+        for i in range(18)
+    ]
+    in_dir = str(tmp_path / "docs.parquet")
+    pd.DataFrame(rows).to_parquet(in_dir)
+
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="8")
+
+    # annotate-only: nothing drops, bucket counts audited
+    out_dir = str(tmp_path / "annotated")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--input", in_dir, "--output", out_dir, "--cpus", "8",
+         "--min-quality", "0.0", "--ppl-buckets", "--lm-ref", ref_dir],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    out = pd.read_parquet(out_dir)
+    assert len(out) == 18 == stats["stages"]["curated"]
+    bc = stats["ppl_bucket_counts"]
+    assert sum(bc.values()) == 18 and set(bc) <= {"head", "middle", "tail"}
+    # the bucket order tracks the perplexity gradient: every head doc has
+    # lower ppl than every tail doc
+    assert out[out.ppl_bucket == "head"].ppl.max() \
+        < out[out.ppl_bucket == "tail"].ppl.min()
+
+    # keep head+middle (the CCNet training choice): tail drops, attributed
+    keep_dir = str(tmp_path / "kept")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--input", in_dir, "--output", keep_dir, "--cpus", "8",
+         "--min-quality", "0.0", "--ppl-buckets", "--lm-ref", ref_dir,
+         "--keep-ppl-buckets", "head,middle"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    kept = pd.read_parquet(keep_dir)
+    assert set(kept.ppl_bucket) == {"head", "middle"}
+    assert stats["ppl_bucket_filtered"] == stats["ppl_bucket_counts"].get(
+        "tail", 0) > 0
+    assert len(kept) + stats["ppl_bucket_filtered"] == 18
+
+    # --ppl-buckets without --lm-ref is a usage error
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--input", in_dir, "--output", str(tmp_path / "x"),
+         "--cpus", "8", "--ppl-buckets"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode != 0

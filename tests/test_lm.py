@@ -193,3 +193,97 @@ def test_filter_composes_null_inclusive(spark):
     dropped = out.filter(~(F.col("ppl") <= cap) | F.col("ppl").isNull())
     assert kept.count() + dropped.count() == len(DOCS)  # nulls counted once
     assert {r.doc_id for r in dropped.collect()} >= {4, 5, 6}  # NULL ppl drops
+
+
+def test_ppl_buckets_exact_matches_duckdb(spark, duck):
+    """Exact head/middle/tail split (weighted, grouped, straddler goes
+    where its mass begins, id tiebreak, NULL-ppl excluded from the mass)
+    vs a DuckDB window recompute."""
+    import pandas as pd
+
+    from timeseriesvectordbpattermatcher_spark.operators.lm import ppl_buckets
+
+    rows = [
+        # lang en: weights force a straddling doc — e1 starts below the
+        # 1/3 cut and crosses it with its own mass: stays in head
+        ("e0", "en", 1.0, 1.0),
+        ("e1", "en", 2.0, 3.0),
+        ("e2", "en", 3.0, 2.0),
+        ("e3", "en", 4.0, 3.0),
+        ("e4", "en", 4.0, 3.0),   # tie on ppl with e3: id order decides
+        ("e5", "en", None, 9.0),  # NULL ppl: NULL bucket, zero mass
+        # lang de: single doc -> everything head
+        ("d0", "de", 7.0, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, lang string, ppl double, w double"
+    )
+    got = (
+        ppl_buckets(df, by="lang", weight_col="w")
+        .select("doc_id", "ppl_bucket")
+        .toPandas().set_index("doc_id").sort_index()
+    )
+
+    duck.register("pb_docs", pd.DataFrame(
+        rows, columns=["doc_id", "lang", "ppl", "w"]
+    ))
+    want = duck.sql("""
+      WITH m AS (
+        SELECT doc_id, lang, ppl,
+          CASE WHEN ppl IS NULL THEN 0.0 ELSE w END mass
+        FROM pb_docs),
+      c AS (
+        SELECT doc_id, ppl,
+          sum(mass) OVER (PARTITION BY lang ORDER BY ppl ASC NULLS LAST,
+                          doc_id ASC) - mass AS before,
+          sum(mass) OVER (PARTITION BY lang) tot
+        FROM m)
+      SELECT doc_id,
+        CASE WHEN ppl IS NULL THEN NULL
+             WHEN before < tot / 3 THEN 'head'
+             WHEN before < tot * 2 / 3 THEN 'middle'
+             ELSE 'tail' END ppl_bucket
+      FROM c
+    """).df().set_index("doc_id").sort_index()
+    for d in got.index:
+        g, w = got.loc[d, "ppl_bucket"], want.loc[d, "ppl_bucket"]
+        assert (pd.isna(g) and pd.isna(w)) or g == w, (d, g, w)
+    # spot-pin the semantics the oracle encodes
+    assert got.loc["e1", "ppl_bucket"] == "head"      # straddler starts in head
+    assert got.loc["e3", "ppl_bucket"] == "middle"    # starts at 6 < 8
+    assert got.loc["e4", "ppl_bucket"] == "tail"      # ppl tie, id order
+    assert pd.isna(got.loc["e5", "ppl_bucket"])       # NULL ppl
+    assert got.loc["d0", "ppl_bucket"] == "head"      # singleton group
+
+
+def test_ppl_buckets_approx_agrees_on_separated_corpus(spark):
+    """The percentile_approx scale mode agrees with the exact window mode
+    when groups are well separated, and its plan has no per-group window
+    (the skew-safety property it exists for)."""
+    from timeseriesvectordbpattermatcher_spark.operators.lm import ppl_buckets
+
+    rows = [(f"d{i:03d}", "en", float(i)) for i in range(90)]
+    rows += [(f"g{i:02d}", "de", float(100 + i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, ppl double")
+    ex = {r["doc_id"]: r["ppl_bucket"]
+          for r in ppl_buckets(df, by="lang").collect()}
+    ap = ppl_buckets(df, by="lang", exact=False)
+    got = {r["doc_id"]: r["ppl_bucket"] for r in ap.collect()}
+    assert got == ex
+    for name in ("head", "middle", "tail"):
+        assert sum(v == name for v in got.values()) > 0
+    plan = ap._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "percentile_approx" in plan
+
+
+def test_ppl_buckets_validation(spark):
+    import pytest
+
+    from timeseriesvectordbpattermatcher_spark.operators.lm import ppl_buckets
+
+    df = spark.createDataFrame([("a", 1.0)], "doc_id string, ppl double")
+    with pytest.raises(ValueError, match="cuts"):
+        ppl_buckets(df, cuts=(0.5, 0.4))
+    with pytest.raises(ValueError, match="weight_col"):
+        ppl_buckets(df, weight_col="ppl", exact=False)

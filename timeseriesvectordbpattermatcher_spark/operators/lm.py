@@ -198,3 +198,84 @@ def add_perplexity(
         .agg(F.exp(-F.avg("_lp")).alias(out_col))
     )
     return df.join(per_doc, id_col, "left")
+
+
+def ppl_buckets(
+    df: DataFrame,
+    *,
+    ppl_col: str = "ppl",
+    by: str | None = None,
+    weight_col: str | None = None,
+    cuts: tuple[float, float] = (1 / 3, 2 / 3),
+    out_col: str = "ppl_bucket",
+    id_col: str = "doc_id",
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Append CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4):
+    per group (``by``, e.g. the language — None = whole corpus), order
+    documents by perplexity and cut the cumulative ``weight_col`` mass
+    (None = each doc counts 1; CCNet weights by size, pass a token
+    count) at ``cuts``. The lowest-perplexity third is ``head`` — most
+    like the reference corpus — then ``middle``, then ``tail``; CCNet
+    keeps head+middle for training. NULL perplexity -> NULL bucket.
+
+    A document straddling a boundary goes to the bucket where its mass
+    BEGINS (cumulative mass *excluding itself* is compared against the
+    cut — so each group's lowest-perplexity doc is always ``head``), and
+    equal perplexities break ties by ``id_col`` — both choices pinned in
+    the DuckDB oracle so the split is byte-deterministic.
+
+    Two physical strategies:
+
+    * ``exact=True`` (the CCNet-fidelity mode): one window over
+      ``partitionBy(by) orderBy(ppl, id)`` — a per-group sort. Right for
+      bounded corpora and oracles; at 100 TB a single language can be
+      half the corpus and would land on ONE task, so use
+    * ``exact=False`` (the scale mode): two cut points per group from
+      ``percentile_approx(ppl, cuts, accuracy)`` — one bounded agg
+      (2 doubles per group), broadcast back, bucket by comparison in a
+      narrow projection. Unweighted (``weight_col`` must be None) and
+      approximate at the boundary; agreement with the exact mode on
+      well-separated corpora is pinned in tests/test_lm.py.
+    """
+    from pyspark.sql import Window
+
+    c1, c2 = cuts
+    if not (0 < c1 < c2 < 1):
+        raise ValueError(f"cuts must satisfy 0 < c1 < c2 < 1, got {cuts}")
+    ppl = F.col(ppl_col)
+    keys = [by] if by else []
+    if exact:
+        w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+        win = Window.partitionBy(*keys).orderBy(
+            F.col(ppl_col).asc(), F.col(id_col).asc()
+        )
+        # NULL ppl rows are excluded from both the running and the total
+        # mass so they can't shift anyone's bucket
+        mass = F.when(ppl.isNotNull(), w).otherwise(F.lit(0.0))
+        before = F.sum(mass).over(win) - mass
+        tot = F.sum(mass).over(Window.partitionBy(*keys))
+        bucket = F.when(ppl.isNull(), F.lit(None).cast("string")).otherwise(
+            F.when(before < tot * c1, "head")
+            .when(before < tot * c2, "middle")
+            .otherwise("tail")
+        )
+        return df.withColumn(out_col, bucket)
+    if weight_col is not None:
+        raise ValueError("weight_col needs exact=True (approx percentile "
+                         "is unweighted)")
+    agg = df.filter(ppl.isNotNull())
+    qs = agg.groupBy(*keys).agg(
+        F.percentile_approx(ppl, list(cuts), accuracy).alias("_q")
+    )
+    qs = F.broadcast(
+        qs.select(*keys, F.get("_q", 0).alias("_q1"), F.get("_q", 1).alias("_q2"))
+    )
+    joined = df.join(qs, keys, "left") if keys else df.crossJoin(qs)
+    bucket = F.when(ppl.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(ppl <= F.col("_q1"), "head")
+        .when(ppl <= F.col("_q2"), "middle")
+        .otherwise("tail")
+    )
+    return joined.withColumn(out_col, bucket).drop("_q1", "_q2")
