@@ -4,6 +4,12 @@ would run them.
 
     raw docs
       -> [--html-input]       (regex HTML->text extraction, narrow)
+      -> [--normalize]        (unicode intake fix-up: strip controls /
+                               zero-width chars, exotic spaces -> plain,
+                               CRLF -> LF, then NFC — the codegen'd regex
+                               chain plus an ASCII-prefiltered pandas_udf;
+                               runs FIRST so dedup hashes, C4 line rules
+                               and token counts all see canonical text)
       -> [--c4-clean]         (C4 line cleanup: rebuild docs from lines
                                ending in terminal punctuation with enough
                                words and no 'javascript'; runs BEFORE
@@ -159,6 +165,10 @@ def main() -> int:
     ap.add_argument("--html-input", action="store_true",
                     help="input docs carry an html column: extract text "
                          "from it before any other stage")
+    ap.add_argument("--normalize", action="store_true",
+                    help="unicode intake fix-up before any other text "
+                         "stage: strip control/zero-width chars, map "
+                         "exotic spaces to plain, CRLF->LF, NFC-compose")
     ap.add_argument("--span-dedup", type=int, default=0,
                     help="ExactSubstr-style duplicate-span removal between "
                          "the paragraph and near-dup stages: remove word "
@@ -298,6 +308,20 @@ def main() -> int:
         docs = extract_text(docs).drop("html")
 
     stats: dict = {"stages": {}}
+    if args.normalize:
+        # a transform, not a drop — rows are unchanged, so per the
+        # no-silent-caps contract it reports docs whose TEXT changed
+        from timeseriesvectordbpattermatcher_spark.operators.normalize import (
+            normalize_text,
+        )
+
+        normed = _materialize(normalize_text(docs, out_col="text_norm"))
+        stats["normalize_docs_changed"] = int(
+            normed.filter(
+                ~F.col("text_norm").eqNullSafe(F.col("text"))
+            ).count()
+        )
+        docs = normed.drop("text").withColumnRenamed("text_norm", "text")
     if args.c4_clean:
         # C4's order: clean lines FIRST, then dedup/filter the cleaned
         # text. A transform, not a drop — row count is unchanged, so it

@@ -113,3 +113,101 @@ def demo_weights(spark, n_buckets: int = 1 << 15, scale: float = 1.0) -> DataFra
             * F.lit(scale)
         ).alias("weight"),
     )
+
+
+def train_nb_weights(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    n_buckets: int = 1 << 15,
+    bigrams: bool = True,
+    smoothing: float = 1.0,
+) -> tuple[DataFrame, float]:
+    """Closed-form trainer for :func:`score_linear_model`: multinomial
+    Naive Bayes log-odds over the SAME hashed word/bigram features, the
+    fastText-style supervised baseline that needs no gradient loop.
+
+    ``labeled`` carries ``label_col`` in {0, 1} (1 = keep/high-quality).
+    Returns ``(weights, bias)`` ready to feed ``score_linear_model`` /
+    ``corpus_job --clf-weights/--clf-bias``:
+
+    - stored weight(b) = ``log((c1(b)+a) / (c0(b)+a))`` where ``cy(b)``
+      is bucket b's occurrence count in class y and ``a`` is the
+      Laplace ``smoothing``. The class totals cancel out of this CENTERED
+      form, which is what makes the sparse table exact: a bucket never
+      seen in training has ``c1 = c0 = 0``, weight exactly 0 — the
+      missing-bucket convention of the scorer — so scoring with the
+      sparse table equals scoring with the dense 2^k model bucket-for-
+      bucket, independent of document length. One corner: a FEATURELESS
+      doc (empty/NULL text) scores ``sigmoid(bias)`` = prior + unseen
+      default — i.e. as if it held one unseen feature — rather than the
+      bare prior; the constant-bias scorer cannot tell m=0 from
+      all-unseen, and "empty doc ~ unknown content" is the conservative
+      reading for a keep/drop gate.
+    - bias = ``log(n1/n0) + log((N0 + a*B) / (N1 + a*B))`` — the doc
+      prior plus the unseen-bucket default the centering removed from
+      every weight (``Ny`` = total feature count in class y, ``B`` =
+      ``n_buckets``).
+
+    Under the scorer's fastText-style mean pooling the result is a
+    length-normalized NB log-odds (the NB-feature linear model of
+    NBSVM, Wang & Manning 2012) — per fixed length the decision is the
+    exact NB posterior; across lengths it is length-invariant rather
+    than length-amplified, which is what a keep/drop threshold wants.
+
+    Plan: one narrow explode (spread like the scorer), one hash agg on
+    the bucket — no shuffle wider than (distinct buckets x 2 longs). The
+    only driver action is the O(1) totals row (4 longs), which also
+    validates labels: non-{0,1}/NULL labels or a single-class corpus
+    raise rather than silently training nonsense.
+    """
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0")
+    lab = F.col("_y")
+    feats = _spread(
+        labeled.select(
+            F.col(label_col).cast("long").alias("_y"), F.col(text_col)
+        )
+    ).select(
+        "_y",
+        F.explode_outer(hashed_features_col(text_col, bigrams)).alias("_h"),
+    ).withColumn("_b", F.pmod(F.col("_h"), F.lit(n_buckets)))
+
+    tot = feats.agg(
+        F.sum(F.when((lab == 1) & F.col("_h").isNotNull(), 1).otherwise(0)).alias("n1f"),
+        F.sum(F.when((lab == 0) & F.col("_h").isNotNull(), 1).otherwise(0)).alias("n0f"),
+        F.sum(F.when(lab.isNull() | ~lab.isin(0, 1), 1).otherwise(0)).alias("bad"),
+    ).collect()[0]
+    # doc-level priors need a second tiny agg on the un-exploded frame
+    docs = labeled.agg(
+        F.sum(F.when(F.col(label_col).cast("long") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col(label_col).cast("long") == 0, 1).otherwise(0)).alias("n0"),
+    ).collect()[0]
+    if tot["bad"]:
+        raise ValueError(
+            f"{tot['bad']} rows have labels outside {{0,1}} (or NULL)"
+        )
+    if not docs["n1"] or not docs["n0"]:
+        raise ValueError(
+            f"both classes required: n1={docs['n1']}, n0={docs['n0']}"
+        )
+
+    a, b_ = float(smoothing), float(n_buckets)
+    weights = (
+        feats.filter(F.col("_h").isNotNull())
+        .groupBy(F.col("_b").alias("bucket"))
+        .agg(
+            F.sum(F.when(lab == 1, 1).otherwise(0)).alias("_c1"),
+            F.sum(F.when(lab == 0, 1).otherwise(0)).alias("_c0"),
+        )
+        .select(
+            "bucket",
+            (
+                F.log(F.col("_c1") + F.lit(a)) - F.log(F.col("_c0") + F.lit(a))
+            ).alias("weight"),
+        )
+    )
+    bias = math.log(docs["n1"] / docs["n0"]) + math.log(
+        (tot["n0f"] + a * b_) / (tot["n1f"] + a * b_)
+    )
+    return weights, bias
