@@ -55,8 +55,14 @@ would run them.
       -> [--dsir-target/-k]   (DSIR importance resampling toward a target
                                corpus: hashed n-gram log-weights, Gumbel
                                top-k — selects exactly k docs)
+      -> [--vocab-size]       (learn a top-N word vocab from the
+                               survivors, encode tokens/n_tok with
+                               unk=0 + eos=1 — the output becomes the
+                               engine's native pre-tokenized table;
+                               OOV rate audited in the stats line)
       -> [--pack-budget]      (fixed-token training packs: one window
-                               cumsum per source shard)
+                               cumsum per source shard; uses true token
+                               counts when --vocab-size ran)
       -> [--shuffle-seed]     (reproducible global training order via a
                                range exchange, no single-reducer sort)
       -> curated parquet + one JSON stats line
@@ -148,6 +154,13 @@ def main() -> int:
                          "unlisted sources keep --sample-default)")
     ap.add_argument("--sample-default", type=float, default=1.0,
                     help="keep fraction for sources not named in --sample")
+    ap.add_argument("--vocab-size", type=int, default=0,
+                    help="tokenize the curated corpus: learn a top-N word "
+                         "vocab from the survivors, write it to "
+                         "<output>_vocab, and add tokens/n_tok columns "
+                         "(unk=0, eos=1 appended) — the output becomes "
+                         "the engine's native pre-tokenized table shape; "
+                         "packing then uses true token counts (0 = skip)")
     ap.add_argument("--pack-budget", type=int, default=0,
                     help="pack curated docs into fixed-token training packs "
                          "of this budget (0 = skip); adds pack_shard/pack_id "
@@ -611,6 +624,30 @@ def main() -> int:
             dsir_log_weight(final, tc, qc, n_buckets=args.dsir_buckets),
             args.dsir_k,
         ).drop("dsir_logw", "dsir_key")
+    if args.vocab_size:
+        from timeseriesvectordbpattermatcher_spark.operators.tokenizer import (
+            UNK_ID,
+            build_vocab,
+            encode_text,
+        )
+
+        # vocab from the SURVIVORS (what training sees), committed before
+        # encoding so a re-run scores against the identical table
+        vocab = build_vocab(final, args.vocab_size)
+        vocab.write.mode("overwrite").parquet(args.output + "_vocab")
+        vocab = spark.read.parquet(args.output + "_vocab")
+        final = _materialize(encode_text(final, vocab, add_eos=True))
+        tok_agg = final.agg(
+            F.sum(
+                F.size(F.filter("tokens", lambda t: t == F.lit(UNK_ID)))
+            ).alias("unk"),
+            F.sum("n_tok").alias("tok"),
+        ).collect()[0]
+        stats["vocab_size"] = vocab.count()
+        stats["tokens_written"] = int(tok_agg["tok"] or 0)
+        stats["oov_rate"] = round(
+            (tok_agg["unk"] or 0) / tok_agg["tok"], 6
+        ) if tok_agg["tok"] else None
     if args.pack_budget:
         from timeseriesvectordbpattermatcher_spark.operators.curation import (
             pack_sequences,
@@ -618,7 +655,9 @@ def main() -> int:
 
         final = pack_sequences(
             final, budget=args.pack_budget,
-            n_tok_col="n_tokens_ws",  # whitespace token count from add_token_counts
+            # true vocab token counts when tokenization ran, else the
+            # whitespace proxy from add_token_counts
+            n_tok_col="n_tok" if args.vocab_size else "n_tokens_ws",
             key_col="source" if "source" in final.columns else None,
         )
     if args.shuffle_seed is not None:

@@ -812,3 +812,45 @@ def test_train_then_gate_pipeline(tmp_path):
     assert stats["clf_filtered"] == 2, stats
     curated = pd.read_parquet(out_dir)
     assert sorted(curated.doc_id) == ["h0", "h1", "h2"]
+
+
+def test_corpus_job_tokenize(tmp_path):
+    """--vocab-size turns the curated text corpus into the engine's
+    native pre-tokenized table: tokens/n_tok columns, a committed vocab
+    table, OOV audit, and packing measured in true tokens."""
+    import pandas as pd
+
+    out_dir = str(tmp_path / "curated")
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "corpus_job.py"),
+         "--synthetic-docs", "400", "--output", out_dir, "--cpus", "8",
+         "--vocab-size", "300", "--pack-budget", "256",
+         "--min-quality", "0.0"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["vocab_size"] == 300
+    assert stats["tokens_written"] > 0
+    assert 0.0 < stats["oov_rate"] < 1.0  # 500-word synth vocab > 300 kept
+
+    curated = pd.read_parquet(out_dir)
+    vocab = pd.read_parquet(out_dir + "_vocab")
+    assert len(vocab) == 300
+    assert sorted(vocab.id) == list(range(2, 302))
+    # every doc ends in eos=1; n_tok counts the real array; unk=0 present
+    assert (curated.tokens.map(lambda t: t[-1]) == 1).all()
+    assert (curated.tokens.map(len) == curated.n_tok).all()
+    # packs exist and were budgeted on n_tok: concat-then-chunk assigns a
+    # doc to the pack where its cumulative span begins, so a pack sum may
+    # overshoot the budget by strictly less than one doc — but never by
+    # a whitespace-count artifact (the pre-tokenize proxy measured ~40
+    # words/doc while true n_tok is 41 with eos)
+    assert "pack_id" in curated.columns
+    by_pack = curated.groupby(["pack_shard", "pack_id"]).n_tok.sum()
+    assert (by_pack <= 256 + int(curated.n_tok.max()) - 1).all()
+    assert (by_pack > 0).all()
+    # stats tokens_written reconciles with the table
+    assert stats["tokens_written"] == int(curated.n_tok.sum())

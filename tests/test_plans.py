@@ -284,3 +284,48 @@ def test_paragraph_dedup_text_never_rides_digest_shuffle(spark):
     assert "Project [doc_id#" in proj and "AS _digest#" in proj, proj
     assert ", _para#" not in proj.split("xxhash64")[0], proj
     assert "WindowGroupLimit" in seg, seg[:2000]
+
+
+def test_tokenizer_broadcast_encode_zero_shuffle(spark):
+    """The scale claim of the default encode path: vocab ships as a python
+    broadcast, the document row never moves — NO Exchange anywhere in the
+    encode plan (the doc payload would be the thing shuffled)."""
+    from timeseriesvectordbpattermatcher_spark.operators.tokenizer import (
+        build_vocab,
+        encode_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"alpha beta gamma {i}") for i in range(50)],
+        "doc_id string, text string",
+    )
+    vocab = build_vocab(docs, vocab_size=10)
+    plan = _plan(encode_text(docs, vocab, method="broadcast"))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan
+
+
+def test_tokenizer_join_encode_broadcasts_vocab(spark):
+    """The all-JVM path must broadcast the vocab (never shuffle it against
+    the exploded words) and regroup ints only — the text column must not
+    appear in any Exchange."""
+    from timeseriesvectordbpattermatcher_spark.operators.tokenizer import (
+        build_vocab,
+        encode_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"alpha beta gamma {i}") for i in range(50)],
+        "doc_id string, text string",
+    )
+    vocab = build_vocab(docs, vocab_size=10)
+    plan = _plan(
+        encode_text(docs, vocab, method="join").select(
+            "doc_id", "tokens", "n_tok"
+        )
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    # every Exchange block must be free of the raw text payload
+    for block in plan.split("Exchange")[1:]:
+        first_line = block.splitlines()[0]
+        assert "text#" not in first_line, first_line
