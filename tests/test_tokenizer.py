@@ -172,3 +172,42 @@ def test_encoded_corpus_feeds_the_token_engine(spark, docs_df):
         table.filter(F.col("n_tok") > 0), winsize=4, step=2
     )
     assert segs.count() > 0
+
+
+def test_text_to_training_examples_chain(spark):
+    """The full pipeline the tokenizer unlocks: raw TEXT -> encode ->
+    pack assignment -> materialized training examples. Every token in
+    every pack decodes back to a word (or eos) of its member docs, and
+    the doc_offsets mask aligns with the member boundaries."""
+    from timeseriesvectordbpattermatcher_spark.operators.curation import (
+        materialize_packs,
+        pack_sequences,
+    )
+
+    texts = [
+        (f"t{i}", " ".join(f"w{(i * 7 + j) % 15}" for j in range(5 + i % 4)))
+        for i in range(24)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id string, text string")
+    vocab = build_vocab(docs, vocab_size=15)
+    enc = encode_text(docs, vocab, add_eos=True)
+    packed = pack_sequences(enc, budget=16, seed=3)
+    ex = materialize_packs(packed, budget=16, seed=3, truncate=True).collect()
+    assert len(ex) > 1
+    enc_by_id = {
+        r["doc_id"]: list(r["tokens"]) for r in enc.collect()
+    }
+    total_packed = 0
+    for r in ex:
+        assert len(r["tokens"]) <= 16
+        # the pack stream is the concatenation of its members' arrays
+        stream = [t for d in r["doc_ids"] for t in enc_by_id[d]]
+        assert list(r["tokens"]) == stream[:16]
+        assert list(r["doc_offsets"]) == [
+            sum(len(enc_by_id[d]) for d in r["doc_ids"][:k])
+            for k in range(len(r["doc_ids"]))
+        ]
+        total_packed += r["n_tok_packed"]
+    # conservation: packed + dropped == every encoded token
+    dropped = sum(r["n_tok_dropped"] for r in ex)
+    assert total_packed + dropped == sum(len(t) for t in enc_by_id.values())
