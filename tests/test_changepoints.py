@@ -1,0 +1,156 @@
+"""CUSUM changepoint detector vs an independent recurrence-loop oracle.
+
+The engine computes the CUSUM statistic in CLOSED FORM (prefix sum minus
+running prefix minimum, pure window exprs); the oracle here runs the
+textbook stateful recurrence ``C_t = max(0, C_{t-1} + z_t - kappa)`` row
+by row in Python — a genuinely different algorithm, so agreement pins the
+closed-form identity, not the implementation against itself.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from timeseriesvectordbpattermatcher_spark.operators.changepoints import (
+    cusum_changepoints,
+    cusum_stats,
+)
+
+
+def _oracle_series(xs, kappa, h, baseline_n, mu0=None, sigma=None):
+    """Textbook recurrence CUSUM over one series. Returns per-row dicts."""
+    est = mu0 is None or sigma is None
+    base = xs[:baseline_n]
+    if mu0 is None:
+        mu0 = float(np.mean(base))
+    if sigma is None:
+        sigma = float(np.std(base, ddof=1)) if len(base) >= 2 else float("nan")
+    rows = []
+    if not (sigma and sigma > 0) or math.isnan(sigma):
+        return [
+            dict(cusum_pos=None, cusum_neg=None, alarm_pos=False, alarm_neg=False)
+            for _ in xs
+        ]
+    cp = cn = 0.0
+    # prefix-argmin tracking for the changepoint estimate
+    sp = sn = 0.0
+    min_sp = min_sn = 0.0
+    arg_sp = arg_sn = None
+    for i, x in enumerate(xs):
+        z = (x - mu0) / sigma
+        cp = max(0.0, cp + z - kappa)
+        cn = max(0.0, cn - z - kappa)
+        sp += z - kappa
+        sn += -z - kappa
+        # struct-min semantics: strictly-smaller S moves the argmin; ties
+        # keep the earliest ts
+        if sp < min_sp - 0.0:
+            min_sp, arg_sp = sp, i
+        if sn < min_sn - 0.0:
+            min_sn, arg_sn = sn, i
+        after_base = (i + 1) > baseline_n if est else True
+        rows.append(
+            dict(
+                cusum_pos=cp,
+                cusum_neg=cn,
+                alarm_pos=bool(cp > h and after_base),
+                alarm_neg=bool(cn > h and after_base),
+                cp_idx_pos=arg_sp,
+                cp_idx_neg=arg_sn,
+            )
+        )
+    return rows
+
+
+def _mk_df(spark, series):
+    rows = [
+        (sid, i, float(x))
+        for sid, xs in series.items()
+        for i, x in enumerate(xs)
+    ]
+    return spark.createDataFrame(rows, "series_id string, ts long, close double")
+
+
+def _planted(seed=7, n=120, shift_at=60, shift=3.0):
+    rng = np.random.default_rng(seed)
+    xs = rng.normal(10.0, 1.0, n)
+    xs[shift_at:] += shift
+    return xs.tolist()
+
+
+def test_cusum_stats_matches_recurrence_oracle(spark):
+    rng = np.random.default_rng(11)
+    series = {
+        "up": _planted(1, shift=2.5),
+        "down": [-x for x in _planted(2, shift=2.5)],
+        "flat": rng.normal(0.0, 1.0, 80).tolist(),
+        "const": [5.0] * 40,  # zero baseline stddev -> null stats
+        "short": [1.0, 2.0],  # baseline shorter than baseline_n
+    }
+    kappa, h, bn = 0.5, 5.0, 30
+    got = (
+        cusum_stats(_mk_df(spark, series), kappa=kappa, h=h, baseline_n=bn)
+        .orderBy("series_id", "ts")
+        .collect()
+    )
+    by_series = {}
+    for r in got:
+        by_series.setdefault(r["series_id"], []).append(r)
+    for sid, xs in series.items():
+        exp = _oracle_series(xs, kappa, h, bn)
+        assert len(by_series[sid]) == len(exp)
+        for i, (g, e) in enumerate(zip(by_series[sid], exp)):
+            if e["cusum_pos"] is None:
+                assert g["cusum_pos"] is None and g["cusum_neg"] is None, (sid, i)
+                assert not g["alarm_pos"] and not g["alarm_neg"], (sid, i)
+                continue
+            assert g["cusum_pos"] == pytest.approx(e["cusum_pos"], abs=1e-9), (sid, i)
+            assert g["cusum_neg"] == pytest.approx(e["cusum_neg"], abs=1e-9), (sid, i)
+            assert g["alarm_pos"] == e["alarm_pos"], (sid, i)
+            assert g["alarm_neg"] == e["alarm_neg"], (sid, i)
+            assert g["cp_ts_pos"] == e["cp_idx_pos"], (sid, i)
+            assert g["cp_ts_neg"] == e["cp_idx_neg"], (sid, i)
+
+
+def test_cusum_known_params_skip_baseline_gate(spark):
+    xs = [0.0] * 5 + [4.0] * 10
+    df = _mk_df(spark, {"s": xs})
+    got = (
+        cusum_stats(df, kappa=0.5, h=3.0, mu0=0.0, sigma=1.0, baseline_n=30)
+        .orderBy("ts")
+        .collect()
+    )
+    exp = _oracle_series(xs, 0.5, 3.0, baseline_n=30, mu0=0.0, sigma=1.0)
+    assert [r["alarm_pos"] for r in got] == [e["alarm_pos"] for e in exp]
+    assert any(r["alarm_pos"] for r in got)  # alarms despite only 15 rows
+
+
+def test_cusum_changepoints_first_alarm_and_location(spark):
+    xs = _planted(3, n=150, shift_at=90, shift=3.0)
+    df = _mk_df(spark, {"s": xs, "quiet": _planted(4, shift=0.0)})
+    rows = cusum_changepoints(df, kappa=0.5, h=5.0, baseline_n=30).collect()
+    ups = [r for r in rows if r["series_id"] == "s" and r["direction"] == "up"]
+    assert len(ups) == 1
+    exp = _oracle_series(xs, 0.5, 5.0, 30)
+    first = next(i for i, e in enumerate(exp) if e["alarm_pos"])
+    assert ups[0]["alarm_ts"] == first
+    assert ups[0]["cp_ts"] == exp[first]["cp_idx_pos"]
+    # the estimated changepoint sits near the planted shift
+    assert 80 <= ups[0]["cp_ts"] <= 95
+    assert not [r for r in rows if r["series_id"] == "quiet"]
+
+
+def test_cusum_validation(spark):
+    df = _mk_df(spark, {"s": [1.0, 2.0, 3.0]})
+    with pytest.raises(ValueError, match="baseline_n"):
+        cusum_stats(df, baseline_n=1)
+
+
+def test_cusum_single_exchange(spark):
+    df = _mk_df(spark, {"s": [float(i) for i in range(40)]})
+    plan = cusum_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange ") == 1, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan[:2000]

@@ -10,7 +10,10 @@ from pyspark.sql import functions as F
 
 from timeseriesvectordbpattermatcher_spark.operators.curation import (
     SAMPLE_RESOLUTION,
+    bloom_might_contain,
+    digest_bloom_words,
     incremental_exact_dedup,
+    merge_bloom_words,
     incremental_minhash_dedup,
     pack_sequences,
     sample_quota,
@@ -23,7 +26,13 @@ from timeseriesvectordbpattermatcher_spark.operators.dedup import (
     minhash_lsh_dedup,
 )
 
-from tests.oracle.xxh64_pure import SPARK_SEED, hash_bytes, hash_int, to_i64
+from tests.oracle.xxh64_pure import (
+    SPARK_SEED,
+    hash_bytes,
+    hash_int,
+    spark_xxhash64_str_int,
+    to_i64,
+)
 
 
 def _h_seed_str(seed: int, s: str) -> int:
@@ -268,6 +277,156 @@ def test_incremental_exact_null_text_passthrough(spark):
     got = sorted(r["doc_id"] for r in surv2.collect())
     assert got == ["y1"]  # y2 is in the store; y1's NULL passes through
     assert digs2.count() == 0
+
+
+# --------------------------------------------------------------------------
+# digest bloom + broadcast store probe
+# --------------------------------------------------------------------------
+
+
+def _bloom_oracle(digests, m_bits, k):
+    """Pure-python replay of digest_bloom_words (standalone XXH64)."""
+    words = [0] * (m_bits // 64)
+    for d in digests:
+        a = spark_xxhash64_str_int(d, 0) % m_bits
+        b = spark_xxhash64_str_int(d, 1) % m_bits
+        for i in range(k):
+            p = (a + i * b) % m_bits
+            words[p >> 6] |= 1 << (p & 63)
+    return [to_i64(w) for w in words]
+
+
+def _bloom_oracle_contains(words, d, m_bits, k):
+    a = spark_xxhash64_str_int(d, 0) % m_bits
+    b = spark_xxhash64_str_int(d, 1) % m_bits
+    for i in range(k):
+        p = (a + i * b) % m_bits
+        if not (words[p >> 6] >> (p & 63)) & 1:
+            return False
+    return True
+
+
+def _md5(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def test_digest_bloom_words_match_pure_oracle(spark):
+    m_bits, k = 1 << 12, 4
+    digests = [_md5(f"doc {i}") for i in range(200)]
+    df = spark.createDataFrame([(d,) for d in digests] + [(None,)], "digest string")
+    got = digest_bloom_words(df, m_bits=m_bits, k=k)
+    assert got == _bloom_oracle(digests, m_bits, k)
+
+
+def test_bloom_merge_equals_union(spark):
+    m_bits, k = 1 << 10, 3
+    d1 = [_md5(f"a{i}") for i in range(80)]
+    d2 = [_md5(f"b{i}") for i in range(80)]
+    w1 = _bloom_oracle(d1, m_bits, k)
+    w2 = _bloom_oracle(d2, m_bits, k)
+    assert merge_bloom_words(w1, w2) == _bloom_oracle(d1 + d2, m_bits, k)
+    with pytest.raises(ValueError, match="m_bits mismatch"):
+        merge_bloom_words(w1, w1[:-1])
+
+
+def test_bloom_might_contain_exact_and_no_false_negatives(spark):
+    m_bits, k = 1 << 10, 3  # deliberately small: force some false positives
+    members = [_md5(f"m{i}") for i in range(150)]
+    others = [_md5(f"o{i}") for i in range(150)]
+    words = _bloom_oracle(members, m_bits, k)
+    df = spark.createDataFrame(
+        [(d,) for d in members + others] + [(None,)], "digest string"
+    )
+    got = {
+        r["digest"]: r["bloom_hit"]
+        for r in bloom_might_contain(df, words, m_bits, k).collect()
+    }
+    for d in members:
+        assert got[d] is True  # no false negatives, ever
+    for d in others:  # exact oracle agreement, false positives included
+        assert got[d] == _bloom_oracle_contains(words, d, m_bits, k)
+    assert got[None] is False
+    fps = sum(got[d] for d in others)
+    assert fps < len(others)  # the small bloom still rejects most non-members
+
+
+def test_incremental_broadcast_probe_parity(spark):
+    b1, b2 = _two_batches(spark)
+    _, d1 = incremental_exact_dedup(b1, None)
+    want = sorted(
+        r["doc_id"] for r in incremental_exact_dedup(b2, d1)[0].collect()
+    )
+    # plain broadcast probe
+    s_b, dg_b = incremental_exact_dedup(b2, d1, probe="broadcast")
+    assert sorted(r["doc_id"] for r in s_b.collect()) == want
+    # bloom-pruned broadcast probe (bloom built over the store)
+    m_bits, k = 1 << 12, 5
+    words = digest_bloom_words(d1, m_bits=m_bits, k=k)
+    s_f, dg_f = incremental_exact_dedup(
+        b2, d1, probe="broadcast", bloom_words=words,
+        bloom_m_bits=m_bits, bloom_k=k,
+    )
+    assert sorted(r["doc_id"] for r in s_f.collect()) == want
+    assert sorted(r["digest"] for r in dg_f.collect()) == sorted(
+        r["digest"] for r in dg_b.collect()
+    )
+    with pytest.raises(ValueError, match="probe"):
+        incremental_exact_dedup(b2, d1, probe="nope")
+    with pytest.raises(ValueError, match="broadcast"):
+        incremental_exact_dedup(b2, d1, bloom_words=words)
+
+
+def test_incremental_broadcast_skip_scan_when_clean(spark):
+    b1, b2 = _two_batches(spark)
+    disjoint = spark.createDataFrame(
+        [(f"z{i}", f"totally new text {i}") for i in range(30)],
+        "doc_id string, text string",
+    )
+    _, d1 = incremental_exact_dedup(b1, None)
+    m_bits, k = 1 << 14, 5
+    words = digest_bloom_words(d1, m_bits=m_bits, k=k)
+    surv, digs = incremental_exact_dedup(
+        disjoint, d1, probe="broadcast", bloom_words=words,
+        bloom_m_bits=m_bits, bloom_k=k, skip_scan_when_clean=True,
+    )
+    assert surv.count() == 30 and digs.count() == 30
+    # overlapping batch still probes the store correctly with the flag on
+    surv2, _ = incremental_exact_dedup(
+        b2, d1, probe="broadcast", bloom_words=words,
+        bloom_m_bits=m_bits, bloom_k=k, skip_scan_when_clean=True,
+    )
+    want = sorted(r["doc_id"] for r in incremental_exact_dedup(b2, d1)[0].collect())
+    assert sorted(r["doc_id"] for r in surv2.collect()) == want
+
+
+def test_incremental_broadcast_store_never_shuffles(spark, tmp_path):
+    """The whole point of probe='broadcast': zero Exchange on the store
+    side — the store parquet is scanned, broadcast-semi-joined, and never
+    hash-partitioned (the only hashpartitioning keys in the plan are the
+    batch's own: exact_dedup internals + the candidate distinct)."""
+    b1, b2 = _two_batches(spark)
+    _, d1 = incremental_exact_dedup(b1, None)
+    store = str(tmp_path / "digest_store")
+    d1.write.parquet(store)
+    seen = spark.read.parquet(store)
+    # emulate the big-store regime: no auto-broadcast — only the explicit
+    # broadcast() hints of the probe may produce BroadcastHashJoins
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fresh, _ = incremental_exact_dedup(b2, seen, probe="broadcast")
+        plan = fresh._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(digest" not in plan, plan[:3000]
+        assert "Exchange hashpartitioning(_dg" not in plan, plan[:3000]
+        assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+        # the default shuffle probe, by contrast, hash-partitions the store
+        fresh_sh, _ = incremental_exact_dedup(b2, seen, probe="shuffle")
+        plan_sh = fresh_sh._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(_dg" in plan_sh, plan_sh[:3000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,182 @@
+"""CUSUM mean-shift detection as pure window expressions (zero UDFs).
+
+The reference ecosystem is Kats-based (its 40-dim embedding is Kats
+``TsFeatures``, /root/reference/katslib/opkatsDataUtil.py:210-212); Kats'
+flagship detector family is CUSUM. The reference repo itself never calls
+the detectors, so this module is beyond-reference surface in the same
+family as the pattern screeners (SURVEY.md §2.8) — a per-series mean-shift
+detector a monitoring/rollup pipeline runs over the 1m/1h tiers.
+
+Classic two-sided tabular CUSUM (Page 1954; NIST/SEMATECH e-handbook
+§6.3.2.3): with standardized ``z_t = (x_t - mu0) / sigma`` and slack
+``kappa`` (in sigmas),
+
+    C+_t = max(0, C+_{t-1} + z_t - kappa)      alarm when C+_t > h
+    C-_t = max(0, C-_{t-1} - z_t - kappa)      alarm when C-_t > h
+
+The recurrence looks stateful, but it has a closed prefix form — with
+``S_t = sum_{i<=t} (z_i - kappa)`` (and ``S_0 = 0``):
+
+    C+_t = S_t - min_{0<=j<=t} S_j
+
+(a reset to 0 at time j is exactly "the prefix minimum moved to j"), and
+symmetrically for C- over ``(-z_i - kappa)``. Running sum and running min
+are both ordered-window aggregates, so the whole detector stays inside
+whole-stage codegen: ONE Exchange on the series key, no recursion, no
+Python (plan-pinned in tests/test_changepoints.py, recurrence-vs-closed-
+form equality pinned against an independent pandas loop oracle).
+
+The changepoint location estimate is the standard one: the last time the
+prefix sum touched its running minimum before the alarm — i.e. the shift
+began on the NEXT row after ``argmin_j S_j``. We surface the argmin row's
+timestamp via a lexicographic ``min(struct(S, ts))`` window (earliest ts
+wins S-ties, deterministic).
+
+Scale: everything is one hash Exchange on ``series_col`` + one sort —
+identical shape to every other per-series window operator in this engine,
+so the 100 TB arguments from ``operators/windows.py`` carry over verbatim
+(salt/AQE handle skewed series; state per row is O(1)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cusum_stats(
+    df: DataFrame,
+    value_col: str = "close",
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    kappa: float = 0.5,
+    h: float = 5.0,
+    baseline_n: int = 30,
+    mu0: float | None = None,
+    sigma: float | None = None,
+) -> DataFrame:
+    """Add two-sided CUSUM columns per series: ``cusum_pos``, ``cusum_neg``,
+    ``alarm_pos``, ``alarm_neg``, ``cp_ts_pos``, ``cp_ts_neg``.
+
+    ``mu0``/``sigma`` default to the mean / sample stddev of each series'
+    first ``baseline_n`` rows (the in-control reference period); pass
+    constants to use known process parameters instead. Rows inside the
+    baseline window never alarm (the baseline is in-control by
+    definition), and a series whose baseline stddev is 0/undefined (a
+    constant or too-short prefix) yields null CUSUM columns and no alarms
+    — mirroring the constant-series guard of ``features_40``
+    (SURVEY.md §2.11).
+
+    ``kappa`` is the slack in sigma units (detects shifts larger than
+    ``2*kappa`` sigmas quickly); ``h`` the decision threshold in sigmas
+    (4-5 is the textbook choice). Values after an alarm keep the
+    NON-restarting running statistic — this is first-detection semantics
+    (see :func:`cusum_changepoints` for the one-row-per-alarm view), not a
+    self-resetting control chart.
+    """
+    if baseline_n < 2 and (mu0 is None or sigma is None):
+        raise ValueError("baseline_n must be >= 2 to estimate mu0/sigma")
+    w = Window.partitionBy(series_col).orderBy(ts_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    whole = Window.partitionBy(series_col)
+
+    rn = F.row_number().over(w)
+    x = F.col(value_col).cast("double")
+    out = df.withColumn("_rn", rn)
+
+    base_val = F.when(F.col("_rn") <= baseline_n, x)
+    mu_c = F.lit(float(mu0)) if mu0 is not None else F.avg(base_val).over(whole)
+    sd_c = (
+        F.lit(float(sigma))
+        if sigma is not None
+        else F.stddev_samp(base_val).over(whole)
+    )
+    sd_c = F.when(sd_c > 0, sd_c)  # 0 / null stddev -> null z -> no alarms
+    z = (x - mu_c) / sd_c
+
+    # prefix sums of (z - kappa) and (-z - kappa); the virtual S_0 = 0 term
+    # is the F.least(lit(0), ...) arm of the running minimum
+    s_pos = F.sum(z - F.lit(kappa)).over(run)
+    s_neg = F.sum(-z - F.lit(kappa)).over(run)
+    out = out.withColumn("_sp", s_pos).withColumn("_sn", s_neg)
+
+    def side(s_col: str) -> tuple:
+        run_min = F.least(F.lit(0.0), F.min(F.col(s_col)).over(run))
+        cusum = F.col(s_col) - run_min
+        # argmin via lexicographic struct-min; the cp estimate is only
+        # defined when the min is an actual row (prefix min < 0) — when the
+        # running min is the virtual S_0 the shift started at series start
+        arg = F.min(F.struct(F.col(s_col).alias("s"), F.col(ts_col).alias("t"))).over(run)
+        cp = F.when(arg["s"] < 0, arg["t"])
+        return cusum, cp
+
+    cusum_p, cp_p = side("_sp")
+    cusum_n, cp_n = side("_sn")
+    after_base = F.col("_rn") > baseline_n if (mu0 is None or sigma is None) else F.lit(True)
+    out = (
+        out.withColumn("cusum_pos", cusum_p)
+        .withColumn("cusum_neg", cusum_n)
+        .withColumn("alarm_pos", F.coalesce((cusum_p > h) & after_base, F.lit(False)))
+        .withColumn("alarm_neg", F.coalesce((cusum_n > h) & after_base, F.lit(False)))
+        .withColumn("cp_ts_pos", cp_p)
+        .withColumn("cp_ts_neg", cp_n)
+        .drop("_rn", "_sp", "_sn")
+    )
+    return out
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    value_col: str = "close",
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    kappa: float = 0.5,
+    h: float = 5.0,
+    baseline_n: int = 30,
+    mu0: float | None = None,
+    sigma: float | None = None,
+) -> DataFrame:
+    """First-detection view: one row per (series, direction) giving the
+    earliest alarm and its estimated changepoint.
+
+    Columns: ``series_col``, ``direction`` ('up'|'down'), ``alarm_ts``
+    (first row whose CUSUM crossed ``h``), ``cp_ts`` (estimated start of
+    the shift — the prefix-sum argmin at alarm time), ``cusum`` (the
+    statistic at the alarm). Series with no alarm emit nothing.
+    """
+    stats = cusum_stats(
+        df, value_col, series_col, ts_col, kappa, h, baseline_n, mu0, sigma
+    )
+    # one pass: both directions as an inline-exploded struct array (a
+    # union of two filters would scan + shuffle the stats twice)
+    side = lambda d, alarm, cus, cp: F.struct(  # noqa: E731
+        F.lit(d).alias("direction"),
+        F.col(alarm).alias("alarm"),
+        F.col(ts_col).alias("alarm_ts"),
+        F.col(cp).alias("cp_ts"),
+        F.col(cus).alias("cusum"),
+    )
+    both = stats.select(
+        series_col,
+        F.explode(
+            F.filter(
+                F.array(
+                    side("up", "alarm_pos", "cusum_pos", "cp_ts_pos"),
+                    side("down", "alarm_neg", "cusum_neg", "cp_ts_neg"),
+                ),
+                lambda s: s["alarm"],
+            )
+        ).alias("_s"),
+    ).select(
+        series_col,
+        F.col("_s")["direction"].alias("direction"),
+        F.col("_s")["alarm_ts"].alias("alarm_ts"),
+        F.col("_s")["cp_ts"].alias("cp_ts"),
+        F.col("_s")["cusum"].alias("cusum"),
+    )
+    w = Window.partitionBy(series_col, "direction").orderBy("alarm_ts")
+    return (
+        both.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -362,12 +362,142 @@ def materialize_packs(
 # incremental dedup against a persisted survivor store
 # --------------------------------------------------------------------------
 
+#: double-hashing constants for the digest bloom filter:
+#: h_i(d) = (xxhash64(d, H1) + i * xxhash64(d, H2)) mod m_bits
+_BLOOM_H1 = 0
+_BLOOM_H2 = 1
+
+
+def digest_bloom_words(
+    seen_digests: DataFrame,
+    m_bits: int = 1 << 23,
+    k: int = 5,
+    digest_col: str = "digest",
+) -> list[int]:
+    """Build an ``m_bits``-bit bloom filter over a digest store, returned
+    as ``m_bits/64`` signed int64 words (Spark's long convention).
+
+    Kirsch-Mitzenmacher double hashing over two independent ``xxhash64``
+    draws; all arithmetic is reduced mod ``m_bits`` BEFORE combining, so
+    it never overflows a long under ANSI mode and a pure-Python oracle can
+    replay it exactly (pinned in tests/test_curation.py against the
+    standalone XXH64).
+
+    Scale: k explode rows per digest, then ``bit_or`` with map-side
+    partial aggregation — the shuffle is bounded by ``m_bits/64`` word
+    keys (128 Ki rows at the default 8 Mi bits = 1 MiB on the driver),
+    NOT by the store size. Size ``m_bits`` at ~10-15 bits per stored
+    digest for ~1% false positives; blooms for successive store
+    increments OR-merge (:func:`merge_bloom_words`), so the store's bloom
+    is maintained incrementally — never rebuilt over history.
+    """
+    if m_bits <= 0 or m_bits % 64:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    if not 1 <= k <= 16:
+        raise ValueError("k must be in [1, 16]")
+    m = F.lit(m_bits)
+    rows = (
+        seen_digests.where(F.col(digest_col).isNotNull())
+        .select(
+            F.pmod(F.xxhash64(F.col(digest_col), F.lit(_BLOOM_H1)), m).alias("_a"),
+            F.pmod(F.xxhash64(F.col(digest_col), F.lit(_BLOOM_H2)), m).alias("_b"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.col("_a") + F.lit(i) * F.col("_b"), m)
+                        for i in range(k)
+                    ]
+                )
+            ).alias("_pos")
+        )
+        .selectExpr(
+            "cast(_pos DIV 64 AS int) AS _w",
+            "shiftleft(cast(1 AS bigint), cast(_pos % 64 AS int)) AS _m",
+        )
+        .groupBy("_w")
+        .agg(F.expr("bit_or(_m)").alias("_bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["_w"]] = r["_bits"]
+    return words
+
+
+_M64 = (1 << 64) - 1
+
+
+def merge_bloom_words(*word_lists: list[int]) -> list[int]:
+    """OR-merge bloom word arrays built with identical (m_bits, k) — the
+    bloom of a union of digest sets. Raises on length mismatch (different
+    m_bits blooms are not mergeable)."""
+    if not word_lists:
+        raise ValueError("need at least one word list")
+    n = len(word_lists[0])
+    if any(len(wl) != n for wl in word_lists):
+        raise ValueError("bloom word lists have different lengths (m_bits mismatch)")
+    out = []
+    for i in range(n):
+        u = 0
+        for wl in word_lists:
+            u |= wl[i] & _M64
+        out.append(u - (1 << 64) if u >= (1 << 63) else u)
+    return out
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    words: list[int],
+    m_bits: int,
+    k: int,
+    digest_col: str = "digest",
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Add a boolean ``out_col``: False -> digest is DEFINITELY not in the
+    set the bloom summarizes; True -> probably in it (false-positive rate
+    set by the bloom's sizing). NULL digests are False.
+
+    The words ship as a one-row broadcast joined in (a 1-row
+    BroadcastNestedLoopJoin — constant cost), and every probe is a
+    codegen'd ``element_at``/shiftleft/``&`` expression: no Python, no
+    giant literal embedded in the plan."""
+    if len(words) * 64 != m_bits:
+        raise ValueError(f"words has {len(words)} longs; m_bits={m_bits} needs {m_bits // 64}")
+    spark = df.sparkSession
+    bloom_df = spark.createDataFrame([(words,)], "_bloom_words array<bigint>")
+    m = F.lit(m_bits)
+    a = F.pmod(F.xxhash64(F.col(digest_col), F.lit(_BLOOM_H1)), m)
+    b = F.pmod(F.xxhash64(F.col(digest_col), F.lit(_BLOOM_H2)), m)
+    probe = df.crossJoin(F.broadcast(bloom_df))
+    pos_cols = []
+    hit = F.lit(True)
+    for i in range(k):
+        pc = f"_bpos{i}"
+        pos_cols.append(pc)
+        probe = probe.withColumn(pc, F.pmod(a + F.lit(i) * b, m))
+        hit = hit & F.expr(
+            f"(element_at(_bloom_words, cast({pc} DIV 64 AS int) + 1)"
+            f" & shiftleft(cast(1 AS bigint), cast({pc} % 64 AS int))) != 0"
+        )
+    probe = probe.withColumn(
+        out_col,
+        F.when(F.col(digest_col).isNotNull(), hit).otherwise(F.lit(False)),
+    )
+    return probe.drop("_bloom_words", *pos_cols)
+
 
 def incremental_exact_dedup(
     new_docs: DataFrame,
     seen_digests: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    probe: str = "shuffle",
+    bloom_words: list[int] | None = None,
+    bloom_m_bits: int = 1 << 23,
+    bloom_k: int = 5,
+    skip_scan_when_clean: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Exact-dedup a NEW batch against the digest store of everything
     already curated: returns ``(survivors, survivor_digests)``.
@@ -388,10 +518,70 @@ def incremental_exact_dedup(
 
     NULL-text rows pass through and contribute nothing to the store,
     matching ``exact_dedup``.
+
+    ``probe`` picks the physical store-probe strategy (identical output,
+    parity-pinned in tests/test_curation.py):
+
+    - ``'shuffle'`` (default) — plain left-anti join. Spark cannot
+      broadcast the LEFT side of an anti join, so this sort-merge joins:
+      the ENTIRE digest store re-shuffles on every increment. Fine while
+      the store is modest; the wrong shape once the store dwarfs the
+      batch.
+    - ``'broadcast'`` — two-phase probe for the big-store regime: the
+      batch's distinct digests broadcast into a ``left_semi`` against the
+      store (the store is scanned but NEVER shuffled), and the matched
+      digests — at most the batch's dup count — broadcast back into the
+      anti join. Store-side Exchange count: zero (plan-pinned). Use when
+      the batch's distinct digests fit the broadcast budget (a 10 M-row
+      increment is ~160 MB of md5s), which is exactly the regime where
+      the store is too big to shuffle.
+
+    ``bloom_words`` (broadcast mode only) further prunes the probe with a
+    bloom filter over the store (:func:`digest_bloom_words`, OR-merged
+    across increments with :func:`merge_bloom_words`): bloom-negative
+    rows skip the store probe entirely — no false negatives, so this is
+    lossless as long as the bloom covers EVERY digest in ``seen_digests``
+    (it is the caller's contract to merge each increment's bloom; a stale
+    bloom silently readmits duplicates). With
+    ``skip_scan_when_clean=True`` a batch with zero bloom hits skips the
+    store SCAN too (one extra driver action over the batch's digests —
+    worth it when increments are usually disjoint from history).
     """
     digest = F.md5(F.col(text_col))
     batch = exact_dedup(new_docs, text_col=text_col, id_col=id_col)
-    if seen_digests is not None:
+    if probe not in ("shuffle", "broadcast"):
+        raise ValueError(f"probe must be 'shuffle' or 'broadcast', got {probe!r}")
+    if bloom_words is not None and probe != "broadcast":
+        raise ValueError("bloom_words requires probe='broadcast'")
+    if seen_digests is not None and probe == "broadcast":
+        tagged = batch.withColumn("_dg", digest)
+        if bloom_words is not None:
+            tagged = bloom_might_contain(
+                tagged, bloom_words, bloom_m_bits, bloom_k,
+                digest_col="_dg", out_col="_bh",
+            )
+            cand = tagged.filter(F.col("_bh")).select(F.col("_dg").alias("_probe_dg"))
+        else:
+            cand = tagged.filter(F.col("_dg").isNotNull()).select(
+                F.col("_dg").alias("_probe_dg")
+            )
+        cand = cand.distinct()  # shrink the broadcast; bounded by the batch
+        if bloom_words is not None and skip_scan_when_clean and cand.isEmpty():
+            fresh = tagged.drop("_dg", "_bh")
+        else:
+            matched = (
+                seen_digests.select("digest")
+                .join(
+                    F.broadcast(cand),
+                    F.col("digest") == F.col("_probe_dg"),
+                    "left_semi",
+                )
+                .select(F.col("digest").alias("_dg"))
+            )
+            fresh = tagged.join(
+                F.broadcast(matched), "_dg", "left_anti"
+            ).drop("_dg", "_bh")
+    elif seen_digests is not None:
         # NULL-text rows have a NULL digest; a NULL key never matches in a
         # left_anti join, so they pass through it untouched — no special
         # branch needed
