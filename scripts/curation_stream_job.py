@@ -56,6 +56,10 @@ def main() -> int:
     ap.add_argument("--schema", default="doc_id string, text string",
                     help="inbox schema DDL")
     ap.add_argument("--cpus", type=int, default=0, help="local[] width (0 = all)")
+    ap.add_argument("--bloom-bits", type=int, default=0,
+                    help="maintain a store bloom filter of this many bits "
+                         "(exact method; implies the broadcast store probe + "
+                         "scan skip on clean batches; 0 = off)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -71,6 +75,8 @@ def main() -> int:
     corpus = SnapshotTable(args.corpus)
     store = SnapshotTable(args.store)
     kw = {"threshold": args.threshold} if args.method == "minhash" else {}
+    if args.bloom_bits:
+        kw.update(bloom_m_bits=args.bloom_bits, skip_scan_when_clean=True)
     writer = (
         spark.readStream.schema(args.schema)
         .option("maxFilesPerTrigger", args.max_files_per_trigger)

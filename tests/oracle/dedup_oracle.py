@@ -218,3 +218,32 @@ def simhash_pairs(docs: list[tuple[str, str | None]], max_hamming: int = 3,
                 if h <= max_hamming:
                     out.append((a, b, h))
     return sorted(out)
+
+
+def bloom_words_oracle(digests, m_bits: int, k: int) -> list[int]:
+    """Engine-free replay of curation.digest_bloom_words: Kirsch-
+    Mitzenmacher double hashing on the standalone XXH64, mod-before-
+    combine, bits packed into signed int64 words."""
+    from .xxh64_pure import spark_xxhash64_str_int
+
+    words = [0] * (m_bits // 64)
+    for d in digests:
+        a = spark_xxhash64_str_int(d, 0) % m_bits
+        b = spark_xxhash64_str_int(d, 1) % m_bits
+        for i in range(k):
+            p = (a + i * b) % m_bits
+            words[p >> 6] |= 1 << (p & 63)
+    return [to_i64(w) for w in words]
+
+
+def bloom_contains_oracle(words, digest: str, m_bits: int, k: int) -> bool:
+    """Engine-free replay of curation.bloom_might_contain for one digest."""
+    from .xxh64_pure import spark_xxhash64_str_int
+
+    a = spark_xxhash64_str_int(digest, 0) % m_bits
+    b = spark_xxhash64_str_int(digest, 1) % m_bits
+    for i in range(k):
+        p = (a + i * b) % m_bits
+        if not (to_u64(words[p >> 6]) >> (p & 63)) & 1:
+            return False
+    return True

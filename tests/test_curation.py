@@ -26,13 +26,7 @@ from timeseriesvectordbpattermatcher_spark.operators.dedup import (
     minhash_lsh_dedup,
 )
 
-from tests.oracle.xxh64_pure import (
-    SPARK_SEED,
-    hash_bytes,
-    hash_int,
-    spark_xxhash64_str_int,
-    to_i64,
-)
+from tests.oracle.xxh64_pure import SPARK_SEED, hash_bytes, hash_int, to_i64
 
 
 def _h_seed_str(seed: int, s: str) -> int:
@@ -284,26 +278,11 @@ def test_incremental_exact_null_text_passthrough(spark):
 # --------------------------------------------------------------------------
 
 
-def _bloom_oracle(digests, m_bits, k):
-    """Pure-python replay of digest_bloom_words (standalone XXH64)."""
-    words = [0] * (m_bits // 64)
-    for d in digests:
-        a = spark_xxhash64_str_int(d, 0) % m_bits
-        b = spark_xxhash64_str_int(d, 1) % m_bits
-        for i in range(k):
-            p = (a + i * b) % m_bits
-            words[p >> 6] |= 1 << (p & 63)
-    return [to_i64(w) for w in words]
-
-
-def _bloom_oracle_contains(words, d, m_bits, k):
-    a = spark_xxhash64_str_int(d, 0) % m_bits
-    b = spark_xxhash64_str_int(d, 1) % m_bits
-    for i in range(k):
-        p = (a + i * b) % m_bits
-        if not (words[p >> 6] >> (p & 63)) & 1:
-            return False
-    return True
+# engine-free oracle (standalone XXH64) shared with the stream tests
+from tests.oracle.dedup_oracle import (  # noqa: E402
+    bloom_contains_oracle as _bloom_oracle_contains,
+    bloom_words_oracle as _bloom_oracle,
+)
 
 
 def _md5(s: str) -> str:

@@ -104,6 +104,46 @@ def test_stream_curation_matches_batch_rerun_across_crashes(spark, tmp_path):
     assert corpus.current_snapshot().version == v_corpus
 
 
+def test_stream_curation_bloom_broadcast_probe(spark, tmp_path):
+    """Bloom-maintained broadcast store probe: same final corpus as the
+    default sink, and the store snapshot's bloom metadata replays exactly
+    from the engine-free oracle over ALL store digests (i.e. the
+    per-batch OR-merge fold == a from-scratch build)."""
+    from tests.oracle.dedup_oracle import bloom_words_oracle
+
+    from timeseriesvectordbpattermatcher_spark.operators.curation import (
+        bloom_words_from_b64,
+    )
+
+    stream_dir, all_rows = _waves(spark, tmp_path)
+    corpus = SnapshotTable(str(tmp_path / "corpus_bl"))
+    store = SnapshotTable(str(tmp_path / "store_bl"))
+    m_bits, k = 1 << 14, 5
+    sink = curation_sink(
+        corpus, store, bloom_m_bits=m_bits, bloom_k=k, skip_scan_when_clean=True
+    )
+    q = _start(spark, stream_dir, str(tmp_path / "ckpt_bl"), sink)
+    q.awaitTermination(180)
+
+    got_ids = sorted(r["doc_id"] for r in read_curated(spark, corpus).collect())
+    want = exact_dedup(spark.createDataFrame(all_rows, SCHEMA))
+    assert got_ids == sorted(r["doc_id"] for r in want.collect())
+
+    meta = store.current_snapshot().meta
+    assert int(meta["bloom_m_bits"]) == m_bits and int(meta["bloom_k"]) == k
+    words = bloom_words_from_b64(meta["bloom_b64"], m_bits)
+    digests = [r["digest"] for r in store.read(spark).select("digest").collect()]
+    assert words == bloom_words_oracle(digests, m_bits, k)
+
+    # resizing the bloom mid-stream is refused, not silently misread
+    bad = curation_sink(corpus, store, bloom_m_bits=m_bits * 2, bloom_k=k)
+    newer = spark.createDataFrame([("n1", "post-hoc text")], SCHEMA)
+    with pytest.raises(ValueError, match="sizing"):
+        bad(newer, batch_id=99)
+    with pytest.raises(ValueError, match="method"):
+        curation_sink(corpus, store, method="minhash", bloom_m_bits=m_bits)
+
+
 def test_stream_curation_minhash_near_dups(spark, tmp_path):
     """The minhash flavor: a later wave's NEAR-copy of a stored survivor is
     dropped without rescanning the corpus (the store ships signatures)."""

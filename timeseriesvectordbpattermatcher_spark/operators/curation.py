@@ -447,6 +447,34 @@ def merge_bloom_words(*word_lists: list[int]) -> list[int]:
     return out
 
 
+def bloom_words_to_b64(words: list[int]) -> str:
+    """Serialize bloom words for snapshot metadata: little-endian int64
+    pack + zlib + base64. A fresh (mostly-zero) bloom compresses to a few
+    hundred bytes; a saturated 8 Mi-bit bloom to ~1.4 MB — both fine for
+    a JSON commit manifest."""
+    import base64
+    import struct
+    import zlib
+
+    raw = struct.pack(f"<{len(words)}q", *words)
+    return base64.b64encode(zlib.compress(raw, 6)).decode("ascii")
+
+
+def bloom_words_from_b64(s: str, m_bits: int) -> list[int]:
+    """Inverse of :func:`bloom_words_to_b64`; validates the decoded size
+    against ``m_bits`` so a bloom stored under different sizing can't be
+    silently misread (which would break the no-false-negative guarantee)."""
+    import base64
+    import struct
+    import zlib
+
+    raw = zlib.decompress(base64.b64decode(s))
+    n = len(raw) // 8
+    if n * 64 != m_bits:
+        raise ValueError(f"stored bloom has {n * 64} bits, expected {m_bits}")
+    return list(struct.unpack(f"<{n}q", raw))
+
+
 def bloom_might_contain(
     df: DataFrame,
     words: list[int],

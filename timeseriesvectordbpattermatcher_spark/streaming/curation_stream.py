@@ -28,7 +28,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.curation import incremental_exact_dedup, incremental_minhash_dedup
+from ..operators.curation import (
+    bloom_words_from_b64,
+    bloom_words_to_b64,
+    digest_bloom_words,
+    incremental_exact_dedup,
+    incremental_minhash_dedup,
+    merge_bloom_words,
+)
 
 
 def curation_sink(
@@ -38,6 +45,8 @@ def curation_sink(
     text_col: str = "text",
     id_col: str = "doc_id",
     run_prefix: str = "curate",
+    bloom_m_bits: int | None = None,
+    bloom_k: int = 5,
     **dedup_kw,
 ):
     """Build a ``foreachBatch`` writer for streaming incremental curation.
@@ -45,7 +54,23 @@ def curation_sink(
     ``corpus_table`` / ``store_table`` are :class:`SnapshotTable` roots for
     the curated rows and the survivor store (digests for ``method='exact'``,
     minhash signatures for ``method='minhash'``). ``dedup_kw`` forwards to
-    the incremental dedup operator (threshold/num_perm/... for minhash).
+    the incremental dedup operator (threshold/num_perm/... for minhash;
+    ``probe='broadcast'`` switches the exact store probe to the
+    store-shuffle-free form).
+
+    ``bloom_m_bits`` (exact method only) maintains a bloom filter over the
+    store ACROSS micro-batches: each batch's store delta contributes its
+    OR-merged words, serialized into the store commit's snapshot metadata
+    (``bloom_b64``) — so the bloom is exactly as crash-consistent as the
+    store itself (committed atomically with the delta; a replay reads the
+    pre-batch bloom alongside the pre-batch store). Implies
+    ``probe='broadcast'``; bloom-negative rows skip the store probe, and
+    ``skip_scan_when_clean=True`` (forwarded) additionally skips the store
+    scan for history-disjoint batches — the steady-state win when most
+    increments are new content. Enabling the bloom mid-stream is handled:
+    a store without ``bloom_b64`` gets one built from the full store once.
+    Changing ``bloom_m_bits``/``bloom_k`` mid-stream raises (the stored
+    words are not convertible).
 
     Usage::
 
@@ -55,6 +80,11 @@ def curation_sink(
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
     """
+    if bloom_m_bits is not None:
+        if method != "exact":
+            raise ValueError("bloom_m_bits requires method='exact'")
+        if dedup_kw.setdefault("probe", "broadcast") != "broadcast":
+            raise ValueError("bloom_m_bits requires probe='broadcast'")
     if method == "exact":
         dedup = incremental_exact_dedup
         store_cols = None  # whole store schema is the digest column
@@ -85,9 +115,45 @@ def curation_sink(
         store = store_table.read(spark)
         if store is not None and store_cols is not None:
             store = store.select(*store_cols)
+        kw = dict(dedup_kw)
+        prev_words = None
+        if bloom_m_bits is not None and store is not None:
+            meta = (store_table.current_snapshot().meta or {})
+            if "bloom_b64" in meta:
+                if (
+                    int(meta.get("bloom_m_bits", -1)) != bloom_m_bits
+                    or int(meta.get("bloom_k", -1)) != bloom_k
+                ):
+                    raise ValueError(
+                        "stored bloom sizing "
+                        f"(m_bits={meta.get('bloom_m_bits')}, k={meta.get('bloom_k')}) "
+                        f"differs from requested ({bloom_m_bits}, {bloom_k}); "
+                        "bloom words are not convertible across sizings"
+                    )
+                prev_words = bloom_words_from_b64(meta["bloom_b64"], bloom_m_bits)
+            else:
+                # bloom enabled mid-stream: one full-store build, then
+                # incremental OR-merges from here on
+                prev_words = digest_bloom_words(store, m_bits=bloom_m_bits, k=bloom_k)
+            kw["bloom_words"] = prev_words
+            kw["bloom_m_bits"] = bloom_m_bits
+            kw["bloom_k"] = bloom_k
         survivors, delta = dedup(
-            batch_df, store, text_col=text_col, id_col=id_col, **dedup_kw
+            batch_df, store, text_col=text_col, id_col=id_col, **kw
         )
+        bloom_meta = {}
+        if bloom_m_bits is not None:
+            delta_words = digest_bloom_words(delta, m_bits=bloom_m_bits, k=bloom_k)
+            merged = (
+                merge_bloom_words(prev_words, delta_words)
+                if prev_words is not None
+                else delta_words
+            )
+            bloom_meta = {
+                "bloom_b64": bloom_words_to_b64(merged),
+                "bloom_m_bits": bloom_m_bits,
+                "bloom_k": bloom_k,
+            }
         if batch_id > corpus_last:
             snap = corpus_table.current_snapshot()
             corpus_table.overwrite_partitions(
@@ -104,6 +170,7 @@ def curation_sink(
             meta=dict(
                 (store_snap.meta or {}) if store_snap else {},
                 stream_batch_id=batch_id,
+                **bloom_meta,
             ),
         )
 
