@@ -277,6 +277,143 @@ def main() -> None:
     }
     lm_counts.unpersist()
 
+    # ---- CUSUM changepoints at both scales (not a driver query) -------------
+    # input = the cascade's seqs corpus (2M / 20M rows — the events tables
+    # are overhead-dominated at <=1M rows on this host): detect per-source
+    # n_tok mean shifts over the raw token stream, the natural monitoring
+    # composition with the rollup tiers. Uses the same cached parquet the
+    # cascade timing writes, so the probe times the detector, not synth.
+    from timeseriesvectordbpattermatcher_spark.operators.changepoints import (
+        cusum_changepoints,
+    )
+
+    def _seqs_path(n_rows: int) -> str:
+        import tempfile
+
+        corpus = os.path.join(tempfile.gettempdir(), f"seqs_bench_{n_rows}")
+        if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+            synth_seqs(spark, n_rows, seed=42).write.mode("overwrite").parquet(corpus)
+        return corpus
+
+    def cusum_run(n_rows: int, chunked: bool = True) -> int:
+        seqs = derive_event_ts(
+            spark.read.parquet(_seqs_path(n_rows))
+        ).select("source", "event_ts", "n_tok")
+        return cusum_changepoints(
+            seqs, value_col="n_tok", series_col="source", ts_col="event_ts",
+            kappa=0.5, h=5.0, baseline_n=30,
+            chunk_by=F.to_date("event_ts") if chunked else None,
+        ).count()
+
+    n_small, n_big = cusum_run(2_000_000), cusum_run(args.rows)
+    t_small = _best_of(lambda: cusum_run(2_000_000), k=args.runs, warmup=False)
+    t_big = _best_of(lambda: cusum_run(args.rows), k=args.runs, warmup=False)
+    # single-partition contrast at the big size (one reading): the 70%-web
+    # series serializes into one task there — the number the chunked
+    # prefix-scan exists to beat
+    t0 = time.time()
+    cusum_run(args.rows, chunked=False)
+    t_single_big = round(time.time() - t0, 3)
+    result["queries"]["cusum_changepoints"] = {
+        "rows_in_small": 2_000_000,
+        "rows_in_big": args.rows,
+        "sf0.1_sec": t_small,
+        "sf1_sec": t_big,
+        "scale_ratio": round(t_big / t_small, 2),
+        "single_partition_sec_big": t_single_big,
+        "rows_small": n_small,
+        "rows_big": n_big,
+    }
+
+    # ---- incremental dedup: FIXED batch vs a 10x digest store ---------------
+    # the realistic steady-state shape (store >> batch): the store grows 10x
+    # (1M -> 10M digests — the sf-corpus stores are too small to cost
+    # anything) while the 5k-row increment stays constant. probe='shuffle'
+    # re-shuffles the whole store, so its wall should track store size;
+    # probe='broadcast' (+bloom) only scans it, so its wall should stay
+    # near-flat — THE scale claim of the broadcast probe, measured rather
+    # than just plan-pinned. Store build + one-time bloom build (the
+    # amortized-per-increment costs) are excluded from the timings;
+    # autoBroadcastJoinThreshold is pinned to -1 so Catalyst can't
+    # auto-broadcast the small store at 1M either.
+    from timeseriesvectordbpattermatcher_spark.operators.curation import (
+        digest_bloom_words,
+        incremental_exact_dedup,
+    )
+
+    INC_SMALL, INC_BIG = 10_000_000, 100_000_000
+    BLOOM_SMALL, BLOOM_BIG = 1_000_000, 10_000_000  # 2^27-bit bloom sizing regime
+
+    def _inc_store(n_rows: int):
+        path = os.path.join(SF1_DIR, f"incstore_{n_rows}.parquet")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            (
+                spark.range(n_rows)
+                .select(
+                    F.md5(F.concat(F.lit("store text "), F.col("id"))).alias("digest")
+                )
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+        return spark.read.parquet(path)
+
+    # fixed increment: 2.5k texts present in BOTH stores + 2.5k unseen
+    batch = spark.range(2500).select(
+        F.concat(F.lit("old"), F.col("id")).alias("doc_id"),
+        F.concat(F.lit("store text "), F.col("id")).alias("text"),
+    ).unionByName(
+        spark.range(2500).select(
+            F.concat(F.lit("new"), F.col("id")).alias("doc_id"),
+            F.concat(F.lit("unseen increment text "), F.col("id")).alias("text"),
+        )
+    )
+    inc_blooms = {
+        n: digest_bloom_words(_inc_store(n), m_bits=1 << 27, k=5)
+        for n in (BLOOM_SMALL, BLOOM_BIG)
+    }
+
+    def inc_run(n_rows: int, mode: str) -> int:
+        kw = (
+            {"probe": "broadcast", "bloom_words": inc_blooms[n_rows],
+             "bloom_m_bits": 1 << 27, "bloom_k": 5}
+            if mode == "bloom"
+            else {"probe": mode}
+        )
+        surv, _ = incremental_exact_dedup(batch, _inc_store(n_rows), **kw)
+        return surv.count()
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # shuffle vs pure broadcast at 10M -> 100M digests (the store-shuffle
+        # cost only becomes visible past ~10M rows on this host); the bloom
+        # variant at 1M -> 10M, where a 2^27-bit bloom is correctly sized
+        # (a 100M-key bloom needs ~2^31 bits — batch-job territory, sized by
+        # the caller)
+        for mode, qname, sizes in (
+            ("shuffle", "inc_dedup_shuffle", (INC_SMALL, INC_BIG)),
+            ("broadcast", "inc_dedup_broadcast", (INC_SMALL, INC_BIG)),
+            ("bloom", "inc_dedup_bloom", (BLOOM_SMALL, BLOOM_BIG)),
+        ):
+            small, big = sizes
+            n_small = inc_run(small, mode)
+            n_big = inc_run(big, mode)
+            t_small = _best_of(lambda: inc_run(small, mode), k=args.runs,
+                               warmup=False)
+            t_big = _best_of(lambda: inc_run(big, mode), k=args.runs,
+                             warmup=False)
+            result["queries"][qname] = {
+                "store_small": small,
+                "store_big": big,
+                "sf0.1_sec": t_small,
+                "sf1_sec": t_big,
+                "scale_ratio": round(t_big / t_small, 2),
+                "rows_small": n_small,
+                "rows_big": n_big,
+            }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
     # ---- matcher pipeline at 10x reference segments ------------------------
     def matcher_run(n_tickers: int) -> None:
         ohlcv = synth_ohlcv(spark, n_tickers=n_tickers, n_days=900)

@@ -149,6 +149,93 @@ def test_cusum_validation(spark):
         cusum_stats(df, baseline_n=1)
 
 
+def _chunk_parity_frames(spark):
+    """Series mix exercising every chunk-boundary path: planted shifts,
+    flat, constant (null stats), short, scattered null values, an
+    all-null chunk, and series/chunk sizes that don't divide evenly."""
+    rng = np.random.default_rng(21)
+    series = {
+        "up": _planted(5, n=137, shift_at=71, shift=2.5),
+        "down": [-x for x in _planted(6, n=90, shift_at=40, shift=2.2)],
+        "flat": rng.normal(3.0, 1.0, 64).tolist(),
+        "const": [2.0] * 45,
+        "short": [1.0, 5.0, 2.0],
+        "holey": [
+            None if i % 17 == 0 else v
+            for i, v in enumerate(_planted(7, n=80, shift_at=50, shift=3.0))
+        ],
+        "nullchunk": [1.0, 2.0] + [None] * 12 + [9.0] * 30,
+    }
+    rows = [
+        (sid, i, None if x is None else float(x))
+        for sid, xs in series.items()
+        for i, x in enumerate(xs)
+    ]
+    return spark.createDataFrame(rows, "series_id string, ts long, close double")
+
+
+@pytest.mark.parametrize("chunk_rows", [7, 10, 64, 1000])
+def test_cusum_chunked_matches_single_partition(spark, chunk_rows):
+    """The distributed prefix-scan form must reproduce the single-partition
+    closed form at every row, for chunk sizes from smaller-than-baseline
+    to larger-than-any-series (the 1000 case degenerates to one chunk)."""
+    df = _chunk_parity_frames(spark)
+    from pyspark.sql import functions as F
+
+    kw = dict(kappa=0.5, h=4.0, baseline_n=20)
+    want = cusum_stats(df, **kw).orderBy("series_id", "ts").collect()
+    got = (
+        cusum_stats(df, chunk_by=(F.col("ts") / chunk_rows).cast("int"), **kw)
+        .orderBy("series_id", "ts")
+        .collect()
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        key = (w["series_id"], w["ts"])
+        for c in ("cusum_pos", "cusum_neg"):
+            if w[c] is None:
+                assert g[c] is None, (key, c, g[c])
+            else:
+                assert g[c] == pytest.approx(w[c], rel=1e-9, abs=1e-9), (key, c)
+        for c in ("alarm_pos", "alarm_neg", "cp_ts_pos", "cp_ts_neg"):
+            assert g[c] == w[c], (key, c, g[c], w[c])
+
+
+def test_cusum_chunked_known_params_and_first_alarm(spark):
+    from pyspark.sql import functions as F
+
+    xs = [0.0] * 40 + [3.0] * 40
+    df = _mk_df(spark, {"s": xs, "q": [0.1 * (i % 7) for i in range(60)]})
+    kw = dict(kappa=0.5, h=4.0, mu0=0.0, sigma=1.0)
+    want = sorted(
+        tuple(r) for r in cusum_changepoints(df, **kw).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in cusum_changepoints(
+            df, chunk_by=(F.col("ts") / 13).cast("int"), **kw
+        ).collect()
+    )
+    assert got == want and len(got) >= 1
+
+
+def test_cusum_chunked_no_store_sized_shuffle_of_series_key(spark):
+    """The chunked plan's only data-sized Exchange is the (series, chunk)
+    partitioning: the summary joins broadcast back (no SortMergeJoin), so
+    a 70%-skewed series never lands in one task."""
+    from pyspark.sql import functions as F
+
+    df = _mk_df(spark, {"s": [float(i % 13) for i in range(400)]})
+    plan = (
+        cusum_stats(df, chunk_by=(F.col("ts") / 50).cast("int"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan[:2500]
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2500]
+
+
 def test_cusum_single_exchange(spark):
     df = _mk_df(spark, {"s": [float(i) for i in range(40)]})
     plan = cusum_stats(df)._jdf.queryExecution().executedPlan().toString()

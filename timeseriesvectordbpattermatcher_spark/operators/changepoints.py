@@ -40,7 +40,7 @@ so the 100 TB arguments from ``operators/windows.py`` carry over verbatim
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -54,6 +54,7 @@ def cusum_stats(
     baseline_n: int = 30,
     mu0: float | None = None,
     sigma: float | None = None,
+    chunk_by: str | Column | None = None,
 ) -> DataFrame:
     """Add two-sided CUSUM columns per series: ``cusum_pos``, ``cusum_neg``,
     ``alarm_pos``, ``alarm_neg``, ``cp_ts_pos``, ``cp_ts_neg``.
@@ -73,9 +74,29 @@ def cusum_stats(
     NON-restarting running statistic — this is first-detection semantics
     (see :func:`cusum_changepoints` for the one-row-per-alarm view), not a
     self-resetting control chart.
+
+    ``chunk_by`` — the SKEW ESCAPE HATCH. The default plan computes each
+    series in one window partition: correct, but a series holding most of
+    the data serializes into one task (a 14M-row series measured 45 s in
+    scripts/sf1_bench.py). Pass a chunk expression that is NONDECREASING
+    in ``ts_col`` within each series (a time bucket — e.g.
+    ``F.to_date("ts")``; caller's contract, not validated) and the
+    detector switches to a distributed two-phase prefix scan: local
+    cumsum/min per (series, chunk) in parallel, then chunk offsets and
+    cross-chunk running minima over a per-chunk summary table (rows =
+    series x chunks), broadcast-joined back. Results are identical up to
+    float association (offset + local sums re-associate the additions;
+    agreement pinned at 1e-9 relative in tests/test_changepoints.py — an
+    alarm can differ only when the statistic sits within float noise of
+    ``h``).
     """
     if baseline_n < 2 and (mu0 is None or sigma is None):
         raise ValueError("baseline_n must be >= 2 to estimate mu0/sigma")
+    if chunk_by is not None:
+        return _cusum_stats_chunked(
+            df, value_col, series_col, ts_col, kappa, h, baseline_n,
+            mu0, sigma, chunk_by,
+        )
     w = Window.partitionBy(series_col).orderBy(ts_col)
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     whole = Window.partitionBy(series_col)
@@ -105,8 +126,15 @@ def cusum_stats(
         cusum = F.col(s_col) - run_min
         # argmin via lexicographic struct-min; the cp estimate is only
         # defined when the min is an actual row (prefix min < 0) — when the
-        # running min is the virtual S_0 the shift started at series start
-        arg = F.min(F.struct(F.col(s_col).alias("s"), F.col(ts_col).alias("t"))).over(run)
+        # running min is the virtual S_0 the shift started at series start.
+        # Rows with null S (all-null prefix) are excluded: a struct with a
+        # null field would sort FIRST and poison the min
+        arg = F.min(
+            F.when(
+                F.col(s_col).isNotNull(),
+                F.struct(F.col(s_col).alias("s"), F.col(ts_col).alias("t")),
+            )
+        ).over(run)
         cp = F.when(arg["s"] < 0, arg["t"])
         return cusum, cp
 
@@ -125,6 +153,168 @@ def cusum_stats(
     return out
 
 
+def _cusum_stats_chunked(
+    df: DataFrame,
+    value_col: str,
+    series_col: str,
+    ts_col: str,
+    kappa: float,
+    h: float,
+    baseline_n: int,
+    mu0: float | None,
+    sigma: float | None,
+    chunk_by: str | Column,
+) -> DataFrame:
+    """Distributed prefix-scan CUSUM (see :func:`cusum_stats` ``chunk_by``).
+
+    Classic parallel-scan decomposition: for chunk c with exclusive offset
+    ``S_off(c) = sum of earlier chunks' totals``,
+
+        S_t            = S_off(c) + local_cumsum_t
+        min_{j<=t} S_j = min( min over chunks c'<c of
+                                 (S_off(c') + local_min(c')),
+                              S_off(c) + local_running_min_t )
+
+    and the argmin struct composes the same way. Everything row-level is
+    windowed within (series, chunk) — parallel across chunks — and the
+    cross-chunk recurrences run over a summary table with one row per
+    (series, chunk), broadcast back. ONE data-sized Exchange (the
+    (series, chunk) partitioning); the summaries are series x chunks rows.
+    """
+    ck = F.col(chunk_by) if isinstance(chunk_by, str) else chunk_by
+    est = mu0 is None or sigma is None
+    x = F.col(value_col).cast("double")
+
+    wloc = Window.partitionBy(series_col, "_ck").orderBy(ts_col)
+    runloc = wloc.rowsBetween(Window.unboundedPreceding, 0)
+    wser = Window.partitionBy(series_col).orderBy("_ck")
+    prevser = wser.rowsBetween(Window.unboundedPreceding, -1)
+
+    cur = df.withColumn("_ck", ck).withColumn("_lrn", F.row_number().over(wloc))
+
+    if est:
+        # global row number = exclusive chunk row-offset + local row number;
+        # needed only to locate the first baseline_n rows per series
+        cnts = cur.groupBy(series_col, "_ck").agg(F.count(F.lit(1)).alias("_cnt"))
+        offs = cnts.select(
+            series_col,
+            "_ck",
+            F.coalesce(F.sum("_cnt").over(prevser), F.lit(0)).alias("_roff"),
+        )
+        cur = cur.join(F.broadcast(offs), [series_col, "_ck"])
+        cur = cur.withColumn("_grn", F.col("_roff") + F.col("_lrn"))
+        base_rows = cur.filter(F.col("_grn") <= baseline_n)
+        bstats = base_rows.groupBy(series_col).agg(
+            F.avg(x).alias("_bmu"), F.stddev_samp(x).alias("_bsd")
+        )
+        cur = cur.join(F.broadcast(bstats), series_col, "left")
+        after_base = F.col("_grn") > baseline_n
+    else:
+        after_base = F.lit(True)
+    mu_c = F.lit(float(mu0)) if mu0 is not None else F.col("_bmu")
+    sd_c = F.lit(float(sigma)) if sigma is not None else F.col("_bsd")
+    sd_c = F.when(sd_c > 0, sd_c)
+    z = (x - mu_c) / sd_c
+
+    # window sums skip nulls (a null-x row keeps S at its previous value;
+    # S is null only while a series' prefix holds NO non-null increment) —
+    # the cross-chunk composition below reproduces that exactly: local sums
+    # stay raw (null while the LOCAL prefix is all-null), and the row's
+    # global S falls back to the chunk offset whenever any EARLIER
+    # non-null increment exists (tracked by non-null counts)
+    cur = cur.withColumn("_ip", z - F.lit(kappa)).withColumn("_in", -z - F.lit(kappa))
+    for p in ("_p", "_n"):
+        inc = F.col("_i" + p[1])
+        cur = cur.withColumn("_lc" + p, F.sum(inc).over(runloc))
+        cur = cur.withColumn("_lm" + p, F.min(F.col("_lc" + p)).over(runloc))
+        cur = cur.withColumn(
+            "_la" + p,
+            F.min(
+                F.when(
+                    F.col("_lc" + p).isNotNull(),
+                    F.struct(F.col("_lc" + p).alias("s"), F.col(ts_col).alias("t")),
+                )
+            ).over(runloc),
+        )
+    cur = cur.withColumn("_lnn", F.count("_ip").over(runloc))
+
+    # per-chunk summary -> offsets + cross-chunk running minima (tiny table).
+    # Null-S structs are excluded from every argmin (they'd sort first and
+    # poison it — same guard as the single-partition form)
+    aggs = [F.count("_ip").alias("_ncnt")]
+    for p in ("_p", "_n"):
+        aggs += [
+            F.sum("_i" + p[1]).alias("_tot" + p),
+            F.min("_lc" + p).alias("_cmin" + p),
+            F.min(
+                F.when(
+                    F.col("_lc" + p).isNotNull(),
+                    F.struct(F.col("_lc" + p).alias("s"), F.col(ts_col).alias("t")),
+                )
+            ).alias("_carg" + p),
+        ]
+    summ = cur.groupBy(series_col, "_ck").agg(*aggs)
+    summ = summ.withColumn("_pcnt", F.coalesce(F.sum("_ncnt").over(prevser), F.lit(0)))
+    for p in ("_p", "_n"):
+        summ = summ.withColumn(
+            "_soff" + p, F.coalesce(F.sum("_tot" + p).over(prevser), F.lit(0.0))
+        )
+    for p in ("_p", "_n"):
+        summ = summ.withColumn(
+            "_pmin" + p,
+            F.min(F.col("_soff" + p) + F.col("_cmin" + p)).over(prevser),
+        ).withColumn(
+            "_parg" + p,
+            F.min(
+                F.when(
+                    F.col("_carg" + p).isNotNull(),
+                    F.struct(
+                        (F.col("_soff" + p) + F.col("_carg" + p)["s"]).alias("s"),
+                        F.col("_carg" + p)["t"].alias("t"),
+                    ),
+                )
+            ).over(prevser),
+        )
+    summ = summ.select(
+        series_col, "_ck", "_pcnt",
+        *[c + p for p in ("_p", "_n") for c in ("_soff", "_pmin", "_parg")],
+    )
+    cur = cur.join(F.broadcast(summ), [series_col, "_ck"])
+
+    any_nn = (F.col("_pcnt") + F.col("_lnn")) > 0
+    out_cols = {}
+    for p, side in (("_p", "pos"), ("_n", "neg")):
+        s_t = F.when(
+            any_nn, F.col("_soff" + p) + F.coalesce(F.col("_lc" + p), F.lit(0.0))
+        )
+        rowmin = F.least(
+            F.col("_pmin" + p), F.col("_soff" + p) + F.col("_lm" + p)
+        )
+        cusum = s_t - F.least(F.lit(0.0), rowmin)
+        curarg = F.when(
+            F.col("_la" + p).isNotNull(),
+            F.struct(
+                (F.col("_soff" + p) + F.col("_la" + p)["s"]).alias("s"),
+                F.col("_la" + p)["t"].alias("t"),
+            ),
+        )
+        arg = F.least(F.col("_parg" + p), curarg)
+        out_cols[f"cusum_{side}"] = cusum
+        out_cols[f"alarm_{side}"] = F.coalesce((cusum > h) & after_base, F.lit(False))
+        out_cols[f"cp_ts_{side}"] = F.when(arg["s"] < 0, arg["t"])
+
+    out = cur
+    for name in ("cusum_pos", "cusum_neg", "alarm_pos", "alarm_neg",
+                 "cp_ts_pos", "cp_ts_neg"):
+        out = out.withColumn(name, out_cols[name])
+    drop = ["_ck", "_lrn", "_ip", "_in", "_lnn", "_pcnt"]
+    drop += [c + p for p in ("_p", "_n")
+             for c in ("_lc", "_lm", "_la", "_soff", "_pmin", "_parg")]
+    if est:
+        drop += ["_roff", "_grn", "_bmu", "_bsd"]
+    return out.drop(*drop)
+
+
 def cusum_changepoints(
     df: DataFrame,
     value_col: str = "close",
@@ -135,6 +325,7 @@ def cusum_changepoints(
     baseline_n: int = 30,
     mu0: float | None = None,
     sigma: float | None = None,
+    chunk_by: str | Column | None = None,
 ) -> DataFrame:
     """First-detection view: one row per (series, direction) giving the
     earliest alarm and its estimated changepoint.
@@ -145,7 +336,8 @@ def cusum_changepoints(
     statistic at the alarm). Series with no alarm emit nothing.
     """
     stats = cusum_stats(
-        df, value_col, series_col, ts_col, kappa, h, baseline_n, mu0, sigma
+        df, value_col, series_col, ts_col, kappa, h, baseline_n, mu0, sigma,
+        chunk_by=chunk_by,
     )
     # one pass: both directions as an inline-exploded struct array (a
     # union of two filters would scan + shuffle the stats twice)

@@ -26,6 +26,8 @@ Design rules shared by every operator here:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -487,33 +489,40 @@ def bloom_might_contain(
     set the bloom summarizes; True -> probably in it (false-positive rate
     set by the bloom's sizing). NULL digests are False.
 
-    The words ship as a one-row broadcast joined in (a 1-row
-    BroadcastNestedLoopJoin — constant cost), and every probe is a
-    codegen'd ``element_at``/shiftleft/``&`` expression: no Python, no
-    giant literal embedded in the plan."""
+    Physical form: the two hash draws stay JVM-side (codegen'd
+    ``xxhash64``), and the bit tests run in ONE vectorized ``pandas_udf``
+    whose closure carries the words as a pickled numpy int64 array — a
+    single compact binary transfer per query. (The previous form shipped
+    the words as a one-row DataFrame: correct, but ``createDataFrame`` of
+    an m/64-element Python list converts element-by-element through the
+    JVM bridge — ~20 s flat overhead per call at 2^27 bits, measured in
+    scripts/sf1_bench.py — a fixed cost the numpy closure doesn't pay.)
+    The Python stage only ever sees the PROBING side (the new batch, small
+    by definition in the incremental regime), never the store."""
     if len(words) * 64 != m_bits:
         raise ValueError(f"words has {len(words)} longs; m_bits={m_bits} needs {m_bits // 64}")
-    spark = df.sparkSession
-    bloom_df = spark.createDataFrame([(words,)], "_bloom_words array<bigint>")
+    from pyspark.sql.functions import pandas_udf
+
+    w = np.asarray(words, dtype=np.int64)
+    mk, kk = m_bits, k
+
+    @pandas_udf("boolean")
+    def _probe(a: pd.Series, b: pd.Series) -> pd.Series:
+        av = a.to_numpy(dtype=np.int64)
+        bv = b.to_numpy(dtype=np.int64)
+        hit = np.ones(len(av), dtype=bool)
+        for i in range(kk):
+            p = (av + i * bv) % mk  # av/bv already in [0, m): no overflow
+            hit &= ((w[p >> 6] >> (p & 63)) & 1).astype(bool)
+        return pd.Series(hit)
+
     m = F.lit(m_bits)
     a = F.pmod(F.xxhash64(F.col(digest_col), F.lit(_BLOOM_H1)), m)
     b = F.pmod(F.xxhash64(F.col(digest_col), F.lit(_BLOOM_H2)), m)
-    probe = df.crossJoin(F.broadcast(bloom_df))
-    pos_cols = []
-    hit = F.lit(True)
-    for i in range(k):
-        pc = f"_bpos{i}"
-        pos_cols.append(pc)
-        probe = probe.withColumn(pc, F.pmod(a + F.lit(i) * b, m))
-        hit = hit & F.expr(
-            f"(element_at(_bloom_words, cast({pc} DIV 64 AS int) + 1)"
-            f" & shiftleft(cast(1 AS bigint), cast({pc} % 64 AS int))) != 0"
-        )
-    probe = probe.withColumn(
+    return df.withColumn(
         out_col,
-        F.when(F.col(digest_col).isNotNull(), hit).otherwise(F.lit(False)),
+        F.when(F.col(digest_col).isNotNull(), _probe(a, b)).otherwise(F.lit(False)),
     )
-    return probe.drop("_bloom_words", *pos_cols)
 
 
 def incremental_exact_dedup(
