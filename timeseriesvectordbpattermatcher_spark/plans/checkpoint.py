@@ -55,6 +55,7 @@ class RollupJob:
         run_id: str,
         t0: float,
         meta: dict | None = None,
+        target_file_rows: int | None = None,
     ):
         table = self.tables[tier]
         snap = table.overwrite_partitions(
@@ -63,6 +64,12 @@ class RollupJob:
             run_id=run_id,
             watermark=watermark,
             meta=meta,
+            # per-file bucket_ts min/max (read from footers the inventory
+            # already opens) -> read_range() skips files by time, and fat
+            # partitions fan out RANGE-clustered so intra-day skipping bites
+            stats_cols=["bucket_ts"],
+            cluster_by=["bucket_ts"] if target_file_rows else None,
+            target_file_rows=target_file_rows,
         )
         self.audit.append(
             spark,
@@ -92,12 +99,16 @@ class RollupJob:
         full_refresh: bool = False,
         salt_buckets: int | None = None,
         token_engine: str = "expr",
+        target_file_rows: int | None = None,
     ) -> dict[str, DataFrame | None]:
         """Incremental run. ``seqs_ts`` must carry event_ts (derive_event_ts).
         ``salt_buckets`` enables the two-phase salted 1m aggregation for
         hot-key skew (north rule) — merge tiers are already small.
         ``token_engine`` selects the token-stat engine (see
-        rollup.add_token_stats) — expr measured fastest on this host."""
+        rollup.add_token_stats) — expr measured fastest on this host.
+        ``target_file_rows`` fans fat 1m partitions out range-clustered on
+        ``bucket_ts`` (parallel write + per-file time stats that make
+        :meth:`read_range` skip files inside a day)."""
         run_id = run_id or uuid.uuid4().hex[:12]
         t0 = time.time()
         snap_1m = self.tables["1m"].current_snapshot()
@@ -131,6 +142,7 @@ class RollupJob:
                         wm_str,
                         run_id,
                         t0,
+                        target_file_rows=target_file_rows,
                     )
                     if fail_after == "1m":
                         raise RuntimeError("injected failure after 1m commit")
@@ -140,6 +152,17 @@ class RollupJob:
                          fail_after=fail_after)
 
         return {t: self.tables[t].read(spark) for t in TIERS}
+
+    def read_range(self, spark: SparkSession, tier: str, lo=None, hi=None):
+        """Time-range probe over a tier with manifest-stats file skipping:
+        only data files whose per-file ``bucket_ts`` [min, max] (recorded at
+        commit) can intersect ``[lo, hi]`` are opened, then the exact range
+        filter is applied. At 10^12 rows a dashboard's "last 6 hours of one
+        day" probe opens the few range-clustered files of that slice, not
+        every file of every day. ``lo``/``hi`` are datetimes (None =
+        unbounded). None when the tier is empty or nothing can match."""
+        out = self.tables[tier].read_where(spark, {"bucket_ts": (lo, hi)})
+        return out.drop("bucket_day") if out is not None else None
 
     def run_cascade(
         self,
@@ -166,11 +189,16 @@ class RollupJob:
             changed = src_snap.changed_partitions(last_sync)
             if not changed:
                 continue
-            # rsplit: the day component never contains '/', a source value
-            # might (pk layout is '{source}/{YYYY-MM-DD}')
-            days = sorted({pk.rsplit("/", 1)[1] for pk in changed})
-            src_df = self.tables[src_tier].read(spark)
-            affected = src_df.filter(F.to_date("bucket_ts").isin(days)).drop("bucket_day")
+            # manifest-pruned read of EXACTLY the changed (source, day)
+            # partitions: a tier's (source, day) output depends only on the
+            # same (source, day) upstream, so this is complete AND minimal.
+            # (The previous day-level filter recomputed every source sharing
+            # a changed day — harmless content-wise, but each rewrite bumped
+            # those partitions' versions and the NEXT tier then saw them as
+            # changed too: write amplification across sources that compounds
+            # down the cascade at 10^12 scale.)
+            affected = self.tables[src_tier].read_partitions(spark, changed)
+            affected = affected.drop("bucket_day")
             out = cascade(affected, tier)
             self._commit_tier(
                 spark,

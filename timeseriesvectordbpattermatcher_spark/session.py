@@ -37,6 +37,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (the legacy default) carries no parquet footer min/max, which
+        # blinds SnapshotTable's manifest-stats file skipping on timestamp
+        # columns; TIMESTAMP_MICROS is also what Arrow/DuckDB read natively
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 100k rows/batch: the Arrow-bound paths (token-stat mapInArrow,
         # minhash signature kernel, segmentation mapInPandas) pay a fixed

@@ -38,6 +38,73 @@ from pyspark.sql import functions as F
 _COMMITS = "_commits"
 
 
+def _stat_json(v):
+    """JSON-encode one footer stat value, order-preserving under the
+    comparison :func:`_ranges_overlap` uses. Naive datetimes/dates encode
+    as isoformat strings — lexicographic order == chronological order for
+    a fixed date prefix (the fractional-seconds suffix only extends the
+    string, never reorders it). Unsupported types -> None (col untracked
+    in that file, which only disables skipping — never unsafe)."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or v is None:
+        return None  # bool min/max is useless for range pruning
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+    return None
+
+
+def _footer_minmax(md, cols: list[str]) -> dict:
+    """Per-column [min, max] across every row group of one parquet footer.
+    A column appears ONLY when all its row groups carry min/max stats and
+    the values JSON-encode losslessly — partial stats would make skipping
+    unsound."""
+    want = set(cols)
+    out: dict[str, list] = {}
+    complete: dict[str, bool] = {c: True for c in cols}
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        for j in range(rg.num_columns):
+            c = rg.column(j)
+            name = c.path_in_schema
+            if name not in want or not complete[name]:
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                complete[name] = False
+                out.pop(name, None)
+                continue
+            lo, hi = _stat_json(st.min), _stat_json(st.max)
+            if lo is None or hi is None:
+                complete[name] = False
+                out.pop(name, None)
+                continue
+            cur = out.get(name)
+            if cur is None:
+                out[name] = [lo, hi]
+            else:
+                cur[0] = min(cur[0], lo)
+                cur[1] = max(cur[1], hi)
+    return out
+
+
+def _ranges_overlap(file_range: list, lo, hi) -> bool:
+    """Whether a file's [min, max] can intersect the predicate [lo, hi]
+    (either bound None = unbounded). Type-mismatched comparisons keep the
+    file (TypeError -> not skippable), so a bad predicate degrades to a
+    full scan instead of wrong results."""
+    try:
+        if lo is not None and file_range[1] < lo:
+            return False
+        if hi is not None and file_range[0] > hi:
+            return False
+    except TypeError:
+        return True
+    return True
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -118,6 +185,8 @@ class SnapshotTable:
         meta: dict | None = None,
         target_file_rows: int | None = None,
         drop_keys: list[str] | None = None,
+        stats_cols: list[str] | None = None,
+        cluster_by: list[str] | None = None,
     ) -> Snapshot:
         """Write ``df`` and commit, replacing exactly the partitions present
         in ``df``. Partition key = '/'-joined string values of the cols.
@@ -144,6 +213,26 @@ class SnapshotTable:
         keys that need >1 file). Costs one extra map-side count pass over
         ``df`` — enable it for raw/fine tiers, skip it for merge tiers that
         are small by construction.
+
+        ``stats_cols`` records per-FILE min/max for the named columns in the
+        manifest (read from the parquet footers the inventory pass already
+        opens — no extra data scan), enabling :meth:`read_where` to skip
+        data files whose range cannot match a predicate — Iceberg's
+        manifest-stats file skipping. Columns are tracked only when every
+        row group carries stats for them (strings/ints/floats/timestamps
+        do; a file missing stats is simply never skipped).
+
+        ``cluster_by`` range-clusters rows WITHIN the write on
+        ``(_pk, *cluster_by)`` (repartitionByRange + sortWithinPartitions),
+        so each data file covers a narrow slice of the cluster columns and
+        ``stats_cols`` skipping actually bites on non-partition columns
+        (an event-time range query over a source-partitioned table touches
+        only the files whose time slice intersects). The hash salt of
+        ``target_file_rows`` and ``cluster_by`` are mutually exclusive
+        layouts: clustering wins when both are given, with
+        ``target_file_rows`` then only sizing the range-task count — a fat
+        partition still fans out across range splits (parallel write), it
+        just fans out by range instead of by hash.
         """
         run_id = run_id or uuid.uuid4().hex[:12]
         commit_dir = f"data/c_{run_id}_{uuid.uuid4().hex[:8]}"
@@ -152,6 +241,28 @@ class SnapshotTable:
             "_pk", F.concat_ws("/", *[F.col(c).cast("string") for c in partition_cols])
         )
         repart_args: list = [F.col("_pk")]
+        if cluster_by:
+            # range-clustered layout: contiguous (_pk, cluster) slices per
+            # write task -> near-disjoint per-file ranges of the cluster
+            # columns. Task count from target_file_rows when given (fat
+            # partitions fan out across range splits), else one per key.
+            if target_file_rows is not None:
+                if target_file_rows < 1:
+                    raise ValueError(
+                        f"target_file_rows must be >= 1, got {target_file_rows}"
+                    )
+                total_rows = keyed.count()
+                n_tasks = max(1, -(-total_rows // target_file_rows))
+            else:
+                n_tasks = max(1, keyed.select("_pk").distinct().count())
+            cluster_cols = [F.col(c) for c in cluster_by]
+            keyed = keyed.repartitionByRange(
+                n_tasks, F.col("_pk"), *cluster_cols
+            ).sortWithinPartitions(F.col("_pk"), *cluster_cols)
+            writer = keyed.write.partitionBy("_pk")
+            writer.parquet(out_path)
+            new_parts = self._inventory(out_path, commit_dir, stats_cols)
+            return self._commit(new_parts, run_id, watermark, meta, drop_keys)
         if target_file_rows is not None:
             if target_file_rows < 1:
                 raise ValueError(f"target_file_rows must be >= 1, got {target_file_rows}")
@@ -187,7 +298,17 @@ class SnapshotTable:
             .write.partitionBy("_pk")
             .parquet(out_path)
         )
-        # inventory what was written, per partition
+        new_parts = self._inventory(out_path, commit_dir, stats_cols)
+        return self._commit(new_parts, run_id, watermark, meta, drop_keys)
+
+    def _inventory(
+        self, out_path: str, commit_dir: str, stats_cols: list[str] | None
+    ) -> dict[str, dict]:
+        """Per-partition inventory of a finished commit-dir write: file
+        lists, byte/row totals, and (when ``stats_cols``) per-file column
+        min/max from the parquet footers the row count already opens."""
+        import pyarrow.parquet as pq
+
         new_parts: dict[str, dict] = {}
         for entry in os.listdir(out_path):
             if not entry.startswith("_pk="):
@@ -204,11 +325,27 @@ class SnapshotTable:
             ]
             nbytes = sum(os.path.getsize(os.path.join(self.root, f)) for f in files)
             nrows = 0
+            stats: dict[str, dict] = {}
             for f in files:
-                import pyarrow.parquet as pq
-
-                nrows += pq.read_metadata(os.path.join(self.root, f)).num_rows
+                md = pq.read_metadata(os.path.join(self.root, f))
+                nrows += md.num_rows
+                if stats_cols:
+                    fs = _footer_minmax(md, stats_cols)
+                    if fs:
+                        stats[f] = fs
             new_parts[pk] = {"files": files, "bytes": nbytes, "rows": nrows}
+            if stats:
+                new_parts[pk]["stats"] = stats
+        return new_parts
+
+    def _commit(
+        self,
+        new_parts: dict[str, dict],
+        run_id: str,
+        watermark: str | None,
+        meta: dict | None,
+        drop_keys: list[str] | None,
+    ) -> Snapshot:
         prev = self.current_snapshot()
         version = (prev.version + 1) if prev else 1
         for p in new_parts.values():
@@ -297,6 +434,64 @@ class SnapshotTable:
             for f in p["files"]
         ]
         return spark.read.parquet(*files).drop("_pk")
+
+    def prune_files(
+        self, predicates: dict[str, tuple], version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Manifest-stats file skipping: data files (root-relative) whose
+        per-file [min, max] — recorded by ``overwrite_partitions(stats_cols=
+        ...)`` — can intersect EVERY ``col: (lo, hi)`` predicate (None bound
+        = unbounded). Files without stats for a predicated column are always
+        kept (superset semantics — skipping is an optimization, never a
+        filter). Returns ``(kept_files, total_files)``.
+
+        Predicate bounds take the column's Python domain (int/float/str/
+        datetime/date); datetimes compare through the same order-preserving
+        isoformat encoding the writer used."""
+        snap = self.current_snapshot() if version is None else self.snapshot(version)
+        if snap is None:
+            return [], 0
+        enc = {c: (_stat_json(lo), _stat_json(hi)) for c, (lo, hi) in predicates.items()}
+        kept: list[str] = []
+        total = 0
+        for p in snap.partitions.values():
+            stats = p.get("stats", {})
+            for f in p["files"]:
+                total += 1
+                fs = stats.get(f, {})
+                keep = True
+                for c, (lo, hi) in enc.items():
+                    rng = fs.get(c)
+                    if rng is not None and not _ranges_overlap(rng, lo, hi):
+                        keep = False
+                        break
+                if keep:
+                    kept.append(f)
+        return kept, total
+
+    def read_where(
+        self,
+        spark: SparkSession,
+        predicates: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame | None:
+        """``read().filter(lo <= col <= hi for each predicate)`` with
+        manifest-stats file skipping: only the files :meth:`prune_files`
+        keeps are scanned, then the exact residual predicate is applied
+        (skipping is a superset, the filter makes it exact). At 100 TB this
+        is the difference between an event-time range probe opening every
+        file of every partition and opening the few range-clustered files
+        whose footer says they can match. None when nothing can match."""
+        kept, _ = self.prune_files(predicates, version=version)
+        if not kept:
+            return None
+        df = spark.read.parquet(*[os.path.join(self.root, f) for f in kept]).drop("_pk")
+        for c, (lo, hi) in predicates.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
+        return df
 
     def partition_keys(self) -> list[str]:
         snap = self.current_snapshot()
