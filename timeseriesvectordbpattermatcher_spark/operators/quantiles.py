@@ -1,0 +1,190 @@
+"""Tiered EXACT quantiles via mergeable bounded histograms.
+
+The north-star metric asks for "continuous aggregates (count/sum/min/max/
+avg of n_tok and token-level stats) at cascading retention tiers". Plain
+count/sum/min/max/avg merge trivially up the cascade; quantiles do not —
+``percentile_approx`` results computed at 1m cannot be combined into an
+exact 1h percentile, and re-scanning raw for every tier defeats the
+cascade. The classic warehouse fix (Druid/Pinot sketch columns) stores a
+MERGEABLE summary per bucket and folds summaries upward.
+
+For a column with a bounded integer domain — exactly what ``n_tok`` is
+(sequence length <= model context window) and what token ids are (vocab
+size) — the mergeable summary can be the EXACT frequency histogram
+``map<int, count>``: merging histograms is addition, so quantiles read
+from any tier equal quantiles recomputed from raw, bit for bit. No sketch
+error budget, no re-scan. A 1d bucket's histogram holds at most
+|domain| entries regardless of row count, so tier size stays bounded by
+(buckets x domain), never by corpus rows.
+
+Scale shape: building the 1m histogram is one agg on (keys, value) — the
+shuffle carries (keys, value, partial_count) rows, bounded by
+buckets x distinct values, with map-side partial aggregation doing the
+heavy lifting (10^12 raw rows never cross the wire). Each cascade merge
+explodes the finer tier's maps (rows = buckets x domain, corpus-size
+independent) and re-aggregates one tier coarser. Quantile extraction is a
+pure codegen'd ``aggregate`` fold over the sorted map entries — zero UDFs,
+zero Python anywhere in this module.
+
+Unbounded/float domains: pass ``bucket`` to quantize values first (e.g.
+``F.ceil(F.log2("latency_ms"))``); quantiles then carry that bucketing's
+resolution, which the caller chose explicitly. This module never silently
+approximates.
+
+Quantile definition (pinned to the DuckDB oracle in tests): the q-quantile
+of n values is the smallest histogram key whose cumulative count reaches
+``ceil(q * n)`` — inverted-CDF / Hyndman-Fan type 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .rollup import TIER_TRUNC
+
+
+def hist_rollup(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str = "n_tok",
+    bucket: Column | None = None,
+    hist_col: str = "hist",
+) -> DataFrame:
+    """One exact histogram per ``keys`` group: ``hist_col`` =
+    ``map<value, count>`` over ``value_col`` (or over ``bucket`` when the
+    domain needs quantizing first). NULL values are excluded (a quantile
+    over nothing is nothing); groups whose values are all NULL keep an
+    empty map, so downstream merges and quantile folds never see NULL maps.
+
+    Two aggs: (keys, value) counts with map-side partial combine, then the
+    map rebuild on keys — both shuffles bounded by groups x domain.
+    """
+    v = (bucket if bucket is not None else F.col(value_col)).cast("int").alias("_hv")
+    # NULL values aren't pre-filtered: an all-NULL group must still surface
+    # with an empty map (count(_hv) ignores NULLs; collect_list drops the
+    # NULL-guarded struct), or the group would silently vanish from the tier
+    counts = (
+        df.select(*keys, v)
+        .groupBy(*keys, "_hv")
+        .agg(F.count("_hv").alias("_hc"))
+    )
+    return (
+        counts.groupBy(*keys)
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_hv").isNotNull(), F.struct("_hv", "_hc"))
+                    )
+                )
+            ).alias(hist_col)
+        )
+    )
+
+
+def hist_1m(
+    df: DataFrame,
+    value_col: str = "n_tok",
+    ts_col: str = "event_ts",
+    key_col: str = "source",
+    bucket: Column | None = None,
+) -> DataFrame:
+    """The finest histogram tier: (key, minute bucket) -> exact histogram.
+    Composes with ``rollup.rollup_1m`` on the same keys (join or co-group);
+    kept separate so the plain-stats driver queries' schemas stay frozen."""
+    keyed = df.withColumn(
+        "bucket_ts", F.date_trunc(TIER_TRUNC["1m"], F.col(ts_col))
+    )
+    return hist_rollup(keyed, [key_col, "bucket_ts"], value_col, bucket=bucket)
+
+
+def hist_cascade(
+    df: DataFrame,
+    tier: str,
+    key_col: str = "source",
+    hist_col: str = "hist",
+) -> DataFrame:
+    """Merge a finer tier's histograms one tier coarser (1m->1h, 1h->1d):
+    explode the maps (rows = buckets x domain, never corpus rows), sum
+    counts per (key, coarse bucket, value), rebuild the map. Histogram
+    addition is exact, so quantiles at every tier equal a raw recompute."""
+    if tier not in TIER_TRUNC:
+        raise ValueError(f"tier must be one of {sorted(TIER_TRUNC)}, got {tier!r}")
+    coarse = F.date_trunc(TIER_TRUNC[tier], F.col("bucket_ts")).alias("bucket_ts")
+    exploded = df.select(
+        key_col, coarse, F.explode_outer(hist_col).alias("_hv", "_hc")
+    )
+    summed = (
+        exploded.filter(F.col("_hv").isNotNull())
+        .groupBy(key_col, "bucket_ts", "_hv")
+        .agg(F.sum("_hc").alias("_hc"))
+    )
+    merged = summed.groupBy(key_col, "bucket_ts").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("_hv", "_hc")))
+        ).alias(hist_col)
+    )
+    # preserve groups whose histograms were all empty (all-NULL values at
+    # the fine tier): explode_outer keeps them as a NULL entry row
+    empties = (
+        exploded.groupBy(key_col, "bucket_ts")
+        .agg(F.max(F.col("_hv").isNotNull()).alias("_any"))
+        .filter(~F.col("_any"))
+        .select(
+            key_col,
+            "bucket_ts",
+            F.map_from_entries(F.array().cast("array<struct<_hv:int,_hc:bigint>>")).alias(hist_col),
+        )
+    )
+    return merged.unionByName(empties)
+
+
+def _hist_total(hist_col: str) -> Column:
+    return F.aggregate(
+        F.map_values(hist_col), F.lit(0).cast("bigint"), lambda a, c: a + c
+    )
+
+
+def hist_quantile(hist_col: str, q: float) -> Column:
+    """Exact q-quantile from a histogram map as a pure codegen'd fold:
+    smallest key whose cumulative count >= ceil(q * total) (inverted CDF,
+    Hyndman-Fan type 1 — the definition the DuckDB window oracle in
+    tests/test_quantiles.py reproduces). NULL on an empty histogram."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    entries = F.array_sort(F.map_entries(hist_col))
+    target = F.greatest(F.lit(1).cast("bigint"), F.ceil(_hist_total(hist_col) * F.lit(q)))
+    acc0 = F.struct(
+        F.lit(0).cast("bigint").alias("cum"),
+        F.lit(None).cast("int").alias("ans"),
+    )
+    fold = F.aggregate(
+        entries,
+        acc0,
+        lambda acc, e: F.when(acc["ans"].isNotNull(), acc).otherwise(
+            F.struct(
+                (acc["cum"] + e["value"]).alias("cum"),
+                F.when(acc["cum"] + e["value"] >= target, e["key"])
+                .cast("int")
+                .alias("ans"),
+            )
+        ),
+        lambda acc: acc["ans"],
+    )
+    return fold
+
+
+def add_hist_quantiles(
+    df: DataFrame,
+    qs: dict[str, float] | None = None,
+    hist_col: str = "hist",
+) -> DataFrame:
+    """Add named quantile columns (default p50/p95/p99) plus ``hist_n``
+    (the histogram's total count — equals the tier's ``cnt`` when both
+    came from the same rows, a useful cross-check)."""
+    qs = qs or {"p50": 0.50, "p95": 0.95, "p99": 0.99}
+    out = df.withColumn("hist_n", _hist_total(hist_col))
+    for name, q in qs.items():
+        out = out.withColumn(name, hist_quantile(hist_col, q))
+    return out

@@ -44,6 +44,12 @@ class RollupJob:
     def __init__(self, base_dir: str):
         self.base_dir = base_dir
         self.tables = {t: SnapshotTable(os.path.join(base_dir, f"rollup_{t}")) for t in TIERS}
+        # the quantile-histogram plane (operators/quantiles.py): a parallel
+        # tier set holding the mergeable exact n_tok histograms, cascaded
+        # with the SAME watermark / snapshot-incremental / resume semantics
+        # as the stats tiers. Empty (and costless) unless run(...,
+        # quantile_hist=True) populates it.
+        self.hist_tables = {t: SnapshotTable(os.path.join(base_dir, f"hist_{t}")) for t in TIERS}
         self.audit = AuditLog(os.path.join(base_dir, "audit"))
 
     def _commit_tier(
@@ -56,8 +62,9 @@ class RollupJob:
         t0: float,
         meta: dict | None = None,
         target_file_rows: int | None = None,
+        plane: str = "rollup",
     ):
-        table = self.tables[tier]
+        table = (self.tables if plane == "rollup" else self.hist_tables)[tier]
         snap = table.overwrite_partitions(
             df.withColumn("bucket_day", F.to_date("bucket_ts")),
             ["source", "bucket_day"],
@@ -74,7 +81,7 @@ class RollupJob:
         self.audit.append(
             spark,
             run_id=run_id,
-            stage=f"rollup_{tier}",
+            stage=f"{plane}_{tier}",
             partition_rows={
                 pk: p.get("rows", 0)
                 for pk, p in snap.partitions.items()
@@ -100,6 +107,7 @@ class RollupJob:
         salt_buckets: int | None = None,
         token_engine: str = "expr",
         target_file_rows: int | None = None,
+        quantile_hist: bool = False,
     ) -> dict[str, DataFrame | None]:
         """Incremental run. ``seqs_ts`` must carry event_ts (derive_event_ts).
         ``salt_buckets`` enables the two-phase salted 1m aggregation for
@@ -108,24 +116,37 @@ class RollupJob:
         rollup.add_token_stats) — expr measured fastest on this host.
         ``target_file_rows`` fans fat 1m partitions out range-clustered on
         ``bucket_ts`` (parallel write + per-file time stats that make
-        :meth:`read_range` skip files inside a day)."""
+        :meth:`read_range` skip files inside a day).
+        ``quantile_hist`` also maintains the exact mergeable n_tok histogram
+        tiers (``hist_tables``, operators/quantiles.py) with their own
+        watermarks — a crash between the stats and hist 1m commits resumes
+        exactly, and enabling it on an existing job backfills nothing by
+        itself (run once with ``full_refresh=True`` to catch the hist plane
+        up over history)."""
         run_id = run_id or uuid.uuid4().hex[:12]
         t0 = time.time()
         snap_1m = self.tables["1m"].current_snapshot()
         wm_1m = None if (full_refresh or snap_1m is None) else snap_1m.watermark
-        # ONE raw scan computes both the new watermark and the affected-day
-        # set (they used to be two full scans of the 10^12-row input); the
-        # day set is bounded by the calendar, so collect_set stays tiny.
-        # Rows with null event_ts (unparseable doc_id) drop out of both
-        # aggregates — they can never land in a (source, day) partition.
-        beyond_wm = (
-            F.col("event_ts") > F.lit(wm_1m) if wm_1m
-            else F.col("event_ts").isNotNull()
-        )
-        head = seqs_ts.agg(
+        hsnap_1m = self.hist_tables["1m"].current_snapshot() if quantile_hist else None
+        wm_h1m = None if (full_refresh or hsnap_1m is None) else hsnap_1m.watermark
+
+        def _beyond(wm):
+            return F.col("event_ts") > F.lit(wm) if wm else F.col("event_ts").isNotNull()
+
+        # ONE raw scan computes the new watermark and the affected-day set
+        # for EVERY enabled plane (each plane gates on its own watermark, so
+        # a crash between plane commits resumes without gaps); the day sets
+        # are calendar-bounded, so the collect_sets stay tiny. Rows with
+        # null event_ts (unparseable doc_id) drop out of all aggregates.
+        aggs = [
             F.max("event_ts").alias("wm"),
-            F.collect_set(F.when(beyond_wm, F.to_date("event_ts"))).alias("days"),
-        ).first()
+            F.collect_set(F.when(_beyond(wm_1m), F.to_date("event_ts"))).alias("days"),
+        ]
+        if quantile_hist:
+            aggs.append(
+                F.collect_set(F.when(_beyond(wm_h1m), F.to_date("event_ts"))).alias("hdays")
+            )
+        head = seqs_ts.agg(*aggs).first()
         new_wm = head["wm"]
         if new_wm is not None:
             wm_str = new_wm.isoformat()
@@ -146,10 +167,28 @@ class RollupJob:
                     )
                     if fail_after == "1m":
                         raise RuntimeError("injected failure after 1m commit")
+            if quantile_hist and (wm_h1m is None or wm_str > wm_h1m):
+                hdays = sorted(d.isoformat() for d in head["hdays"])
+                if hdays:
+                    from ..operators.quantiles import hist_1m
+
+                    h_raw = seqs_ts.filter(F.to_date("event_ts").isin(hdays))
+                    self._commit_tier(
+                        spark,
+                        "1m",
+                        hist_1m(h_raw),
+                        wm_str,
+                        run_id,
+                        t0,
+                        target_file_rows=target_file_rows,
+                        plane="hist",
+                    )
+                    if fail_after == "hist_1m":
+                        raise RuntimeError("injected failure after hist_1m commit")
 
         # ---- tiers 1h, 1d: snapshot-incremental cascade
         self.run_cascade(spark, run_id=run_id, full_refresh=full_refresh,
-                         fail_after=fail_after)
+                         fail_after=fail_after, quantile_hist=quantile_hist)
 
         return {t: self.tables[t].read(spark) for t in TIERS}
 
@@ -170,44 +209,56 @@ class RollupJob:
         run_id: str | None = None,
         full_refresh: bool = False,
         fail_after: str | None = None,
+        quantile_hist: bool = False,
     ) -> None:
         """Cascade the 1h/1d tiers from whatever the 1m snapshot table
         currently holds — shared by batch runs (``run``) and by streaming
         ingestion, where micro-batches commit the 1m tier through
         ``streaming.rollup_stream.snapshot_sink`` and this method then
-        roll-ups exactly as if the 1m partitions had been batch-written."""
+        roll-ups exactly as if the 1m partitions had been batch-written.
+        ``quantile_hist`` cascades the histogram plane too (exact merge —
+        the coarser histogram is the SUM of the finer ones, never a raw
+        rescan)."""
         run_id = run_id or uuid.uuid4().hex[:12]
+        planes: list[tuple[str, dict, object]] = [("rollup", self.tables, cascade)]
+        if quantile_hist:
+            from ..operators.quantiles import hist_cascade
+
+            planes.append(("hist", self.hist_tables, hist_cascade))
         for tier, src_tier in (("1h", "1m"), ("1d", "1h")):
             t0 = time.time()
-            src_snap = self.tables[src_tier].current_snapshot()
-            if src_snap is None:
-                continue
-            snap = self.tables[tier].current_snapshot()
-            last_sync = 0 if (full_refresh or snap is None or not snap.meta) else int(
-                snap.meta.get("upstream_version", 0)
-            )
-            changed = src_snap.changed_partitions(last_sync)
-            if not changed:
-                continue
-            # manifest-pruned read of EXACTLY the changed (source, day)
-            # partitions: a tier's (source, day) output depends only on the
-            # same (source, day) upstream, so this is complete AND minimal.
-            # (The previous day-level filter recomputed every source sharing
-            # a changed day — harmless content-wise, but each rewrite bumped
-            # those partitions' versions and the NEXT tier then saw them as
-            # changed too: write amplification across sources that compounds
-            # down the cascade at 10^12 scale.)
-            affected = self.tables[src_tier].read_partitions(spark, changed)
-            affected = affected.drop("bucket_day")
-            out = cascade(affected, tier)
-            self._commit_tier(
-                spark,
-                tier,
-                out,
-                src_snap.watermark,
-                run_id,
-                t0,
-                meta={"upstream_version": src_snap.version},
-            )
+            for plane, tables, cascade_fn in planes:
+                src_snap = tables[src_tier].current_snapshot()
+                if src_snap is None:
+                    continue
+                snap = tables[tier].current_snapshot()
+                last_sync = 0 if (full_refresh or snap is None or not snap.meta) else int(
+                    snap.meta.get("upstream_version", 0)
+                )
+                changed = src_snap.changed_partitions(last_sync)
+                if not changed:
+                    continue
+                # manifest-pruned read of EXACTLY the changed (source, day)
+                # partitions: a tier's (source, day) output depends only on
+                # the same (source, day) upstream, so this is complete AND
+                # minimal. (The previous day-level filter recomputed every
+                # source sharing a changed day — harmless content-wise, but
+                # each rewrite bumped those partitions' versions and the
+                # NEXT tier then saw them as changed too: write
+                # amplification across sources that compounds down the
+                # cascade at 10^12 scale.)
+                affected = tables[src_tier].read_partitions(spark, changed)
+                affected = affected.drop("bucket_day")
+                out = cascade_fn(affected, tier)
+                self._commit_tier(
+                    spark,
+                    tier,
+                    out,
+                    src_snap.watermark,
+                    run_id,
+                    t0,
+                    meta={"upstream_version": src_snap.version},
+                    plane=plane,
+                )
             if fail_after == tier:
                 raise RuntimeError(f"injected failure after {tier} commit")
