@@ -90,6 +90,70 @@ def _footer_minmax(md, cols: list[str]) -> dict:
     return out
 
 
+#: Iceberg's safe widening promotions (either side of a commit may be the
+#: narrow one — the TABLE schema always keeps the widest type seen, and the
+#: Spark 4 parquet reader upcasts narrow file columns under a wider read
+#: schema, verified in tests/test_schema_evolution.py).
+_WIDENING = {
+    ("byte", "short"): "short",
+    ("byte", "integer"): "integer",
+    ("byte", "long"): "long",
+    ("short", "integer"): "integer",
+    ("short", "long"): "long",
+    ("integer", "long"): "long",
+    ("float", "double"): "double",
+}
+
+
+def _widen(a, b):
+    """The wider of two Spark types under the Iceberg promotion ladder, or
+    None when the pair isn't promotable."""
+    if a == b:
+        return a
+    an, bn = a.typeName(), b.typeName()
+    w = _WIDENING.get((an, bn)) or _WIDENING.get((bn, an))
+    if w is None:
+        return None
+    return a if a.typeName() == w else b
+
+
+def _merge_schema(prev_json: str | None, new_struct) -> str:
+    """Additive schema evolution (Iceberg rule subset): union-by-name of the
+    previous table schema and the incoming commit's, preserving previous
+    field order (new fields append in their incoming order, forced
+    nullable — old files don't have them). A field present in both with a
+    different type widens along the Iceberg promotion ladder (int->long,
+    float->double; the table schema keeps the widest type ever seen and
+    narrow files upcast on read); any other type change raises — lossy
+    promotion needs an explicit rewrite, never a silent cast."""
+    from pyspark.sql.types import StructField, StructType
+
+    if prev_json is None:
+        return json.dumps(new_struct.jsonValue())
+    old = StructType.fromJson(json.loads(prev_json))
+    by_name = {f.name: f for f in old.fields}
+    merged = list(old.fields)
+    for f in new_struct.fields:
+        prev_f = by_name.get(f.name)
+        if prev_f is None:
+            f = StructField(f.name, f.dataType, True, f.metadata)
+            merged.append(f)
+            by_name[f.name] = f
+        elif prev_f.dataType != f.dataType:
+            wide = _widen(prev_f.dataType, f.dataType)
+            if wide is None:
+                raise ValueError(
+                    f"schema evolution rejected: column {f.name!r} changes type "
+                    f"{prev_f.dataType.simpleString()} -> {f.dataType.simpleString()}; "
+                    "additive evolution + widening only — rewrite the table to "
+                    "change types any other way"
+                )
+            widened = StructField(prev_f.name, wide, prev_f.nullable, prev_f.metadata)
+            merged[merged.index(prev_f)] = widened
+            by_name[f.name] = widened
+    return json.dumps(StructType(merged).jsonValue())
+
+
 def _ranges_overlap(file_range: list, lo, hi) -> bool:
     """Whether a file's [min, max] can intersect the predicate [lo, hi]
     (either bound None = unbounded). Type-mismatched comparisons keep the
@@ -114,6 +178,12 @@ class Snapshot:
     partitions: dict[str, dict]
     watermark: str | None
     meta: dict | None = None
+    # table schema as of this commit (StructType JSON) — additive evolution:
+    # new columns merge in, removed columns stay (old files simply lack the
+    # new ones and new files the removed ones; reads fill NULLs), type
+    # changes refuse. None on pre-evolution manifests (schema then comes
+    # from the parquet files themselves, the legacy behavior).
+    schema: str | None = None
 
     def changed_partitions(self, since_version: int) -> list[str]:
         """Partition keys (re)written by commits newer than ``since_version``
@@ -237,6 +307,7 @@ class SnapshotTable:
         run_id = run_id or uuid.uuid4().hex[:12]
         commit_dir = f"data/c_{run_id}_{uuid.uuid4().hex[:8]}"
         out_path = os.path.join(self.root, commit_dir)
+        in_schema = df.schema  # recorded pre-_pk: the table's logical shape
         keyed = df.withColumn(
             "_pk", F.concat_ws("/", *[F.col(c).cast("string") for c in partition_cols])
         )
@@ -262,7 +333,7 @@ class SnapshotTable:
             writer = keyed.write.partitionBy("_pk")
             writer.parquet(out_path)
             new_parts = self._inventory(out_path, commit_dir, stats_cols)
-            return self._commit(new_parts, run_id, watermark, meta, drop_keys)
+            return self._commit(new_parts, run_id, watermark, meta, drop_keys, in_schema)
         if target_file_rows is not None:
             if target_file_rows < 1:
                 raise ValueError(f"target_file_rows must be >= 1, got {target_file_rows}")
@@ -299,7 +370,7 @@ class SnapshotTable:
             .parquet(out_path)
         )
         new_parts = self._inventory(out_path, commit_dir, stats_cols)
-        return self._commit(new_parts, run_id, watermark, meta, drop_keys)
+        return self._commit(new_parts, run_id, watermark, meta, drop_keys, in_schema)
 
     def _inventory(
         self, out_path: str, commit_dir: str, stats_cols: list[str] | None
@@ -345,8 +416,14 @@ class SnapshotTable:
         watermark: str | None,
         meta: dict | None,
         drop_keys: list[str] | None,
+        in_schema=None,
     ) -> Snapshot:
         prev = self.current_snapshot()
+        schema = (
+            _merge_schema(prev.schema if prev else None, in_schema)
+            if in_schema is not None
+            else (prev.schema if prev else None)
+        )
         version = (prev.version + 1) if prev else 1
         for p in new_parts.values():
             p["v"] = version
@@ -361,6 +438,7 @@ class SnapshotTable:
             "partitions": partitions,
             "watermark": watermark or (prev.watermark if prev else None),
             "meta": meta or (prev.meta if prev else None),
+            "schema": schema,
         }
         self._publish(snap)
         return Snapshot(**snap)
@@ -379,6 +457,7 @@ class SnapshotTable:
             "partitions": partitions,
             "watermark": prev.watermark,
             "meta": prev.meta,
+            "schema": prev.schema,
         }
         self._publish(snap)
         return Snapshot(**snap)
@@ -414,11 +493,25 @@ class SnapshotTable:
             "watermark": old.watermark,
             "meta": dict(old.meta or {}, rolled_back_from=cur.version if cur else 0,
                          rolled_back_to=version),
+            "schema": old.schema,
         }
         self._publish(snap)
         return Snapshot(**snap)
 
     # ---- read -----------------------------------------------------------
+    def _reader(self, spark: SparkSession, snap: Snapshot):
+        """Parquet reader honoring the snapshot's recorded table schema:
+        files from commits BEFORE a column was added (or after one stopped
+        being written) resolve by name and fill NULLs — additive schema
+        evolution on read. Pre-evolution manifests (schema None) fall back
+        to file-derived schema, the legacy behavior."""
+        reader = spark.read
+        if snap.schema:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(snap.schema)))
+        return reader
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
         """Scan the table — the CURRENT snapshot by default, or a pinned
         historical ``version`` (Iceberg ``VERSION AS OF``): a training run
@@ -433,7 +526,7 @@ class SnapshotTable:
             for p in snap.partitions.values()
             for f in p["files"]
         ]
-        return spark.read.parquet(*files).drop("_pk")
+        return self._reader(spark, snap).parquet(*files).drop("_pk")
 
     def prune_files(
         self, predicates: dict[str, tuple], version: int | None = None
@@ -485,13 +578,94 @@ class SnapshotTable:
         kept, _ = self.prune_files(predicates, version=version)
         if not kept:
             return None
-        df = spark.read.parquet(*[os.path.join(self.root, f) for f in kept]).drop("_pk")
+        snap = self.current_snapshot() if version is None else self.snapshot(version)
+        df = (
+            self._reader(spark, snap)
+            .parquet(*[os.path.join(self.root, f) for f in kept])
+            .drop("_pk")
+        )
         for c, (lo, hi) in predicates.items():
             if lo is not None:
                 df = df.filter(F.col(c) >= F.lit(lo))
             if hi is not None:
                 df = df.filter(F.col(c) <= F.lit(hi))
         return df
+
+    def merge_into(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key_cols: list[str],
+        partition_cols: list[str],
+        mode: str = "upsert",
+        run_id: str | None = None,
+        **write_kwargs,
+    ) -> "Snapshot":
+        """Row-level MERGE (Iceberg ``MERGE INTO`` copy-on-write, whole-row
+        form): within the partitions ``updates`` touches, rows matching an
+        update's ``key_cols`` are replaced (``mode='upsert'``) or removed
+        (``mode='delete'``); unmatched update rows insert (upsert only —
+        including into brand-new partitions). Everything lands in ONE
+        atomic snapshot commit, and partitions the updates don't touch are
+        never read, rewritten, or version-bumped — downstream
+        snapshot-incremental consumers recompute exactly the merged keys.
+
+        Scale shape: the table side is a manifest-pruned read of the
+        touched partitions only; the join is an anti join on ``key_cols``
+        against the (small, by the late-correction premise) update set —
+        broadcastable by AQE. The 10^12-row table is never scanned.
+
+        ``updates`` must carry ``partition_cols`` (a row's partition is its
+        identity's home — key collisions ACROSS partitions are different
+        rows by definition here, matching the (source, day) layout) and
+        must be key-unique; duplicate keys raise rather than silently
+        last-win. ``write_kwargs`` pass through to
+        :meth:`overwrite_partitions` (``stats_cols``, ``cluster_by``,
+        ``target_file_rows``)."""
+        if mode not in ("upsert", "delete"):
+            raise ValueError(f"mode must be upsert|delete, got {mode!r}")
+        dup = updates.groupBy(*key_cols).count().filter(F.col("count") > 1)
+        if dup.limit(1).count():
+            raise ValueError(
+                f"merge_into updates are not unique on {key_cols}: "
+                f"{dup.limit(3).collect()}"
+            )
+        pk_expr = F.concat_ws(
+            "/", *[F.col(c).cast("string") for c in partition_cols]
+        )
+        touched = [r[0] for r in updates.select(pk_expr.alias("_pk")).distinct().collect()]
+        existing = self.read_partitions(spark, touched)
+        if existing is not None:
+            keep = existing.join(
+                F.broadcast(updates.select(*key_cols).distinct()),
+                on=key_cols,
+                how="left_anti",
+            )
+            merged = (
+                keep.unionByName(updates, allowMissingColumns=True)
+                if mode == "upsert"
+                else keep
+            )
+        else:
+            if mode == "delete":
+                # nothing to delete from — publish an unchanged snapshot? No:
+                # deleting from partitions that don't exist is a no-op; fall
+                # through to an empty write guard below
+                cur = self.current_snapshot()
+                if cur is not None:
+                    return cur
+                raise ValueError("delete merge into an empty table")
+            merged = updates
+        # drop_keys covers partitions whose every row was deleted: an
+        # overwrite only replaces partitions PRESENT in the written df, so a
+        # fully-emptied partition must be dropped in the same commit
+        return self.overwrite_partitions(
+            merged,
+            partition_cols,
+            run_id=run_id,
+            drop_keys=touched,
+            **write_kwargs,
+        )
 
     def partition_keys(self) -> list[str]:
         snap = self.current_snapshot()
@@ -515,4 +689,4 @@ class SnapshotTable:
         ]
         if not files:
             return None
-        return spark.read.parquet(*files).drop("_pk")
+        return self._reader(spark, snap).parquet(*files).drop("_pk")
