@@ -148,6 +148,30 @@ def main() -> None:
         dt = time.time() - t0
         floor_sec = dt if floor_sec is None or dt < floor_sec else floor_sec
 
+    # ---- quantile-histogram plane: 1m->1h->1d exact p50/p95/p99 ----------
+    # same cached corpus as the cascade, so this times the histogram build
+    # + two exact merges + the codegen'd quantile fold, not synth or IO
+    from timeseriesvectordbpattermatcher_spark.operators.quantiles import (
+        add_hist_quantiles,
+        hist_1m,
+        hist_cascade,
+    )
+
+    def hist_once():
+        day = hist_cascade(hist_cascade(hist_1m(seqs), "1h"), "1d")
+        return add_hist_quantiles(day).agg(
+            F.sum("hist_n"), F.max("p99"), F.min("p50")
+        ).collect()[0][0]
+
+    hist_once()
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        hist_once()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    timings["hist_quantiles_1d"] = round(best, 3)
+
     # ---- driver-table headline queries ------------------------------------
     qs = entrymod.queries()
     headline = [

@@ -48,6 +48,13 @@ def main() -> int:
                          "faster absolute on small hosts but measured 0.786 "
                          "scaling — opt in only for single-digit-core runs.")
     ap.add_argument("--full-refresh", action="store_true")
+    ap.add_argument("--quantile-hist", action="store_true",
+                    help="also maintain the exact n_tok quantile-histogram "
+                         "tiers (hist_{1m,1h,1d} beside the stats tiers)")
+    ap.add_argument("--target-file-rows", type=int, default=0,
+                    help="fan fat 1m partitions out range-clustered on "
+                         "bucket_ts (parallel writes + per-file time stats "
+                         "for read_range skipping); 0 = one file/partition")
     ap.add_argument("--expire", action="store_true", help="apply retention horizons after commit")
     ap.add_argument("--compact", action="store_true",
                     help="bin-pack fragmented partitions after commit "
@@ -85,6 +92,8 @@ def main() -> int:
         full_refresh=args.full_refresh,
         salt_buckets=args.salt or None,
         token_engine=args.token_engine,
+        quantile_hist=args.quantile_hist,
+        target_file_rows=args.target_file_rows or None,
     )
     counts = {t: (df.count() if df is not None else 0) for t, df in tiers.items()}
 

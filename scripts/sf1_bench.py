@@ -477,6 +477,37 @@ def main() -> None:
         "tokens_per_sec_big": round(tokbig / tbig, 1),
     }
 
+    # ---- exact-quantile histogram plane at 2M and 10x rows ------------------
+    # 1m build + two exact merges + codegen'd p50/p95/p99 fold over the same
+    # cached corpora as the cascade (so this times the plane, not synth/IO)
+    from timeseriesvectordbpattermatcher_spark.operators.quantiles import (
+        add_hist_quantiles,
+        hist_1m,
+        hist_cascade,
+    )
+
+    def hist_timing(n_rows: int) -> float:
+        corpus = os.path.join(tempfile.gettempdir(), f"seqs_bench_{n_rows}")
+        seqs = derive_event_ts(spark.read.parquet(corpus))
+
+        def once():
+            day = hist_cascade(hist_cascade(hist_1m(seqs), "1h"), "1d")
+            return add_hist_quantiles(day).agg(
+                F.sum("hist_n"), F.max("p99")
+            ).collect()[0][0]
+
+        return _best_of(once, k=args.runs)
+
+    th_small = hist_timing(2_000_000)
+    th_big = hist_timing(args.rows)
+    result["queries"]["hist_quantiles_1d"] = {
+        "rows_small": 2_000_000,
+        "rows_big": args.rows,
+        "sf0.1_sec": th_small,
+        "sf1_sec": th_big,
+        "scale_ratio": round(th_big / th_small, 2),
+    }
+
     out_path = os.path.join(REPO, "BENCH", "sf1_latest.json")
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1)

@@ -177,6 +177,27 @@ def test_fat_partition_fanout_and_compaction(spark, tmp_path):
     assert tbl.read(spark).count() == 5001
 
 
+def test_expire_snapshots_trims_log_and_pairs_with_vacuum(spark, tmp_path):
+    """expire_snapshots drops old manifests (time travel stops there);
+    vacuum with the same keep_versions then reclaims their files."""
+    tbl = SnapshotTable(str(tmp_path / "exp"))
+    for v in range(1, 4):
+        tbl.overwrite_partitions(
+            spark.createDataFrame([("a", v)], "source string, x int"), ["source"]
+        )
+    assert [h["version"] for h in tbl.history()] == [1, 2, 3]
+    doomed = tbl.expire_snapshots(keep_versions=1)
+    assert doomed == [1, 2]
+    assert tbl.snapshot(1) is None and tbl.snapshot(2) is None
+    assert tbl.read(spark, version=2) is None
+    assert {r["x"] for r in tbl.read(spark).collect()} == {3}
+    # vacuum now reclaims the two replaced files (one per expired commit)
+    assert vacuum(tbl, min_age_secs=0, keep_versions=1) == 2
+    assert {r["x"] for r in tbl.read(spark).collect()} == {3}
+    with pytest.raises(ValueError, match="keep_versions"):
+        tbl.expire_snapshots(keep_versions=0)
+
+
 def test_time_travel_rollback_and_versioned_vacuum(spark, tmp_path):
     """Iceberg-style VERSION AS OF reads, append-only rollback, and
     vacuum(keep_versions) as the time-travel retention contract."""

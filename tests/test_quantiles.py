@@ -223,6 +223,31 @@ def test_hist_plane_resumes_after_crash_between_planes(spark, tmp_path):
     assert _hist_sets(crashed2, spark) == want
 
 
+def test_fold_expression_equals_window_path(tiers):
+    """hist_quantile (interpreted fold, for ad-hoc expressions) and
+    add_hist_quantiles (codegen'd explode+window, the fast path) are two
+    algorithms for the same definition — pinned equal on every tier."""
+    _, tier_dfs = tiers
+    for trunc in ("minute", "day"):
+        df = tier_dfs[trunc]
+        a = (
+            df.select(
+                "source", "bucket_ts", hist_quantile("hist", 0.95).alias("p95")
+            )
+            .toPandas()
+            .sort_values(["source", "bucket_ts"])
+            .reset_index(drop=True)
+        )
+        b = (
+            add_hist_quantiles(df, {"p95": 0.95})
+            .select("source", "bucket_ts", "p95")
+            .toPandas()
+            .sort_values(["source", "bucket_ts"])
+            .reset_index(drop=True)
+        )
+        assert a.equals(b), trunc
+
+
 def test_bad_inputs():
     with pytest.raises(ValueError, match="tier"):
         hist_cascade(None, "5m")

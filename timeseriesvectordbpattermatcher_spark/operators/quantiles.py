@@ -38,7 +38,7 @@ of n values is the smallest histogram key whose cumulative count reaches
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .rollup import TIER_TRUNC
@@ -179,12 +179,51 @@ def add_hist_quantiles(
     df: DataFrame,
     qs: dict[str, float] | None = None,
     hist_col: str = "hist",
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Add named quantile columns (default p50/p95/p99) plus ``hist_n``
     (the histogram's total count — equals the tier's ``cnt`` when both
-    came from the same rows, a useful cross-check)."""
+    came from the same rows, a useful cross-check).
+
+    Physical form: explode the maps, ONE window cumsum per group, re-agg
+    ``min(value where cum >= target_q)`` for every quantile at once — all
+    codegen'd, one Exchange on ``keys``, rows = groups x domain. The
+    :func:`hist_quantile` fold expression computes the same thing inline,
+    but Spark evaluates higher-order lambdas INTERPRETED per element — on
+    a day tier with thousand-entry maps the fold measured 4.9 s where this
+    plan runs in ~0.3 s (same result, pinned in tests). Use the fold only
+    for ad-hoc single-map expressions.
+
+    ``keys`` defaults to every non-histogram column; the other columns of
+    ``df`` survive (they ride along in the group key, so they must be
+    functionally dependent on the group — true for tier tables)."""
     qs = qs or {"p50": 0.50, "p95": 0.95, "p99": 0.99}
-    out = df.withColumn("hist_n", _hist_total(hist_col))
+    keys = keys or [c for c in df.columns if c != hist_col]
+    ex = df.select(*keys, F.explode_outer(hist_col).alias("_hv", "_hc"))
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("_hv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*keys)
+    ex = ex.withColumn("_cum", F.sum("_hc").over(w_cum)).withColumn(
+        "_tot", F.sum("_hc").over(w_all)
+    )
+    aggs = [F.coalesce(F.max("_tot"), F.lit(0).cast("bigint")).alias("hist_n")]
     for name, q in qs.items():
-        out = out.withColumn(name, hist_quantile(hist_col, q))
-    return out
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"q must be in (0, 1], got {q}")
+        target = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.col("_tot") * F.lit(q)))
+        aggs.append(F.min(F.when(F.col("_cum") >= target, F.col("_hv"))).alias(name))
+    # the histogram column rides through the SAME agg (entries re-sort
+    # deterministically — values are distinct per group), so no join back
+    aggs.append(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_hv").isNotNull(), F.struct("_hv", "_hc"))
+                )
+            )
+        ).alias(hist_col)
+    )
+    return ex.groupBy(*keys).agg(*aggs)

@@ -591,6 +591,21 @@ class SnapshotTable:
                 df = df.filter(F.col(c) <= F.lit(hi))
         return df
 
+    def expire_snapshots(self, keep_versions: int = 1) -> list[int]:
+        """Trim the commit log to the newest ``keep_versions`` manifests
+        (Iceberg ``expire_snapshots``) — the metadata complement of
+        :func:`~..operators.retention.vacuum`, which reclaims the data
+        files those manifests referenced. Expired versions stop being
+        time-travel readable (``snapshot(v)`` -> None); run vacuum with
+        the SAME ``keep_versions`` afterwards to reclaim their files.
+        Returns the expired version numbers."""
+        if keep_versions < 1:
+            raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
+        doomed = self._versions()[:-keep_versions]
+        for v in doomed:
+            os.remove(os.path.join(self.root, _COMMITS, f"v{v}.json"))
+        return doomed
+
     def merge_into(
         self,
         spark: SparkSession,
