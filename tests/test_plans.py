@@ -329,3 +329,28 @@ def test_tokenizer_join_encode_broadcasts_vocab(spark):
     for block in plan.split("Exchange")[1:]:
         first_line = block.splitlines()[0]
         assert "text#" not in first_line, first_line
+
+
+def test_timeweight_one_exchange_per_step_and_bucket_local_windows(spark):
+    """The time-weight build must (a) window over (key, bucket) — never bare
+    key, so a hot key can't serialize into one sort partition — and (b) pay
+    exactly ONE Exchange per step, reused by the window and its groupBy."""
+    from timeseriesvectordbpattermatcher_spark.operators.timeweight import (
+        time_weight_bucket,
+        time_weight_cascade,
+    )
+
+    pts = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:05", 1.0)], "source string, ts string, val double"
+    ).selectExpr("source", "cast(ts as timestamp) as event_ts", "val")
+    t1m = time_weight_bucket(pts)
+    plan_1m = _plan(t1m)
+    assert plan_1m.count("Exchange") == 1, plan_1m
+    plan_casc = _plan(time_weight_cascade(t1m, "1h"))
+    assert plan_casc.count("Exchange") == 2, plan_casc  # 1m step + merge step
+    # every window partitions by two keys (source + a bucket column)
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan_casc):
+        keys = spec.split(" ASC")[0]
+        assert keys.count("#") >= 2, f"window not bucket-local: {spec}"

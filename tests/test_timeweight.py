@@ -1,0 +1,228 @@
+"""Time-weighted average + counter aggregates (operators/timeweight.py).
+
+Oracles:
+- DuckDB recomputes each tier's integral / increase DIRECTLY from the raw
+  points (window lead over (key, tier-bucket), no summaries anywhere) — the
+  Spark cascade path only ever sees 1m summaries, so agreement at 1h/1d
+  proves the bridge algebra.
+- Equality is EXACT (==, no tolerance): the fixture's values are small ints
+  and timestamps are second-aligned, so every segment area is an
+  exactly-representable double and the partial sums stay far inside 2^53 —
+  reduction order cannot matter (the module docstring documents the general
+  float caveat).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from timeseriesvectordbpattermatcher_spark.operators.rollup import derive_event_ts
+from timeseriesvectordbpattermatcher_spark.operators.timeweight import (
+    counter_bucket,
+    counter_cascade,
+    counter_rate,
+    time_weight_bucket,
+    time_weight_cascade,
+    tw_average,
+)
+
+TRUNC = {"1m": "minute", "1h": "hour", "1d": "day"}
+
+
+@pytest.fixture(scope="module")
+def points(spark, seqs_2k):
+    # one point per (source, ts) — the documented input contract
+    df = (
+        derive_event_ts(seqs_2k)
+        .filter(F.col("event_ts").isNotNull())
+        .groupBy("source", "event_ts")
+        .agg(F.max("n_tok").alias("val"))
+        .cache()
+    )
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _tw_oracle(duck, pdf, trunc, method):
+    duck.register("tw_pts", pdf)
+    if method == "locf":
+        area = "val * (epoch(nts) - epoch(ts))"
+    else:
+        area = "(val + nval) / 2.0 * (epoch(nts) - epoch(ts))"
+    return duck.sql(f"""
+        WITH p AS (
+          SELECT source, event_ts AS ts, val::double AS val,
+                 date_trunc('{trunc}', event_ts) AS bucket_ts,
+                 lead(event_ts) OVER w AS nts, lead(val::double) OVER w AS nval
+          FROM tw_pts
+          WINDOW w AS (PARTITION BY source, date_trunc('{trunc}', event_ts)
+                       ORDER BY event_ts)
+        )
+        SELECT source, bucket_ts,
+               min(ts) AS first_ts, max(ts) AS last_ts,
+               coalesce(sum(CASE WHEN nts IS NOT NULL THEN {area} END), 0) AS area,
+               count(*) AS n,
+               CASE WHEN max(ts) > min(ts)
+                    THEN coalesce(sum(CASE WHEN nts IS NOT NULL THEN {area} END), 0)
+                         / (epoch(max(ts)) - epoch(min(ts)))
+               END AS twa
+        FROM p GROUP BY 1, 2
+    """).df()
+
+
+def _counter_oracle(duck, pdf, trunc):
+    duck.register("ctr_pts", pdf)
+    return duck.sql(f"""
+        WITH p AS (
+          SELECT source, event_ts AS ts, val::double AS val,
+                 date_trunc('{trunc}', event_ts) AS bucket_ts,
+                 lead(event_ts) OVER w AS nts, lead(val::double) OVER w AS nval
+          FROM ctr_pts
+          WINDOW w AS (PARTITION BY source, date_trunc('{trunc}', event_ts)
+                       ORDER BY event_ts)
+        )
+        SELECT source, bucket_ts,
+               coalesce(sum(CASE WHEN nts IS NULL THEN NULL
+                                 WHEN nval >= val THEN nval - val
+                                 ELSE nval END), 0) AS increase,
+               coalesce(sum(CASE WHEN nval < val THEN 1 END), 0) AS resets,
+               count(*) AS n
+        FROM p GROUP BY 1, 2
+    """).df()
+
+
+def _flat(df):
+    return (
+        df.select(
+            "source",
+            "bucket_ts",
+            F.col("first")["ts"].alias("first_ts"),
+            F.col("last")["ts"].alias("last_ts"),
+            *[c for c in df.columns if c not in ("source", "bucket_ts", "first", "last")],
+        )
+        .toPandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("method", ["locf", "linear"])
+@pytest.mark.parametrize("tier", ["1m", "1h", "1d"])
+def test_twa_direct_build_matches_duckdb(points, duck, tier, method):
+    got = _flat(tw_average(time_weight_bucket(points, tier=tier, method=method)))
+    want = (
+        _tw_oracle(duck, points.toPandas(), TRUNC[tier], method)
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    m = got.merge(want, on=["source", "bucket_ts"], suffixes=("", "_w"), how="outer",
+                  indicator=True)
+    assert (m["_merge"] == "both").all()
+    for col in ("first_ts", "last_ts", "area", "n"):
+        bad = m[m[col] != m[f"{col}_w"]]
+        assert bad.empty, (col, bad.head())
+    twa_bad = m[m["twa"].fillna(-1) != m["twa_w"].fillna(-1)]
+    assert twa_bad.empty, twa_bad.head()
+
+
+@pytest.mark.parametrize("method", ["locf", "linear"])
+def test_twa_cascade_equals_direct(points, method):
+    t1m = time_weight_bucket(points, tier="1m", method=method)
+    c1h = time_weight_cascade(t1m, "1h", from_tier="1m", method=method)
+    c1d = time_weight_cascade(c1h, "1d", from_tier="1h", method=method)
+    for cascaded, tier in ((c1h, "1h"), (c1d, "1d")):
+        direct = _flat(time_weight_bucket(points, tier=tier, method=method))
+        got = _flat(cascaded)
+        pd.testing.assert_frame_equal(got, direct, check_exact=True)
+
+
+def test_single_point_bucket_area_zero_twa_null(spark):
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"],
+            "event_ts": [pd.Timestamp("2024-01-01 00:00:30")],
+            "val": [7],
+        }
+    )
+    out = tw_average(time_weight_bucket(spark.createDataFrame(pdf))).collect()
+    assert len(out) == 1
+    assert out[0]["area"] == 0.0 and out[0]["twa"] is None and out[0]["n"] == 1
+
+
+def test_method_and_tier_guards(spark, points):
+    with pytest.raises(ValueError, match="method"):
+        time_weight_bucket(points, method="nearest")
+    with pytest.raises(ValueError, match="coarsen"):
+        time_weight_cascade(time_weight_bucket(points), "1m", from_tier="1h")
+
+
+@pytest.fixture(scope="module")
+def counter_points(spark, points):
+    # monotonic counter per source with deterministic resets: cumulative
+    # n_tok sum that wraps at 50_000 (a restart mid-stream)
+    w = (
+        "sum(val) over (partition by source order by event_ts "
+        "rows between unbounded preceding and current row)"
+    )
+    df = (
+        points.withColumn("cum", F.expr(w))
+        .withColumn("val", F.pmod("cum", F.lit(50_000)).cast("double"))
+        .select("source", "event_ts", "val")
+        .cache()
+    )
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.mark.parametrize("tier", ["1m", "1h", "1d"])
+def test_counter_direct_build_matches_duckdb(counter_points, duck, tier):
+    got = _flat(counter_bucket(counter_points, tier=tier))
+    want = (
+        _counter_oracle(duck, counter_points.toPandas(), TRUNC[tier])
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    m = got.merge(want, on=["source", "bucket_ts"], suffixes=("", "_w"), how="outer",
+                  indicator=True)
+    assert (m["_merge"] == "both").all()
+    for col in ("increase", "resets", "n"):
+        bad = m[m[col] != m[f"{col}_w"]]
+        assert bad.empty, (col, bad.head())
+
+
+def test_counter_cascade_equals_direct(counter_points):
+    c1m = counter_bucket(counter_points, tier="1m")
+    c1h = counter_cascade(c1m, "1h", from_tier="1m")
+    c1d = counter_cascade(c1h, "1d", from_tier="1h")
+    for cascaded, tier in ((c1h, "1h"), (c1d, "1d")):
+        direct = _flat(counter_bucket(counter_points, tier=tier))
+        got = _flat(cascaded)
+        pd.testing.assert_frame_equal(got, direct, check_exact=True)
+
+
+def test_counter_rate_and_reset_detection(spark):
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"] * 4,
+            "event_ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:00:10",
+                    "2024-01-01 00:00:20",
+                    "2024-01-01 00:00:30",
+                ]
+            ),
+            "val": [100.0, 150.0, 5.0, 25.0],  # reset between 150 -> 5
+        }
+    )
+    out = counter_rate(counter_bucket(spark.createDataFrame(pdf))).collect()
+    assert len(out) == 1
+    row = out[0]
+    # increases: +50, reset(+5 post-reset reading), +20 = 75 over 30 s
+    assert row["increase"] == 75.0
+    assert row["resets"] == 1
+    assert row["rate"] == 75.0 / 30.0

@@ -1,0 +1,271 @@
+"""Time-weighted averages + counter-reset aggregates as MERGEABLE bucket
+summaries (TimescaleDB-toolkit ``time_weight``/``counter_agg`` semantics,
+Prometheus ``increase``/``rate`` reset handling — both public specs).
+
+The reference averages irregular points with plain row-weighted means
+(/root/reference/patternTraderUtil.py rolling ``mean`` consumers and the
+resample ``mean`` rule at /root/reference/extremaPatternUtil.py:186-188) —
+correct only on a regular grid. On the north star's irregular event times a
+5-second-spaced burst must not out-weigh an hour-long plateau, so the engine
+adds the standard fix: integrate the value curve over time and divide by the
+observed span.
+
+Both aggregates follow the rollup cascade's partial->merge design
+(operators/rollup.py): a bucket summary is a struct-typed row
+
+    (key, bucket_ts, first(ts,val), last(ts,val), area | increase+resets, n)
+
+that merges EXACTLY up the 1m -> 1h -> 1d tiers. The merge re-adds the
+"bridge" segment between consecutive fine buckets (last point of bucket i ->
+first point of bucket i+1), which is precisely the raw segment that crossed
+the fine-bucket boundary — no point sits between those two by construction —
+so cascaded summaries equal a direct build from raw at every tier
+(pinned in tests/test_timeweight.py, including against a DuckDB window-SQL
+recompute of the integral with no summaries anywhere).
+
+Scale notes (10^12 rows):
+- The 1m build windows over ``(key, minute-bucket)`` — NOT bare ``key`` — so
+  a 70%-of-rows hot key never serializes into one sort partition: every
+  window partition is bounded by one bucket's rows. Segments that cross a
+  1m boundary are exactly the bridges the NEXT tier re-adds, so nothing is
+  lost by keeping the window bucket-local.
+- Each cascade step windows over ``(key, coarse-bucket)`` — bounded by
+  fine-buckets-per-coarse (60 or 24 rows), then aggregates on the same key,
+  so Catalyst reuses ONE Exchange per step (same pattern the gap-fill plan
+  pins in tests/test_plans.py).
+- Everything is codegen'd expressions (lead / struct min-max / conditional
+  sums). Zero UDFs, zero Python in the row path.
+
+Float caveat (same disclosure as SURVEY §4.3 makes for avg): ``area`` and
+``increase`` are double sums, so cascaded == direct holds bitwise only while
+the products stay inside 2^53 half-units (always true for the int-valued,
+second-aligned north-star data; the tests pin bitwise equality there and
+document the general reduction-order hazard).
+
+Input contract: at most one point per (key, ts) — duplicate timestamps have
+no well-defined segment order (TimescaleDB raises on them). The build is
+still deterministic under duplicates (windows order by (ts, val)) and a
+zero-length segment contributes zero area, but counter resets may be
+spuriously counted; dedupe upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .rollup import TIER_ORDER, TIER_TRUNC
+
+_METHODS = ("locf", "linear")
+
+
+def _seconds_between(a: Column, b: Column) -> Column:
+    # integer micros / 1e6: exact doubles for second-aligned timestamps
+    return (F.unix_micros(b) - F.unix_micros(a)) / F.lit(1_000_000.0)
+
+
+def _segment_area(method: str, val: Column, nxt_val: Column, dt_sec: Column) -> Column:
+    """Area under one segment of the chosen interpolation curve."""
+    if method == "locf":
+        return val * dt_sec
+    return (val + nxt_val) / F.lit(2.0) * dt_sec
+
+
+def _check_method(method: str) -> None:
+    if method not in _METHODS:
+        raise ValueError(f"method must be one of {_METHODS}, got {method!r}")
+
+
+def _check_tiers(from_tier: str, to_tier: str) -> None:
+    if from_tier not in TIER_TRUNC or to_tier not in TIER_TRUNC:
+        raise ValueError(f"tiers must be in {list(TIER_TRUNC)}")
+    if TIER_ORDER.index(to_tier) <= TIER_ORDER.index(from_tier):
+        raise ValueError(f"cascade must coarsen: {from_tier} -> {to_tier}")
+
+
+def _point_struct(ts_col: str, val_col: str) -> Column:
+    # ts leads the struct so lexicographic min/max orders by time; val breaks
+    # the (documented-invalid) duplicate-ts tie deterministically
+    return F.struct(F.col(ts_col).alias("ts"), F.col(val_col).cast("double").alias("val"))
+
+
+def time_weight_bucket(
+    points: DataFrame,
+    tier: str = "1m",
+    key_col: str = "source",
+    ts_col: str = "event_ts",
+    val_col: str = "val",
+    method: str = "locf",
+) -> DataFrame:
+    """Per-(key, bucket) time-weight summary from raw irregular points.
+
+    Output: ``(key, bucket_ts, first struct<ts,val>, last struct<ts,val>,
+    area double, n long)`` where ``area`` integrates the locf / linear curve
+    over the segments BOTH of whose endpoints fall in the bucket (boundary
+    crossers are the next tier's bridges). Null ts / null val rows are
+    dropped (TimescaleDB rejects them; a NULL has no place on the curve).
+    """
+    _check_method(method)
+    if tier not in TIER_TRUNC:
+        raise ValueError(f"tier must be in {list(TIER_TRUNC)}")
+    pts = (
+        points.filter(F.col(ts_col).isNotNull() & F.col(val_col).isNotNull())
+        .withColumn("bucket_ts", F.date_trunc(TIER_TRUNC[tier], F.col(ts_col)))
+    )
+    w = Window.partitionBy(key_col, "bucket_ts").orderBy(ts_col, val_col)
+    val = F.col(val_col).cast("double")
+    nxt_ts = F.lead(ts_col).over(w)
+    nxt_val = F.lead(val).over(w)
+    dt = _seconds_between(F.col(ts_col), nxt_ts)
+    seg = pts.select(
+        key_col,
+        "bucket_ts",
+        _point_struct(ts_col, val_col).alias("_pt"),
+        F.when(nxt_ts.isNotNull(), _segment_area(method, val, nxt_val, dt)).alias("_a"),
+    )
+    return seg.groupBy(key_col, "bucket_ts").agg(
+        F.min("_pt").alias("first"),
+        F.max("_pt").alias("last"),
+        F.coalesce(F.sum("_a"), F.lit(0.0)).alias("area"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _bridge(method: str, last_pt: Column, nxt_first: Column) -> Column:
+    """Area of the segment from this bucket's last point to the next
+    bucket's first point — the raw segment that crossed the boundary."""
+    dt = _seconds_between(last_pt["ts"], nxt_first["ts"])
+    if method == "locf":
+        return last_pt["val"] * dt
+    return (last_pt["val"] + nxt_first["val"]) / F.lit(2.0) * dt
+
+
+def time_weight_cascade(
+    tw: DataFrame,
+    to_tier: str,
+    from_tier: str = "1m",
+    key_col: str = "source",
+    method: str = "locf",
+) -> DataFrame:
+    """Merge fine-tier time-weight summaries into a coarser tier EXACTLY:
+    sum of fine areas + the bridge segments between consecutive fine buckets
+    inside the coarse bucket. ``method`` must match the build's — a summary
+    carries no curve shape, only endpoints and area.
+    """
+    _check_method(method)
+    _check_tiers(from_tier, to_tier)
+    coarse = F.date_trunc(TIER_TRUNC[to_tier], F.col("bucket_ts"))
+    w = Window.partitionBy(key_col, "_coarse").orderBy("bucket_ts")
+    stepped = tw.withColumn("_coarse", coarse).withColumn(
+        "_bridge",
+        F.when(
+            F.lead("first").over(w).isNotNull(),
+            _bridge(method, F.col("last"), F.lead("first").over(w)),
+        ),
+    )
+    return (
+        stepped.groupBy(key_col, "_coarse")
+        .agg(
+            F.min("first").alias("first"),
+            F.max("last").alias("last"),
+            (F.sum("area") + F.coalesce(F.sum("_bridge"), F.lit(0.0))).alias("area"),
+            F.sum("n").alias("n"),
+        )
+        .withColumnRenamed("_coarse", "bucket_ts")
+    )
+
+
+def tw_average(tw: DataFrame, out_col: str = "twa") -> DataFrame:
+    """Read accessor: area / observed span (seconds). NULL for a span of
+    zero (single point — no curve to average), matching TimescaleDB's
+    ``average(time_weight(...))``. ``try_divide`` so ANSI mode can't raise."""
+    span = _seconds_between(F.col("first")["ts"], F.col("last")["ts"])
+    return tw.withColumn(out_col, F.try_divide(F.col("area"), F.nullif(span, F.lit(0.0))))
+
+
+# --- counter aggregates (Prometheus increase/rate reset semantics) ---------
+
+
+def counter_bucket(
+    points: DataFrame,
+    tier: str = "1m",
+    key_col: str = "source",
+    ts_col: str = "event_ts",
+    val_col: str = "val",
+) -> DataFrame:
+    """Per-(key, bucket) counter summary over a monotonic-up-to-resets
+    counter: ``increase`` sums per-segment deltas where a drop means the
+    counter restarted (the new reading itself is the post-reset increase —
+    Prometheus's rule), ``resets`` counts the drops. Same bucket-local window
+    + bridge-at-merge shape as :func:`time_weight_bucket`.
+    """
+    if tier not in TIER_TRUNC:
+        raise ValueError(f"tier must be in {list(TIER_TRUNC)}")
+    pts = (
+        points.filter(F.col(ts_col).isNotNull() & F.col(val_col).isNotNull())
+        .withColumn("bucket_ts", F.date_trunc(TIER_TRUNC[tier], F.col(ts_col)))
+    )
+    w = Window.partitionBy(key_col, "bucket_ts").orderBy(ts_col, val_col)
+    val = F.col(val_col).cast("double")
+    nxt_val = F.lead(val).over(w)
+    seg_inc = F.when(nxt_val >= val, nxt_val - val).otherwise(nxt_val)
+    seg = pts.select(
+        key_col,
+        "bucket_ts",
+        _point_struct(ts_col, val_col).alias("_pt"),
+        F.when(nxt_val.isNotNull(), seg_inc).alias("_inc"),
+        F.when(nxt_val.isNotNull() & (nxt_val < val), F.lit(1)).alias("_rst"),
+    )
+    return seg.groupBy(key_col, "bucket_ts").agg(
+        F.min("_pt").alias("first"),
+        F.max("_pt").alias("last"),
+        F.coalesce(F.sum("_inc"), F.lit(0.0)).alias("increase"),
+        F.coalesce(F.sum("_rst"), F.lit(0)).cast("long").alias("resets"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def counter_cascade(
+    ca: DataFrame,
+    to_tier: str,
+    from_tier: str = "1m",
+    key_col: str = "source",
+) -> DataFrame:
+    """Merge fine counter summaries into a coarser tier exactly, re-adding
+    the boundary-crossing segment between consecutive fine buckets."""
+    _check_tiers(from_tier, to_tier)
+    coarse = F.date_trunc(TIER_TRUNC[to_tier], F.col("bucket_ts"))
+    w = Window.partitionBy(key_col, "_coarse").orderBy("bucket_ts")
+    nxt_first = F.lead("first").over(w)
+    last_val = F.col("last")["val"]
+    bridge_inc = F.when(
+        nxt_first["val"] >= last_val, nxt_first["val"] - last_val
+    ).otherwise(nxt_first["val"])
+    stepped = (
+        ca.withColumn("_coarse", coarse)
+        .withColumn("_binc", F.when(nxt_first.isNotNull(), bridge_inc))
+        .withColumn(
+            "_brst",
+            F.when(nxt_first.isNotNull() & (nxt_first["val"] < last_val), F.lit(1)),
+        )
+    )
+    return (
+        stepped.groupBy(key_col, "_coarse")
+        .agg(
+            F.min("first").alias("first"),
+            F.max("last").alias("last"),
+            (F.sum("increase") + F.coalesce(F.sum("_binc"), F.lit(0.0))).alias("increase"),
+            (F.sum("resets") + F.coalesce(F.sum("_brst"), F.lit(0))).cast("long").alias("resets"),
+            F.sum("n").alias("n"),
+        )
+        .withColumnRenamed("_coarse", "bucket_ts")
+    )
+
+
+def counter_rate(ca: DataFrame, out_col: str = "rate") -> DataFrame:
+    """Read accessor: increase / observed span (per-second rate); NULL on a
+    zero span, exactly like :func:`tw_average`."""
+    span = _seconds_between(F.col("first")["ts"], F.col("last")["ts"])
+    return ca.withColumn(
+        out_col, F.try_divide(F.col("increase"), F.nullif(span, F.lit(0.0)))
+    )
