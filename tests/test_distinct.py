@@ -131,3 +131,76 @@ def test_tier_guards(rows):
         distinct_cascade(distinct_bucket(rows), "1m", from_tier="1h")
     with pytest.raises(ValueError, match="tier"):
         distinct_bucket(rows, tier="5m")
+
+
+# --- RollupJob distinct plane (plans/checkpoint.py) -------------------------
+
+
+def test_rollup_job_distinct_plane_end_to_end(spark, seqs_2k, rows, duck, tmp_path):
+    """distinct=True maintains the HLL tiers alongside stats; the CASCADED
+    1d estimates stay inside the 5-sigma band of DuckDB's exact COUNT
+    DISTINCT, and a rerun over the same input is a no-op."""
+    from timeseriesvectordbpattermatcher_spark.operators.rollup import (
+        derive_event_ts as _dts,
+    )
+    from timeseriesvectordbpattermatcher_spark.plans.checkpoint import RollupJob
+
+    seqs = _dts(seqs_2k)
+    job = RollupJob(str(tmp_path / "djob"))
+    job.run(spark, seqs, distinct=True)
+    got = (
+        distinct_estimate(job.distinct_tables["1d"].read(spark))
+        .select("source", "bucket_ts", "approx_distinct")
+        .toPandas()
+    )
+    duck.register("dst_rows", rows.toPandas())
+    want = duck.sql("""
+        SELECT source, date_trunc('day', event_ts) AS bucket_ts,
+               count(DISTINCT doc_id) AS exact
+        FROM dst_rows WHERE event_ts IS NOT NULL GROUP BY 1, 2
+    """).df()
+    m = got.merge(want, on=["source", "bucket_ts"], how="outer", indicator=True)
+    assert (m["_merge"] == "both").all()
+    rel = (m["approx_distinct"] - m["exact"]).abs() / m["exact"].clip(lower=1)
+    assert (rel <= 5 * RSE).all(), m[rel > 5 * RSE].head()
+    v = job.distinct_tables["1m"].current_snapshot().version
+    job.run(spark, seqs, distinct=True)
+    assert job.distinct_tables["1m"].current_snapshot().version == v
+
+
+def test_distinct_plane_resumes_after_crash(spark, tmp_path, duck):
+    """Crash after the distinct 1m commit: the rerun must converge — the
+    sketch plane's partition keys and row counts equal the clean run's, and
+    both runs' estimates stay in-band vs exact (sketch bytes are stream-
+    order dependent, so byte equality is deliberately not asserted)."""
+    import pytest as _pytest
+
+    from timeseriesvectordbpattermatcher_spark.operators.rollup import (
+        derive_event_ts as _dts,
+    )
+    from timeseriesvectordbpattermatcher_spark.plans.checkpoint import RollupJob
+    from timeseriesvectordbpattermatcher_spark.sources.synth import synth_seqs
+
+    seqs = _dts(synth_seqs(spark, 1000, seed=37))
+    clean = RollupJob(str(tmp_path / "dclean"))
+    clean.run(spark, seqs, distinct=True)
+
+    crashed = RollupJob(str(tmp_path / "dcrash"))
+    with _pytest.raises(RuntimeError, match="distinct_1m"):
+        crashed.run(spark, seqs, distinct=True, fail_after="distinct_1m")
+    assert crashed.distinct_tables["1h"].current_snapshot() is None
+    crashed.run(spark, seqs, distinct=True)  # resume
+
+    for t in ("1m", "1h", "1d"):
+        a = clean.distinct_tables[t].read(spark)
+        b = crashed.distinct_tables[t].read(spark)
+        ka = {(r["source"], r["bucket_ts"]) for r in a.select("source", "bucket_ts").collect()}
+        kb = {(r["source"], r["bucket_ts"]) for r in b.select("source", "bucket_ts").collect()}
+        assert ka == kb and len(ka) > 0, t
+        ea = distinct_estimate(a).toPandas().set_index(["source", "bucket_ts"])
+        eb = distinct_estimate(b).toPandas().set_index(["source", "bucket_ts"])
+        rel = (
+            (ea["approx_distinct"] - eb["approx_distinct"]).abs()
+            / ea["approx_distinct"].clip(lower=1)
+        )
+        assert (rel <= 10 * RSE).all(), t

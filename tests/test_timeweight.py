@@ -226,3 +226,82 @@ def test_counter_rate_and_reset_detection(spark):
     assert row["increase"] == 75.0
     assert row["resets"] == 1
     assert row["rate"] == 75.0 / 30.0
+
+
+# --- RollupJob tw plane (plans/checkpoint.py) -------------------------------
+
+
+def _tw_plane_sets(job, spark):
+    out = {}
+    for t in ("1m", "1h", "1d"):
+        df = job.tw_tables[t].read(spark)
+        out[t] = (
+            set()
+            if df is None
+            else {
+                (
+                    r["source"],
+                    r["bucket_ts"],
+                    r["first"]["ts"],
+                    r["first"]["val"],
+                    r["last"]["ts"],
+                    r["last"]["val"],
+                    r["area"],
+                    r["n"],
+                )
+                for r in df.collect()
+            }
+        )
+    return out
+
+
+def test_rollup_job_tw_plane_end_to_end(spark, seqs_2k, points, tmp_path):
+    """time_weight=True maintains the tw tiers alongside stats; the CASCADED
+    1d summaries equal a direct time_weight build from the deduped raw
+    points (exact — int vals, second-aligned ts)."""
+    from timeseriesvectordbpattermatcher_spark.plans.checkpoint import RollupJob
+
+    seqs = derive_event_ts(seqs_2k)
+    job = RollupJob(str(tmp_path / "twjob"))
+    job.run(spark, seqs, time_weight=True)
+    got = _flat(job.tw_tables["1d"].read(spark).drop("bucket_day"))
+    want = _flat(time_weight_bucket(points, tier="1d", method="locf"))
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # rerun over same input is a no-op on the tw plane too
+    v = job.tw_tables["1m"].current_snapshot().version
+    job.run(spark, seqs, time_weight=True)
+    assert job.tw_tables["1m"].current_snapshot().version == v
+
+
+def test_tw_plane_incremental_equals_oneshot(spark, tmp_path):
+    from timeseriesvectordbpattermatcher_spark.plans.checkpoint import RollupJob
+    from timeseriesvectordbpattermatcher_spark.sources.synth import synth_seqs
+
+    all_seqs = derive_event_ts(synth_seqs(spark, 1500, seed=23))
+    cut = all_seqs.agg(
+        F.percentile_approx(F.col("event_ts").cast("double"), 0.5)
+    ).collect()[0][0]
+    job = RollupJob(str(tmp_path / "twincr"))
+    job.run(spark, all_seqs.filter(F.col("event_ts").cast("double") <= cut),
+            time_weight=True, tw_method="linear")
+    job.run(spark, all_seqs, time_weight=True, tw_method="linear")
+    oneshot = RollupJob(str(tmp_path / "twone"))
+    oneshot.run(spark, all_seqs, time_weight=True, tw_method="linear")
+    assert _tw_plane_sets(job, spark) == _tw_plane_sets(oneshot, spark)
+
+
+def test_tw_plane_resumes_after_crash_between_planes(spark, tmp_path):
+    from timeseriesvectordbpattermatcher_spark.plans.checkpoint import RollupJob
+    from timeseriesvectordbpattermatcher_spark.sources.synth import synth_seqs
+
+    seqs = derive_event_ts(synth_seqs(spark, 1000, seed=29))
+    clean = RollupJob(str(tmp_path / "twclean"))
+    clean.run(spark, seqs, time_weight=True)
+    want = _tw_plane_sets(clean, spark)
+
+    crashed = RollupJob(str(tmp_path / "twcrash"))
+    with pytest.raises(RuntimeError, match="tw_1m"):
+        crashed.run(spark, seqs, time_weight=True, fail_after="tw_1m")
+    assert crashed.tw_tables["1h"].current_snapshot() is None
+    crashed.run(spark, seqs, time_weight=True)  # resume
+    assert _tw_plane_sets(crashed, spark) == want

@@ -44,12 +44,23 @@ class RollupJob:
     def __init__(self, base_dir: str):
         self.base_dir = base_dir
         self.tables = {t: SnapshotTable(os.path.join(base_dir, f"rollup_{t}")) for t in TIERS}
-        # the quantile-histogram plane (operators/quantiles.py): a parallel
-        # tier set holding the mergeable exact n_tok histograms, cascaded
-        # with the SAME watermark / snapshot-incremental / resume semantics
-        # as the stats tiers. Empty (and costless) unless run(...,
-        # quantile_hist=True) populates it.
+        # parallel tier PLANES, each cascaded with the SAME watermark /
+        # snapshot-incremental / resume semantics as the stats tiers and
+        # empty (and costless) unless its run(...) flag populates it:
+        # - hist: mergeable exact n_tok histograms (operators/quantiles.py)
+        # - tw: mergeable time-weight summaries (operators/timeweight.py)
+        # - distinct: mergeable HLL distinct sketches (operators/distinct.py)
         self.hist_tables = {t: SnapshotTable(os.path.join(base_dir, f"hist_{t}")) for t in TIERS}
+        self.tw_tables = {t: SnapshotTable(os.path.join(base_dir, f"tw_{t}")) for t in TIERS}
+        self.distinct_tables = {
+            t: SnapshotTable(os.path.join(base_dir, f"distinct_{t}")) for t in TIERS
+        }
+        self._plane_tables = {
+            "rollup": self.tables,
+            "hist": self.hist_tables,
+            "tw": self.tw_tables,
+            "distinct": self.distinct_tables,
+        }
         self.audit = AuditLog(os.path.join(base_dir, "audit"))
 
     def _commit_tier(
@@ -64,7 +75,7 @@ class RollupJob:
         target_file_rows: int | None = None,
         plane: str = "rollup",
     ):
-        table = (self.tables if plane == "rollup" else self.hist_tables)[tier]
+        table = self._plane_tables[plane][tier]
         snap = table.overwrite_partitions(
             df.withColumn("bucket_day", F.to_date("bucket_ts")),
             ["source", "bucket_day"],
@@ -108,6 +119,12 @@ class RollupJob:
         token_engine: str = "expr",
         target_file_rows: int | None = None,
         quantile_hist: bool = False,
+        time_weight: bool = False,
+        tw_method: str = "locf",
+        tw_val_col: str = "n_tok",
+        distinct: bool = False,
+        distinct_col: str = "doc_id",
+        distinct_lgk: int = 12,
     ) -> dict[str, DataFrame | None]:
         """Incremental run. ``seqs_ts`` must carry event_ts (derive_event_ts).
         ``salt_buckets`` enables the two-phase salted 1m aggregation for
@@ -117,18 +134,65 @@ class RollupJob:
         ``target_file_rows`` fans fat 1m partitions out range-clustered on
         ``bucket_ts`` (parallel write + per-file time stats that make
         :meth:`read_range` skip files inside a day).
-        ``quantile_hist`` also maintains the exact mergeable n_tok histogram
-        tiers (``hist_tables``, operators/quantiles.py) with their own
-        watermarks — a crash between the stats and hist 1m commits resumes
-        exactly, and enabling it on an existing job backfills nothing by
-        itself (run once with ``full_refresh=True`` to catch the hist plane
-        up over history)."""
+
+        Optional planes, each a parallel tier set with its OWN watermark —
+        a crash between plane commits resumes exactly, and enabling one on
+        an existing job backfills nothing by itself (run once with
+        ``full_refresh=True`` to catch it up over history):
+
+        - ``quantile_hist``: exact mergeable n_tok histograms
+          (operators/quantiles.py).
+        - ``time_weight``: mergeable time-weight summaries of ``tw_val_col``
+          under the ``tw_method`` curve (operators/timeweight.py) — the
+          irregular-sampling average the row-weighted avg_n_tok can't give.
+          Day-granular recompute is exact: a tier's (source, day) output
+          depends only on same-day segments (bridges never cross the 1d
+          bucket).
+        - ``distinct``: mergeable HLL sketches of ``distinct_col``
+          (operators/distinct.py); estimates carry the published ~1.6%
+          (lgk=12) error, never presented as exact."""
         run_id = run_id or uuid.uuid4().hex[:12]
         t0 = time.time()
-        snap_1m = self.tables["1m"].current_snapshot()
-        wm_1m = None if (full_refresh or snap_1m is None) else snap_1m.watermark
-        hsnap_1m = self.hist_tables["1m"].current_snapshot() if quantile_hist else None
-        wm_h1m = None if (full_refresh or hsnap_1m is None) else hsnap_1m.watermark
+
+        # (plane, build_1m(affected_raw) -> df) — order fixed so fail_after
+        # hooks stay deterministic
+        def _build_rollup(raw):
+            return rollup_1m(raw, salt_buckets=salt_buckets, token_engine=token_engine)
+
+        def _build_hist(raw):
+            from ..operators.quantiles import hist_1m
+
+            return hist_1m(raw)
+
+        def _build_tw(raw):
+            from ..operators.timeweight import time_weight_bucket
+
+            # the raw table has many rows per (source, second); collapse to
+            # the per-instant max first — time_weight's input contract is
+            # one point per (key, ts), and max keeps the int exactness the
+            # cascade's bitwise pins rely on
+            pts = raw.groupBy("source", "event_ts").agg(
+                F.max(tw_val_col).alias("_twv")
+            )
+            return time_weight_bucket(pts, tier="1m", val_col="_twv", method=tw_method)
+
+        def _build_distinct(raw):
+            from ..operators.distinct import distinct_bucket
+
+            return distinct_bucket(raw, col=distinct_col, tier="1m", lgk=distinct_lgk)
+
+        planes = [("rollup", _build_rollup)]
+        if quantile_hist:
+            planes.append(("hist", _build_hist))
+        if time_weight:
+            planes.append(("tw", _build_tw))
+        if distinct:
+            planes.append(("distinct", _build_distinct))
+
+        wms = {}
+        for plane, _ in planes:
+            snap = self._plane_tables[plane]["1m"].current_snapshot()
+            wms[plane] = None if (full_refresh or snap is None) else snap.watermark
 
         def _beyond(wm):
             return F.col("event_ts") > F.lit(wm) if wm else F.col("event_ts").isNotNull()
@@ -138,57 +202,44 @@ class RollupJob:
         # a crash between plane commits resumes without gaps); the day sets
         # are calendar-bounded, so the collect_sets stay tiny. Rows with
         # null event_ts (unparseable doc_id) drop out of all aggregates.
-        aggs = [
-            F.max("event_ts").alias("wm"),
-            F.collect_set(F.when(_beyond(wm_1m), F.to_date("event_ts"))).alias("days"),
-        ]
-        if quantile_hist:
-            aggs.append(
-                F.collect_set(F.when(_beyond(wm_h1m), F.to_date("event_ts"))).alias("hdays")
+        aggs = [F.max("event_ts").alias("wm")] + [
+            F.collect_set(F.when(_beyond(wms[plane]), F.to_date("event_ts"))).alias(
+                f"days_{plane}"
             )
+            for plane, _ in planes
+        ]
         head = seqs_ts.agg(*aggs).first()
         new_wm = head["wm"]
         if new_wm is not None:
             wm_str = new_wm.isoformat()
-
-            # ---- tier 1m: recompute affected (source, day) partitions from raw
-            if wm_1m is None or wm_str > wm_1m:
-                days = sorted(d.isoformat() for d in head["days"])
-                if days:
-                    affected_raw = seqs_ts.filter(F.to_date("event_ts").isin(days))
-                    self._commit_tier(
-                        spark,
-                        "1m",
-                        rollup_1m(affected_raw, salt_buckets=salt_buckets, token_engine=token_engine),
-                        wm_str,
-                        run_id,
-                        t0,
-                        target_file_rows=target_file_rows,
-                    )
-                    if fail_after == "1m":
-                        raise RuntimeError("injected failure after 1m commit")
-            if quantile_hist and (wm_h1m is None or wm_str > wm_h1m):
-                hdays = sorted(d.isoformat() for d in head["hdays"])
-                if hdays:
-                    from ..operators.quantiles import hist_1m
-
-                    h_raw = seqs_ts.filter(F.to_date("event_ts").isin(hdays))
-                    self._commit_tier(
-                        spark,
-                        "1m",
-                        hist_1m(h_raw),
-                        wm_str,
-                        run_id,
-                        t0,
-                        target_file_rows=target_file_rows,
-                        plane="hist",
-                    )
-                    if fail_after == "hist_1m":
-                        raise RuntimeError("injected failure after hist_1m commit")
+            # ---- tier 1m per plane: recompute affected (source, day)
+            # partitions from raw
+            for plane, build in planes:
+                if wms[plane] is not None and wm_str <= wms[plane]:
+                    continue
+                days = sorted(d.isoformat() for d in head[f"days_{plane}"])
+                if not days:
+                    continue
+                affected_raw = seqs_ts.filter(F.to_date("event_ts").isin(days))
+                self._commit_tier(
+                    spark,
+                    "1m",
+                    build(affected_raw),
+                    wm_str,
+                    run_id,
+                    t0,
+                    target_file_rows=target_file_rows,
+                    plane=plane,
+                )
+                hook = "1m" if plane == "rollup" else f"{plane}_1m"
+                if fail_after == hook:
+                    raise RuntimeError(f"injected failure after {hook} commit")
 
         # ---- tiers 1h, 1d: snapshot-incremental cascade
         self.run_cascade(spark, run_id=run_id, full_refresh=full_refresh,
-                         fail_after=fail_after, quantile_hist=quantile_hist)
+                         fail_after=fail_after, quantile_hist=quantile_hist,
+                         time_weight=time_weight, tw_method=tw_method,
+                         distinct=distinct)
 
         return {t: self.tables[t].read(spark) for t in TIERS}
 
@@ -210,21 +261,48 @@ class RollupJob:
         full_refresh: bool = False,
         fail_after: str | None = None,
         quantile_hist: bool = False,
+        time_weight: bool = False,
+        tw_method: str = "locf",
+        distinct: bool = False,
     ) -> None:
         """Cascade the 1h/1d tiers from whatever the 1m snapshot table
         currently holds — shared by batch runs (``run``) and by streaming
         ingestion, where micro-batches commit the 1m tier through
         ``streaming.rollup_stream.snapshot_sink`` and this method then
         roll-ups exactly as if the 1m partitions had been batch-written.
-        ``quantile_hist`` cascades the histogram plane too (exact merge —
-        the coarser histogram is the SUM of the finer ones, never a raw
-        rescan)."""
+        The optional plane flags cascade those planes too — every merge is
+        summary-to-summary (histogram sums, bridge re-adds, sketch unions),
+        never a raw rescan."""
         run_id = run_id or uuid.uuid4().hex[:12]
-        planes: list[tuple[str, dict, object]] = [("rollup", self.tables, cascade)]
+        planes: list[tuple[str, dict, object]] = [
+            ("rollup", self.tables, lambda df, t, s: cascade(df, t))
+        ]
         if quantile_hist:
             from ..operators.quantiles import hist_cascade
 
-            planes.append(("hist", self.hist_tables, hist_cascade))
+            planes.append(("hist", self.hist_tables, lambda df, t, s: hist_cascade(df, t)))
+        if time_weight:
+            from ..operators.timeweight import time_weight_cascade
+
+            planes.append(
+                (
+                    "tw",
+                    self.tw_tables,
+                    lambda df, t, s: time_weight_cascade(
+                        df, t, from_tier=s, method=tw_method
+                    ),
+                )
+            )
+        if distinct:
+            from ..operators.distinct import distinct_cascade
+
+            planes.append(
+                (
+                    "distinct",
+                    self.distinct_tables,
+                    lambda df, t, s: distinct_cascade(df, t, from_tier=s),
+                )
+            )
         for tier, src_tier in (("1h", "1m"), ("1d", "1h")):
             t0 = time.time()
             for plane, tables, cascade_fn in planes:
@@ -249,7 +327,7 @@ class RollupJob:
                 # cascade at 10^12 scale.)
                 affected = tables[src_tier].read_partitions(spark, changed)
                 affected = affected.drop("bucket_day")
-                out = cascade_fn(affected, tier)
+                out = cascade_fn(affected, tier, src_tier)
                 self._commit_tier(
                     spark,
                     tier,
