@@ -508,6 +508,68 @@ def main() -> None:
         "scale_ratio": round(th_big / th_small, 2),
     }
 
+    # ---- time-weight + distinct planes at 2M and 10x rows -------------------
+    # same cached corpora; times the 1m build + two summary merges + the read
+    # accessor for each plane (operators/timeweight.py, operators/distinct.py)
+    from timeseriesvectordbpattermatcher_spark.operators.distinct import (
+        distinct_bucket,
+        distinct_cascade,
+        distinct_estimate,
+    )
+    from timeseriesvectordbpattermatcher_spark.operators.timeweight import (
+        time_weight_bucket,
+        time_weight_cascade,
+        tw_average,
+    )
+
+    def tw_timing(n_rows: int) -> float:
+        corpus = os.path.join(tempfile.gettempdir(), f"seqs_bench_{n_rows}")
+        seqs = derive_event_ts(spark.read.parquet(corpus))
+        pts = seqs.groupBy("source", "event_ts").agg(F.max("n_tok").alias("_twv"))
+
+        def once():
+            t1m = time_weight_bucket(pts, val_col="_twv")
+            day = time_weight_cascade(
+                time_weight_cascade(t1m, "1h"), "1d", from_tier="1h"
+            )
+            return tw_average(day).agg(F.sum("area"), F.max("twa")).collect()[0][0]
+
+        return _best_of(once, k=args.runs)
+
+    ttw_small = tw_timing(2_000_000)
+    ttw_big = tw_timing(args.rows)
+    result["queries"]["tw_plane_1d"] = {
+        "rows_small": 2_000_000,
+        "rows_big": args.rows,
+        "sf0.1_sec": ttw_small,
+        "sf1_sec": ttw_big,
+        "scale_ratio": round(ttw_big / ttw_small, 2),
+    }
+
+    def distinct_timing(n_rows: int) -> float:
+        corpus = os.path.join(tempfile.gettempdir(), f"seqs_bench_{n_rows}")
+        seqs = derive_event_ts(spark.read.parquet(corpus))
+
+        def once():
+            day = distinct_cascade(
+                distinct_cascade(distinct_bucket(seqs), "1h"), "1d", from_tier="1h"
+            )
+            return distinct_estimate(day).agg(
+                F.sum("approx_distinct")
+            ).collect()[0][0]
+
+        return _best_of(once, k=args.runs)
+
+    td_small = distinct_timing(2_000_000)
+    td_big = distinct_timing(args.rows)
+    result["queries"]["distinct_plane_1d"] = {
+        "rows_small": 2_000_000,
+        "rows_big": args.rows,
+        "sf0.1_sec": td_small,
+        "sf1_sec": td_big,
+        "scale_ratio": round(td_big / td_small, 2),
+    }
+
     out_path = os.path.join(REPO, "BENCH", "sf1_latest.json")
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1)

@@ -305,3 +305,54 @@ def test_tw_plane_resumes_after_crash_between_planes(spark, tmp_path):
     assert crashed.tw_tables["1h"].current_snapshot() is None
     crashed.run(spark, seqs, time_weight=True)  # resume
     assert _tw_plane_sets(crashed, spark) == want
+
+
+# --- OHLC mergeable candles --------------------------------------------------
+
+
+def _ohlc_oracle(duck, pdf, trunc):
+    duck.register("ohlc_pts", pdf)
+    return duck.sql(f"""
+        SELECT source, date_trunc('{trunc}', event_ts) AS bucket_ts,
+               first(val::double ORDER BY event_ts, val) AS open,
+               last(val::double ORDER BY event_ts, val) AS close,
+               min(val::double) AS low, max(val::double) AS high,
+               count(*) AS n
+        FROM ohlc_pts GROUP BY 1, 2
+    """).df()
+
+
+@pytest.mark.parametrize("tier", ["1m", "1h", "1d"])
+def test_ohlc_direct_build_matches_duckdb(points, duck, tier):
+    from timeseriesvectordbpattermatcher_spark.operators.timeweight import (
+        ohlc_bucket,
+        ohlc_read,
+    )
+
+    got = (
+        ohlc_read(ohlc_bucket(points, tier=tier))
+        .select("source", "bucket_ts", "open", "close", "low", "high", "n")
+        .toPandas()
+    )
+    want = _ohlc_oracle(duck, points.toPandas(), TRUNC[tier])
+    m = got.merge(want, on=["source", "bucket_ts"], suffixes=("", "_w"), how="outer",
+                  indicator=True)
+    assert (m["_merge"] == "both").all()
+    for col in ("open", "close", "low", "high", "n"):
+        bad = m[m[col] != m[f"{col}_w"]]
+        assert bad.empty, (col, bad.head())
+
+
+def test_ohlc_cascade_equals_direct(points):
+    from timeseriesvectordbpattermatcher_spark.operators.timeweight import (
+        ohlc_bucket,
+        ohlc_cascade,
+    )
+
+    o1m = ohlc_bucket(points, tier="1m")
+    c1h = ohlc_cascade(o1m, "1h")
+    c1d = ohlc_cascade(c1h, "1d", from_tier="1h")
+    for cascaded, tier in ((c1h, "1h"), (c1d, "1d")):
+        direct = _flat(ohlc_bucket(points, tier=tier))
+        got = _flat(cascaded)
+        pd.testing.assert_frame_equal(got, direct, check_exact=True)

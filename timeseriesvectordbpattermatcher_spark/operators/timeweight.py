@@ -269,3 +269,70 @@ def counter_rate(ca: DataFrame, out_col: str = "rate") -> DataFrame:
     return ca.withColumn(
         out_col, F.try_divide(F.col("increase"), F.nullif(span, F.lit(0.0)))
     )
+
+
+# --- OHLC bucket summaries (mergeable candles) ------------------------------
+
+
+def ohlc_bucket(
+    points: DataFrame,
+    tier: str = "1m",
+    key_col: str = "source",
+    ts_col: str = "event_ts",
+    val_col: str = "val",
+) -> DataFrame:
+    """Per-(key, bucket) candle summary ``(first, last, low, high, n)``. The
+    rollup tiers (operators/rollup.py) carry min/max (= low/high) but not
+    open/close — TimescaleDB's ``first(val, ts)``/``last(val, ts)``, the two
+    reads a row-order-free aggregate can't give without the ts-argmin/argmax
+    structs. Mergeable with NO bridges: the coarse open is the earliest fine
+    bucket's open (``min(first)``), close the latest's close (``max(last)``),
+    low/high plain min/max — so cascaded == direct holds exactly, ints and
+    floats alike (no arithmetic, only selection). Same one-Exchange,
+    bucket-local shape as :func:`time_weight_bucket` minus the window."""
+    if tier not in TIER_TRUNC:
+        raise ValueError(f"tier must be in {list(TIER_TRUNC)}")
+    pts = (
+        points.filter(F.col(ts_col).isNotNull() & F.col(val_col).isNotNull())
+        .withColumn("bucket_ts", F.date_trunc(TIER_TRUNC[tier], F.col(ts_col)))
+    )
+    val = F.col(val_col).cast("double")
+    return (
+        pts.select(key_col, "bucket_ts", _point_struct(ts_col, val_col).alias("_pt"), val.alias("_v"))
+        .groupBy(key_col, "bucket_ts")
+        .agg(
+            F.min("_pt").alias("first"),
+            F.max("_pt").alias("last"),
+            F.min("_v").alias("low"),
+            F.max("_v").alias("high"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def ohlc_cascade(
+    o: DataFrame,
+    to_tier: str,
+    from_tier: str = "1m",
+    key_col: str = "source",
+) -> DataFrame:
+    """Exact selection merge of fine candles into a coarser tier."""
+    _check_tiers(from_tier, to_tier)
+    return (
+        o.withColumn("bucket_ts", F.date_trunc(TIER_TRUNC[to_tier], F.col("bucket_ts")))
+        .groupBy(key_col, "bucket_ts")
+        .agg(
+            F.min("first").alias("first"),
+            F.max("last").alias("last"),
+            F.min("low").alias("low"),
+            F.max("high").alias("high"),
+            F.sum("n").alias("n"),
+        )
+    )
+
+
+def ohlc_read(o: DataFrame) -> DataFrame:
+    """Read accessor: unpack open/close from the endpoint structs."""
+    return o.withColumn("open", F.col("first")["val"]).withColumn(
+        "close", F.col("last")["val"]
+    )
