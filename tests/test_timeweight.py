@@ -356,3 +356,133 @@ def test_ohlc_cascade_equals_direct(points):
         direct = _flat(ohlc_bucket(points, tier=tier))
         got = _flat(cascaded)
         pd.testing.assert_frame_equal(got, direct, check_exact=True)
+
+
+# --- interpolated (full-bucket) average --------------------------------------
+
+
+def _itwa_oracle(duck, pdf, trunc, step, method):
+    """Independent recompute from RAW points: every raw segment is split
+    across the buckets it crosses (generate_series lateral), in-bucket
+    portions integrate under the method's curve, locf adds the final point's
+    carry-to-bucket-end, and coverage spans are derived from the key's
+    global first/last timestamps — no summaries anywhere."""
+    duck.register("itw_pts", pdf)
+    if method == "locf":
+        part_area = "val * (epoch(hi) - epoch(lo))"
+    else:
+        part_area = """
+          ((val + (nval-val)*(epoch(lo)-epoch(ts))/(epoch(nts)-epoch(ts)))
+           + (val + (nval-val)*(epoch(hi)-epoch(ts))/(epoch(nts)-epoch(ts))))
+          / 2.0 * (epoch(hi) - epoch(lo))"""
+    tail_sql = f"""
+        SELECT source, date_trunc('{trunc}', ts)::TIMESTAMP AS bucket_ts,
+               val * (epoch(date_trunc('{trunc}', ts)::TIMESTAMP + INTERVAL {step})
+                      - epoch(ts)) AS area
+        FROM p WHERE rn = 1
+    """ if method == "locf" else "SELECT NULL AS source, NULL AS bucket_ts, NULL AS area WHERE false"
+    hi_cover = (
+        f"epoch(bucket_ts + INTERVAL {step})" if method == "locf"
+        else f"CASE WHEN key_max >= bucket_ts + INTERVAL {step} "
+             f"THEN epoch(bucket_ts + INTERVAL {step}) ELSE epoch(last_in) END"
+    )
+    return duck.sql(f"""
+        WITH pts AS (
+          SELECT source, event_ts AS ts, val::double AS val FROM itw_pts
+        ), span AS (
+          SELECT source, date_trunc('{trunc}', ts)::TIMESTAMP AS bucket_ts,
+                 min(ts) AS first_in, max(ts) AS last_in,
+                 min(min(ts)) OVER (PARTITION BY source) AS key_min,
+                 max(max(ts)) OVER (PARTITION BY source) AS key_max
+          FROM pts GROUP BY 1, 2
+        ), p AS (
+          SELECT source, ts, val,
+                 lead(ts) OVER w AS nts, lead(val) OVER w AS nval,
+                 row_number() OVER (PARTITION BY source ORDER BY ts DESC) AS rn
+          FROM pts WINDOW w AS (PARTITION BY source ORDER BY ts)
+        ), segparts AS (
+          -- overlap join: clip every raw segment to each OBSERVED bucket it
+          -- crosses (empty buckets aren't compared, so the bucket list from
+          -- span suffices)
+          SELECT p.source, s.bucket_ts,
+                 greatest(p.ts, s.bucket_ts) AS lo,
+                 least(p.nts, s.bucket_ts + INTERVAL {step}) AS hi,
+                 p.ts, p.val, p.nts, p.nval
+          FROM p JOIN span s ON p.source = s.source
+           AND p.nts IS NOT NULL
+           AND p.ts < s.bucket_ts + INTERVAL {step}
+           AND p.nts > s.bucket_ts
+        ), areas AS (
+          SELECT source, bucket_ts, sum({part_area}) AS area
+          FROM segparts WHERE hi > lo GROUP BY 1, 2
+        ), tails AS ({tail_sql}
+        ), allarea AS (
+          SELECT source, bucket_ts, sum(area) AS area FROM (
+            SELECT * FROM areas UNION ALL SELECT * FROM tails
+          ) GROUP BY 1, 2
+        )
+        SELECT s.source, s.bucket_ts,
+               coalesce(a.area, 0) /
+               (({hi_cover}) -
+                CASE WHEN key_min < bucket_ts THEN epoch(bucket_ts)
+                     ELSE epoch(first_in) END) AS want
+        FROM span s LEFT JOIN allarea a USING (source, bucket_ts)
+    """).df()
+
+
+STEPS = {"1m": "'60 seconds'", "1h": "'3600 seconds'", "1d": "'1 day'"}
+
+
+@pytest.mark.parametrize("method", ["locf", "linear"])
+@pytest.mark.parametrize("tier", ["1h", "1d"])
+def test_interpolated_average_matches_raw_recompute(points, duck, tier, method):
+    from timeseriesvectordbpattermatcher_spark.operators.timeweight import (
+        tw_interpolated_average,
+    )
+
+    tw = time_weight_bucket(points, tier=tier, method=method)
+    got = (
+        tw_interpolated_average(tw, tier, method=method)
+        .select("source", "bucket_ts", "itwa")
+        .toPandas()
+    )
+    want = _itwa_oracle(duck, points.toPandas(), TRUNC[tier], STEPS[tier], method)
+    m = got.merge(want, on=["source", "bucket_ts"], how="outer", indicator=True)
+    assert (m["_merge"] == "both").all()
+    if method == "locf":
+        bad = m[m["itwa"].fillna(-1) != m["want"].fillna(-1)]
+        assert bad.empty, bad.head()
+    else:
+        import numpy as np
+
+        a, b = m["itwa"].fillna(-1).to_numpy(), m["want"].fillna(-1).to_numpy()
+        assert np.allclose(a, b, rtol=1e-9, atol=1e-12), m[~np.isclose(a, b, rtol=1e-9)].head()
+
+
+def test_interpolated_average_hand_case(spark):
+    """One point per hour-bucket at :30; locf itwa of the middle bucket must
+    blend 30 min of the previous value with 30 min of its own."""
+    import pandas as pd_
+
+    from timeseriesvectordbpattermatcher_spark.operators.timeweight import (
+        tw_interpolated_average,
+    )
+
+    pdf = pd_.DataFrame(
+        {
+            "source": ["a"] * 3,
+            "event_ts": pd_.to_datetime(
+                ["2024-01-01 00:30:00", "2024-01-01 01:30:00", "2024-01-01 02:30:00"]
+            ),
+            "val": [10.0, 20.0, 40.0],
+        }
+    )
+    tw = time_weight_bucket(spark.createDataFrame(pdf), tier="1h", method="locf")
+    out = {
+        r["bucket_ts"].hour: r["itwa"]
+        for r in tw_interpolated_average(tw, "1h", method="locf").collect()
+    }
+    assert out[1] == (10.0 * 1800 + 20.0 * 1800) / 3600  # 15.0
+    assert out[2] == (20.0 * 1800 + 40.0 * 1800) / 3600  # 30.0
+    # first bucket: no prev -> covered from :30, value 10 carried to end
+    assert out[0] == 10.0

@@ -183,6 +183,81 @@ def tw_average(tw: DataFrame, out_col: str = "twa") -> DataFrame:
     return tw.withColumn(out_col, F.try_divide(F.col("area"), F.nullif(span, F.lit(0.0))))
 
 
+_TIER_INTERVAL = {"1m": "interval 60 seconds", "1h": "interval 3600 seconds",
+                  "1d": "interval 1 day"}
+
+
+def tw_interpolated_average(
+    tw: DataFrame,
+    tier: str,
+    key_col: str = "source",
+    method: str = "locf",
+    out_col: str = "itwa",
+) -> DataFrame:
+    """Full-bucket time-weighted average (TimescaleDB
+    ``interpolated_average`` semantics): extend each bucket's curve to the
+    bucket EDGES using the neighboring summaries, so a bucket holding one
+    point at 00:59 no longer reports a NULL/endpoint-only average.
+
+    - Head: the raw segment ``prev.last -> this.first`` crosses this
+      bucket's start (no point lies between them, by construction), so its
+      in-bucket portion ``[bucket_start, first.ts]`` is integrated — locf
+      carries ``prev.last.val``; linear evaluates the segment line at the
+      boundary. No previous summary -> coverage starts at ``first.ts``.
+    - Tail: symmetric with ``this.last -> next.first`` over
+      ``[last.ts, bucket_end)``. locf needs no next (the last value carries
+      to the bucket end unconditionally); linear without a next summary
+      stops at ``last.ts``.
+    - ``out_col`` = (area + head + tail) / covered seconds.
+
+    Buckets with NO points have no summary row and get no output row —
+    compose with the gap-fill operator (operators/gapfill.py) for a dense
+    grid. The window here partitions by bare ``key_col``, which is safe at
+    any corpus size because summary rows are CALENDAR-bounded (one per
+    bucket), not raw-row-bounded — the skew argument that forces
+    bucket-local windows in the builds does not apply to accessors.
+
+    Adjacent-tier note: head/tail use the nearest summary regardless of gap
+    length — the bridge segment is the same raw segment whichever summaries
+    it connects, so a sparse key interpolates across empty buckets exactly
+    like the raw curve would.
+    """
+    _check_method(method)
+    if tier not in _TIER_INTERVAL:
+        raise ValueError(f"tier must be in {list(_TIER_INTERVAL)}")
+    w = Window.partitionBy(key_col).orderBy("bucket_ts")
+    prev_last = F.lag("last").over(w)
+    nxt_first = F.lead("first").over(w)
+    b_start = F.col("bucket_ts")
+    b_end = F.col("bucket_ts") + F.expr(_TIER_INTERVAL[tier])
+    first, last = F.col("first"), F.col("last")
+
+    head_dt = _seconds_between(b_start, first["ts"])
+    tail_dt = _seconds_between(last["ts"], b_end)
+    if method == "locf":
+        head = F.when(prev_last.isNotNull(), prev_last["val"] * head_dt)
+        tail = last["val"] * tail_dt  # carry-forward needs no next
+        covered_hi = b_end
+    else:
+        # value of the crossing segment evaluated at the bucket boundary
+        def _at(seg_a, seg_b, t):
+            frac = F.try_divide(
+                _seconds_between(seg_a["ts"], t),
+                _seconds_between(seg_a["ts"], seg_b["ts"]),
+            )
+            return seg_a["val"] + (seg_b["val"] - seg_a["val"]) * frac
+
+        v0 = _at(prev_last, first, b_start)
+        v1 = _at(last, nxt_first, b_end)
+        head = F.when(prev_last.isNotNull(), (v0 + first["val"]) / 2.0 * head_dt)
+        tail = F.when(nxt_first.isNotNull(), (v1 + last["val"]) / 2.0 * tail_dt)
+        covered_hi = F.when(nxt_first.isNotNull(), b_end).otherwise(last["ts"])
+    covered_lo = F.when(prev_last.isNotNull(), b_start).otherwise(first["ts"])
+    total = F.col("area") + F.coalesce(head, F.lit(0.0)) + F.coalesce(tail, F.lit(0.0))
+    span = _seconds_between(covered_lo, covered_hi)
+    return tw.withColumn(out_col, F.try_divide(total, F.nullif(span, F.lit(0.0))))
+
+
 # --- counter aggregates (Prometheus increase/rate reset semantics) ---------
 
 
