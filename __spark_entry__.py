@@ -1552,7 +1552,15 @@ def q_retention_expiry(spark, sf_dir):
     # physically gone, and at least one file per dropped key was removed
     assert n_removed >= len(dropped) > 0, (n_removed, dropped)
     out = table.read(spark)
-    return out.select("event_type", "day", "cnt", "val_sum")
+    # day as an ISO string: the snapshot table stores partition values as
+    # strings, and DuckDB's date arithmetic re-types DATE columns — strings
+    # hash identically on both sides of the driver compare
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cnt",
+        "val_sum",
+    )
 
 
 SQL_RETENTION_EXPIRY = f"""
@@ -1561,7 +1569,7 @@ WITH d AS (
          round(sum(value), {_R}) AS val_sum
   FROM events GROUP BY 1, 2
 ), mx AS (SELECT max(day) AS as_of FROM d)
-SELECT event_type, day, cnt, val_sum
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt, val_sum
 FROM d, mx
 WHERE day >= as_of - INTERVAL 14 DAY
 """

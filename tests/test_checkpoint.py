@@ -244,3 +244,56 @@ def test_time_travel_rollback_and_versioned_vacuum(spark, tmp_path):
         tbl.rollback(99)
     # maintenance composes: nothing fragmented here, compaction is a no-op
     assert compact_partitions(tbl, spark, ["source", "day"])["compacted"] == []
+
+
+def test_apply_retention_auto_guard(spark, tmp_path):
+    """RollupJob.apply_retention derives absorbed_through from the coarser
+    tier's committed watermark: in-horizon and unabsorbed days survive,
+    old absorbed days drop, and a lagging cascade skips the tier."""
+    # spread the single-day synth span across 5 days so retention has
+    # multiple day-partitions to reason about
+    seqs = derive_event_ts(synth_seqs(spark, 1500, seed=41)).withColumn(
+        "event_ts",
+        F.col("event_ts")
+        + F.make_interval(days=F.pmod(F.xxhash64("doc_id"), F.lit(5)).cast("int")),
+    )
+    job = RollupJob(str(tmp_path / "retjob"))
+    job.run(spark, seqs)
+    snap_1m = job.tables["1m"].current_snapshot()
+    days = sorted({pk.rsplit("/", 1)[1] for pk in snap_1m.partitions})
+    assert len(days) >= 3, days
+    wm_day = dt.date.fromisoformat(job.tables["1h"].current_snapshot().watermark[:10])
+    absorbed = wm_day - dt.timedelta(days=1)
+
+    # clock far past every day: everything absorbed AND old drops; days
+    # beyond the absorption guard survive even though age-expired
+    far = dt.date.fromisoformat(days[-1]) + dt.timedelta(days=400)
+    dropped = job.apply_retention(as_of=far, horizon_days={"1m": 7, "1h": None})
+    got = set(dropped["rollup"]["1m"])
+    want = {
+        pk for pk in snap_1m.partitions
+        if dt.date.fromisoformat(pk.rsplit("/", 1)[1]) <= absorbed
+    }
+    assert got == want and got, (got, want)
+    left = set(job.tables["1m"].current_snapshot().partitions)
+    assert left == set(snap_1m.partitions) - got
+    # reads now fall back to the intact 1h tier
+    assert job.tables["1h"].read(spark).count() > 0
+
+    # a job whose cascade lags (fresh 1m commit, no cascade) must skip
+    lag = RollupJob(str(tmp_path / "retlag"))
+    lag.run(spark, seqs)
+    extra = derive_event_ts(synth_seqs(spark, 300, seed=43))
+    # commit new 1m data WITHOUT cascading by calling the tier commit path
+    import pyspark.sql.functions as F2
+
+    from timeseriesvectordbpattermatcher_spark.operators.rollup import rollup_1m
+
+    later = extra.withColumn(
+        "event_ts", F2.col("event_ts") + F2.expr("interval 400 days")
+    )
+    lag._commit_tier(
+        spark, "1m", rollup_1m(later), "2099-01-01T00:00:00", "t", 0.0
+    )
+    out = lag.apply_retention(as_of=far, horizon_days={"1m": 7, "1h": None})
+    assert "1m" not in out["rollup"]  # skipped: upstream_version lags

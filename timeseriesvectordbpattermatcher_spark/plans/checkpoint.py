@@ -243,6 +243,67 @@ class RollupJob:
 
         return {t: self.tables[t].read(spark) for t in TIERS}
 
+    def apply_retention(
+        self,
+        as_of,
+        horizon_days: dict[str, int | None] | None = None,
+        planes: tuple[str, ...] = ("rollup",),
+        run_id: str | None = None,
+    ) -> dict[str, dict[str, list[str]]]:
+        """Expire fine-tier partitions past their horizon with the
+        absorption guard DERIVED from the job's own tier state — the glue
+        that makes ``operators.retention`` safe to call without hand-
+        computing watermarks:
+
+        - A tier's ``absorbed_through`` is the next-coarser tier's committed
+          watermark day minus one (the last FULLY-covered day at or before
+          the coarser tier's raw watermark) — so 1m drops only days the 1h
+          table provably holds, 1h guards on 1d.
+        - If the coarser tier is not SYNCED to the finer tier's current
+          snapshot (``meta.upstream_version`` lags — e.g. late data rewrote
+          an old 1m partition and the cascade hasn't run), the tier is
+          SKIPPED entirely this round rather than risk dropping a rewritten
+          partition the coarser tier absorbed only in its old form.
+        - The coarsest tier (or any tier with horizon ``None``) never
+          expires here; dropping it means data leaves the engine, which is
+          a caller decision (pass retention.UNGUARDED to
+          ``expire_partitions`` directly, deliberately).
+
+        ``as_of`` is the retention clock (a date) — explicit so reruns are
+        deterministic. Returns ``{plane: {tier: [dropped keys]}}``; the
+        unreferenced data files are reclaimed by ``retention.vacuum``.
+        """
+        import datetime as _dt
+
+        from ..operators.retention import DEFAULT_HORIZON_DAYS, expire_partitions
+
+        horizons = dict(DEFAULT_HORIZON_DAYS if horizon_days is None else horizon_days)
+        dropped: dict[str, dict[str, list[str]]] = {}
+        for plane in planes:
+            tables = self._plane_tables[plane]
+            dropped[plane] = {}
+            for tier, coarser in (("1m", "1h"), ("1h", "1d")):
+                horizon = horizons.get(tier)
+                if horizon is None:
+                    continue
+                fine_snap = tables[tier].current_snapshot()
+                up_snap = tables[coarser].current_snapshot()
+                if fine_snap is None or up_snap is None or not up_snap.watermark:
+                    continue
+                synced = (up_snap.meta or {}).get("upstream_version") == fine_snap.version
+                if not synced:
+                    continue
+                wm_day = _dt.date.fromisoformat(up_snap.watermark[:10])
+                absorbed = wm_day - _dt.timedelta(days=1)
+                dropped[plane][tier] = expire_partitions(
+                    tables[tier],
+                    horizon,
+                    as_of,
+                    run_id=run_id,
+                    absorbed_through=absorbed,
+                )
+        return dropped
+
     def read_range(self, spark: SparkSession, tier: str, lo=None, hi=None):
         """Time-range probe over a tier with manifest-stats file skipping:
         only data files whose per-file ``bucket_ts`` [min, max] (recorded at
