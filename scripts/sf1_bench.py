@@ -570,6 +570,78 @@ def main() -> None:
         "scale_ratio": round(td_big / td_small, 2),
     }
 
+    # ---- state + heartbeat planes at 2M and 10x rows -------------------------
+    # (operators/stateagg.py): 1m build + two cascade merges + read accessor
+    from timeseriesvectordbpattermatcher_spark.operators.stateagg import (
+        duration_in,
+        heartbeat_bucket,
+        heartbeat_cascade,
+        heartbeat_read,
+        state_bucket,
+        state_cascade,
+    )
+
+    def state_timing(n_rows: int) -> float:
+        corpus = os.path.join(tempfile.gettempdir(), f"seqs_bench_{n_rows}")
+        seqs = derive_event_ts(spark.read.parquet(corpus))
+        pts = (
+            seqs.groupBy("source", "event_ts")
+            .agg(F.max("n_tok").alias("_nt"))
+            .withColumn(
+                "state",
+                F.when(F.col("_nt") < 600, F.lit("low"))
+                .when(F.col("_nt") < 1200, F.lit("mid"))
+                .otherwise(F.lit("high")),
+            )
+        )
+
+        def once():
+            day = state_cascade(
+                state_cascade(state_bucket(pts), "1h"), "1d", from_tier="1h"
+            )
+            return duration_in(day, "mid").agg(
+                F.sum("dur"), F.sum("n")
+            ).collect()[0][0]
+
+        return _best_of(once, k=args.runs)
+
+    ts_small = state_timing(2_000_000)
+    ts_big = state_timing(args.rows)
+    result["queries"]["state_plane_1d"] = {
+        "rows_small": 2_000_000,
+        "rows_big": args.rows,
+        "sf0.1_sec": ts_small,
+        "sf1_sec": ts_big,
+        "scale_ratio": round(ts_big / ts_small, 2),
+    }
+
+    def heartbeat_timing(n_rows: int) -> float:
+        corpus = os.path.join(tempfile.gettempdir(), f"seqs_bench_{n_rows}")
+        seqs = derive_event_ts(spark.read.parquet(corpus))
+        hb = seqs.select("source", "event_ts").distinct()
+
+        def once():
+            day = heartbeat_cascade(
+                heartbeat_cascade(heartbeat_bucket(hb, 120.0), "1h"),
+                "1d",
+                from_tier="1h",
+            )
+            return heartbeat_read(day, "1d").agg(
+                F.sum("uptime"), F.sum("num_gaps")
+            ).collect()[0][0]
+
+        return _best_of(once, k=args.runs)
+
+    thb_small = heartbeat_timing(2_000_000)
+    thb_big = heartbeat_timing(args.rows)
+    result["queries"]["heartbeat_plane_1d"] = {
+        "rows_small": 2_000_000,
+        "rows_big": args.rows,
+        "sf0.1_sec": thb_small,
+        "sf1_sec": thb_big,
+        "scale_ratio": round(thb_big / thb_small, 2),
+    }
+
     out_path = os.path.join(REPO, "BENCH", "sf1_latest.json")
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1)

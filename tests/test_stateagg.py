@@ -342,3 +342,36 @@ def test_stateagg_one_exchange_per_step(spark):
     h1m = heartbeat_bucket(pts.select("source", "event_ts"), 30.0)
     assert plan(h1m).count("Exchange") == 1, plan(h1m)
     assert plan(heartbeat_cascade(h1m, "1h")).count("Exchange") == 2
+
+
+def test_rollup_job_hb_plane_end_to_end(spark, seqs_2k, tmp_path):
+    """heartbeat=True maintains the hb tiers alongside stats with the same
+    watermark/resume semantics; the CASCADED 1d islands are byte-equal to a
+    direct 1d build over the raw points, reruns are no-ops, and a crash
+    between the hb 1m commit and the cascade resumes exactly."""
+    from timeseriesvectordbpattermatcher_spark.plans.checkpoint import RollupJob
+
+    seqs = derive_event_ts(seqs_2k).filter(F.col("event_ts").isNotNull())
+    direct = _flat_hb(
+        heartbeat_bucket(seqs.select("source", "event_ts"), PERIOD, tier="1d")
+    )
+
+    job = RollupJob(str(tmp_path / "hbjob"))
+    job.run(spark, seqs, heartbeat=True, hb_period_sec=PERIOD)
+    got = _flat_hb(job.hb_tables["1d"].read(spark).drop("bucket_day"))
+    pd.testing.assert_frame_equal(got, direct, check_exact=True)
+
+    # rerun over the same input is a no-op on the hb plane too
+    v = job.hb_tables["1m"].current_snapshot().version
+    job.run(spark, seqs, heartbeat=True, hb_period_sec=PERIOD)
+    assert job.hb_tables["1m"].current_snapshot().version == v
+
+    # crash AFTER the hb 1m commit but BEFORE the cascade: resume converges
+    crashed = RollupJob(str(tmp_path / "hbcrash"))
+    with pytest.raises(RuntimeError, match="hb_1m"):
+        crashed.run(spark, seqs, heartbeat=True, hb_period_sec=PERIOD,
+                    fail_after="hb_1m")
+    assert crashed.hb_tables["1h"].current_snapshot() is None
+    crashed.run(spark, seqs, heartbeat=True, hb_period_sec=PERIOD)
+    got2 = _flat_hb(crashed.hb_tables["1d"].read(spark).drop("bucket_day"))
+    pd.testing.assert_frame_equal(got2, direct, check_exact=True)

@@ -55,11 +55,14 @@ class RollupJob:
         self.distinct_tables = {
             t: SnapshotTable(os.path.join(base_dir, f"distinct_{t}")) for t in TIERS
         }
+        # - hb: mergeable heartbeat liveness islands (operators/stateagg.py)
+        self.hb_tables = {t: SnapshotTable(os.path.join(base_dir, f"hb_{t}")) for t in TIERS}
         self._plane_tables = {
             "rollup": self.tables,
             "hist": self.hist_tables,
             "tw": self.tw_tables,
             "distinct": self.distinct_tables,
+            "hb": self.hb_tables,
         }
         self.audit = AuditLog(os.path.join(base_dir, "audit"))
 
@@ -125,6 +128,8 @@ class RollupJob:
         distinct: bool = False,
         distinct_col: str = "doc_id",
         distinct_lgk: int = 12,
+        heartbeat: bool = False,
+        hb_period_sec: float = 120.0,
     ) -> dict[str, DataFrame | None]:
         """Incremental run. ``seqs_ts`` must carry event_ts (derive_event_ts).
         ``salt_buckets`` enables the two-phase salted 1m aggregation for
@@ -150,7 +155,15 @@ class RollupJob:
           bucket).
         - ``distinct``: mergeable HLL sketches of ``distinct_col``
           (operators/distinct.py); estimates carry the published ~1.6%
-          (lgk=12) error, never presented as exact."""
+          (lgk=12) error, never presented as exact.
+        - ``heartbeat``: mergeable liveness islands over the sources' own
+          event times (operators/stateagg.py) — each arriving row asserts
+          its source live for ``hb_period_sec``; the read accessors give
+          per-bucket ingestion uptime/gap counts, the retention engine's
+          source-health monitor. Duplicate (source, ts) rows are harmless
+          (equal intervals merge; ``n`` counts rows). Day-granular
+          recompute is exact: islands never merge across the 1d boundary,
+          so a (source, day) output depends only on same-day rows."""
         run_id = run_id or uuid.uuid4().hex[:12]
         t0 = time.time()
 
@@ -181,6 +194,11 @@ class RollupJob:
 
             return distinct_bucket(raw, col=distinct_col, tier="1m", lgk=distinct_lgk)
 
+        def _build_hb(raw):
+            from ..operators.stateagg import heartbeat_bucket
+
+            return heartbeat_bucket(raw, hb_period_sec, tier="1m")
+
         planes = [("rollup", _build_rollup)]
         if quantile_hist:
             planes.append(("hist", _build_hist))
@@ -188,6 +206,8 @@ class RollupJob:
             planes.append(("tw", _build_tw))
         if distinct:
             planes.append(("distinct", _build_distinct))
+        if heartbeat:
+            planes.append(("hb", _build_hb))
 
         wms = {}
         for plane, _ in planes:
@@ -239,7 +259,7 @@ class RollupJob:
         self.run_cascade(spark, run_id=run_id, full_refresh=full_refresh,
                          fail_after=fail_after, quantile_hist=quantile_hist,
                          time_weight=time_weight, tw_method=tw_method,
-                         distinct=distinct)
+                         distinct=distinct, heartbeat=heartbeat)
 
         return {t: self.tables[t].read(spark) for t in TIERS}
 
@@ -325,6 +345,7 @@ class RollupJob:
         time_weight: bool = False,
         tw_method: str = "locf",
         distinct: bool = False,
+        heartbeat: bool = False,
     ) -> None:
         """Cascade the 1h/1d tiers from whatever the 1m snapshot table
         currently holds — shared by batch runs (``run``) and by streaming
@@ -362,6 +383,16 @@ class RollupJob:
                     "distinct",
                     self.distinct_tables,
                     lambda df, t, s: distinct_cascade(df, t, from_tier=s),
+                )
+            )
+        if heartbeat:
+            from ..operators.stateagg import heartbeat_cascade
+
+            planes.append(
+                (
+                    "hb",
+                    self.hb_tables,
+                    lambda df, t, s: heartbeat_cascade(df, t, from_tier=s),
                 )
             )
         for tier, src_tier in (("1h", "1m"), ("1d", "1h")):
