@@ -51,6 +51,25 @@ def main() -> int:
     ap.add_argument("--quantile-hist", action="store_true",
                     help="also maintain the exact n_tok quantile-histogram "
                          "tiers (hist_{1m,1h,1d} beside the stats tiers)")
+    ap.add_argument("--time-weight", action="store_true",
+                    help="also maintain the time-weighted n_tok average "
+                         "tiers (tw_{1m,1h,1d}; operators/timeweight.py)")
+    ap.add_argument("--tw-method", default="locf", choices=["locf", "linear"],
+                    help="time-weight interpolation between readings")
+    ap.add_argument("--distinct", action="store_true",
+                    help="also maintain mergeable HLL distinct-count tiers "
+                         "(distinct_{1m,1h,1d}; operators/distinct.py)")
+    ap.add_argument("--distinct-col", default="doc_id",
+                    help="column the HLL sketches count distincts of")
+    ap.add_argument("--distinct-lgk", type=int, default=12,
+                    help="HLL lg_k (12 -> ~1.6%% relative error)")
+    ap.add_argument("--heartbeat", action="store_true",
+                    help="also maintain liveness-island tiers "
+                         "(hb_{1m,1h,1d}; operators/stateagg.py) — per-bucket "
+                         "source uptime/gap monitoring off the rows' own "
+                         "event times")
+    ap.add_argument("--hb-period", type=float, default=120.0,
+                    help="seconds each arriving row asserts its source live")
     ap.add_argument("--target-file-rows", type=int, default=0,
                     help="fan fat 1m partitions out range-clustered on "
                          "bucket_ts (parallel writes + per-file time stats "
@@ -93,9 +112,29 @@ def main() -> int:
         salt_buckets=args.salt or None,
         token_engine=args.token_engine,
         quantile_hist=args.quantile_hist,
+        time_weight=args.time_weight,
+        tw_method=args.tw_method,
+        distinct=args.distinct,
+        distinct_col=args.distinct_col,
+        distinct_lgk=args.distinct_lgk,
+        heartbeat=args.heartbeat,
+        hb_period_sec=args.hb_period,
         target_file_rows=args.target_file_rows or None,
     )
     counts = {t: (df.count() if df is not None else 0) for t, df in tiers.items()}
+    plane_counts = {}
+    for flag, plane, tabs in (
+        (args.quantile_hist, "hist", job.hist_tables),
+        (args.time_weight, "tw", job.tw_tables),
+        (args.distinct, "distinct", job.distinct_tables),
+        (args.heartbeat, "hb", job.hb_tables),
+    ):
+        if flag:
+            plane_counts[plane] = {
+                t: (tabs[t].read(spark).count()
+                    if tabs[t].current_snapshot() else 0)
+                for t in counts
+            }
 
     expired = {}
     if args.expire:
@@ -138,7 +177,8 @@ def main() -> int:
                 "vacuumed": vacuum(job.tables[tier], min_age_secs=args.vacuum_age),
             }
 
-    print(json.dumps({"tiers": counts, "expired": expired,
+    print(json.dumps({"tiers": counts, "planes": plane_counts,
+                      "expired": expired,
                       "maintenance": maintenance,
                       "snapshots": {t: job.tables[t].current_snapshot().version
                                     for t in counts if job.tables[t].current_snapshot()}}))
