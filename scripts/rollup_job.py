@@ -70,6 +70,16 @@ def main() -> int:
                          "event times")
     ap.add_argument("--hb-period", type=float, default=120.0,
                     help="seconds each arriving row asserts its source live")
+    ap.add_argument("--dds", action="store_true",
+                    help="also maintain DDSketch approx-quantile tiers "
+                         "(dds_{1m,1h,1d}; operators/ddsketch.py) — the "
+                         "unbounded/float-domain companion to "
+                         "--quantile-hist (prefer hist for bounded ints; "
+                         "it is exact)")
+    ap.add_argument("--dds-col", default="n_tok",
+                    help="numeric column the DDSketch tiers summarize")
+    ap.add_argument("--dds-alpha", type=float, default=0.01,
+                    help="DDSketch relative-error guarantee")
     ap.add_argument("--target-file-rows", type=int, default=0,
                     help="fan fat 1m partitions out range-clustered on "
                          "bucket_ts (parallel writes + per-file time stats "
@@ -119,6 +129,9 @@ def main() -> int:
         distinct_lgk=args.distinct_lgk,
         heartbeat=args.heartbeat,
         hb_period_sec=args.hb_period,
+        dds=args.dds,
+        dds_col=args.dds_col,
+        dds_alpha=args.dds_alpha,
         target_file_rows=args.target_file_rows or None,
     )
     counts = {t: (df.count() if df is not None else 0) for t, df in tiers.items()}
@@ -128,6 +141,7 @@ def main() -> int:
         (args.time_weight, "tw", job.tw_tables),
         (args.distinct, "distinct", job.distinct_tables),
         (args.heartbeat, "hb", job.hb_tables),
+        (args.dds, "dds", job.dds_tables),
     ):
         if flag:
             plane_counts[plane] = {

@@ -57,12 +57,15 @@ class RollupJob:
         }
         # - hb: mergeable heartbeat liveness islands (operators/stateagg.py)
         self.hb_tables = {t: SnapshotTable(os.path.join(base_dir, f"hb_{t}")) for t in TIERS}
+        # - dds: mergeable DDSketch approx-quantiles (operators/ddsketch.py)
+        self.dds_tables = {t: SnapshotTable(os.path.join(base_dir, f"dds_{t}")) for t in TIERS}
         self._plane_tables = {
             "rollup": self.tables,
             "hist": self.hist_tables,
             "tw": self.tw_tables,
             "distinct": self.distinct_tables,
             "hb": self.hb_tables,
+            "dds": self.dds_tables,
         }
         self.audit = AuditLog(os.path.join(base_dir, "audit"))
 
@@ -130,6 +133,9 @@ class RollupJob:
         distinct_lgk: int = 12,
         heartbeat: bool = False,
         hb_period_sec: float = 120.0,
+        dds: bool = False,
+        dds_col: str = "n_tok",
+        dds_alpha: float = 0.01,
     ) -> dict[str, DataFrame | None]:
         """Incremental run. ``seqs_ts`` must carry event_ts (derive_event_ts).
         ``salt_buckets`` enables the two-phase salted 1m aggregation for
@@ -163,7 +169,13 @@ class RollupJob:
           source-health monitor. Duplicate (source, ts) rows are harmless
           (equal intervals merge; ``n`` counts rows). Day-granular
           recompute is exact: islands never merge across the 1d boundary,
-          so a (source, day) output depends only on same-day rows."""
+          so a (source, day) output depends only on same-day rows.
+        - ``dds``: mergeable DDSketch log-bucket maps of ``dds_col``
+          (operators/ddsketch.py) for approx quantiles with relative-error
+          guarantee ``dds_alpha`` — the unbounded/float-domain companion
+          to the exact ``quantile_hist`` plane (prefer hist when the
+          domain is bounded ints; it is exact). Sketch maps themselves
+          merge exactly, so cascaded tiers are bit-equal to direct."""
         run_id = run_id or uuid.uuid4().hex[:12]
         t0 = time.time()
 
@@ -199,6 +211,11 @@ class RollupJob:
 
             return heartbeat_bucket(raw, hb_period_sec, tier="1m")
 
+        def _build_dds(raw):
+            from ..operators.ddsketch import dds_bucket
+
+            return dds_bucket(raw, alpha=dds_alpha, value_col=dds_col, tier="1m")
+
         planes = [("rollup", _build_rollup)]
         if quantile_hist:
             planes.append(("hist", _build_hist))
@@ -208,6 +225,8 @@ class RollupJob:
             planes.append(("distinct", _build_distinct))
         if heartbeat:
             planes.append(("hb", _build_hb))
+        if dds:
+            planes.append(("dds", _build_dds))
 
         wms = {}
         for plane, _ in planes:
@@ -259,7 +278,7 @@ class RollupJob:
         self.run_cascade(spark, run_id=run_id, full_refresh=full_refresh,
                          fail_after=fail_after, quantile_hist=quantile_hist,
                          time_weight=time_weight, tw_method=tw_method,
-                         distinct=distinct, heartbeat=heartbeat)
+                         distinct=distinct, heartbeat=heartbeat, dds=dds)
 
         return {t: self.tables[t].read(spark) for t in TIERS}
 
@@ -346,6 +365,7 @@ class RollupJob:
         tw_method: str = "locf",
         distinct: bool = False,
         heartbeat: bool = False,
+        dds: bool = False,
     ) -> None:
         """Cascade the 1h/1d tiers from whatever the 1m snapshot table
         currently holds — shared by batch runs (``run``) and by streaming
@@ -394,6 +414,12 @@ class RollupJob:
                     self.hb_tables,
                     lambda df, t, s: heartbeat_cascade(df, t, from_tier=s),
                 )
+            )
+        if dds:
+            from ..operators.ddsketch import dds_cascade
+
+            planes.append(
+                ("dds", self.dds_tables, lambda df, t, s: dds_cascade(df, t))
             )
         for tier, src_tier in (("1h", "1m"), ("1d", "1h")):
             t0 = time.time()
