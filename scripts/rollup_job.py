@@ -80,6 +80,13 @@ def main() -> int:
                     help="numeric column the DDSketch tiers summarize")
     ap.add_argument("--dds-alpha", type=float, default=0.01,
                     help="DDSketch relative-error guarantee")
+    ap.add_argument("--cms", action="store_true",
+                    help="also maintain Count-Min per-token frequency "
+                         "sketch tiers (cms_{1m,1h,1d}; operators/cms.py)")
+    ap.add_argument("--cms-width", type=int, default=2048,
+                    help="CMS columns per hash row (error e/width * N)")
+    ap.add_argument("--cms-depth", type=int, default=4,
+                    help="CMS hash rows (failure prob e^-depth)")
     ap.add_argument("--target-file-rows", type=int, default=0,
                     help="fan fat 1m partitions out range-clustered on "
                          "bucket_ts (parallel writes + per-file time stats "
@@ -132,6 +139,9 @@ def main() -> int:
         dds=args.dds,
         dds_col=args.dds_col,
         dds_alpha=args.dds_alpha,
+        cms=args.cms,
+        cms_width=args.cms_width,
+        cms_depth=args.cms_depth,
         target_file_rows=args.target_file_rows or None,
     )
     counts = {t: (df.count() if df is not None else 0) for t, df in tiers.items()}
@@ -142,6 +152,7 @@ def main() -> int:
         (args.distinct, "distinct", job.distinct_tables),
         (args.heartbeat, "hb", job.hb_tables),
         (args.dds, "dds", job.dds_tables),
+        (args.cms, "cms", job.cms_tables),
     ):
         if flag:
             plane_counts[plane] = {

@@ -59,6 +59,8 @@ class RollupJob:
         self.hb_tables = {t: SnapshotTable(os.path.join(base_dir, f"hb_{t}")) for t in TIERS}
         # - dds: mergeable DDSketch approx-quantiles (operators/ddsketch.py)
         self.dds_tables = {t: SnapshotTable(os.path.join(base_dir, f"dds_{t}")) for t in TIERS}
+        # - cms: mergeable Count-Min token-frequency sketches (operators/cms.py)
+        self.cms_tables = {t: SnapshotTable(os.path.join(base_dir, f"cms_{t}")) for t in TIERS}
         self._plane_tables = {
             "rollup": self.tables,
             "hist": self.hist_tables,
@@ -66,6 +68,7 @@ class RollupJob:
             "distinct": self.distinct_tables,
             "hb": self.hb_tables,
             "dds": self.dds_tables,
+            "cms": self.cms_tables,
         }
         self.audit = AuditLog(os.path.join(base_dir, "audit"))
 
@@ -136,6 +139,9 @@ class RollupJob:
         dds: bool = False,
         dds_col: str = "n_tok",
         dds_alpha: float = 0.01,
+        cms: bool = False,
+        cms_width: int = 2048,
+        cms_depth: int = 4,
     ) -> dict[str, DataFrame | None]:
         """Incremental run. ``seqs_ts`` must carry event_ts (derive_event_ts).
         ``salt_buckets`` enables the two-phase salted 1m aggregation for
@@ -175,7 +181,12 @@ class RollupJob:
           guarantee ``dds_alpha`` — the unbounded/float-domain companion
           to the exact ``quantile_hist`` plane (prefer hist when the
           domain is bounded ints; it is exact). Sketch maps themselves
-          merge exactly, so cascaded tiers are bit-equal to direct."""
+          merge exactly, so cascaded tiers are bit-equal to direct.
+        - ``cms``: mergeable Count-Min per-token frequency sketches over
+          the ``tokens`` arrays (operators/cms.py) — point estimates of
+          any token's occurrence count per bucket within
+          (e/cms_width)*N with prob >= 1-e^-cms_depth; cell addition
+          merges exactly, so cascaded tiers are bit-equal to direct."""
         run_id = run_id or uuid.uuid4().hex[:12]
         t0 = time.time()
 
@@ -216,6 +227,11 @@ class RollupJob:
 
             return dds_bucket(raw, alpha=dds_alpha, value_col=dds_col, tier="1m")
 
+        def _build_cms(raw):
+            from ..operators.cms import cms_bucket
+
+            return cms_bucket(raw, tier="1m", width=cms_width, depth=cms_depth)
+
         planes = [("rollup", _build_rollup)]
         if quantile_hist:
             planes.append(("hist", _build_hist))
@@ -227,6 +243,8 @@ class RollupJob:
             planes.append(("hb", _build_hb))
         if dds:
             planes.append(("dds", _build_dds))
+        if cms:
+            planes.append(("cms", _build_cms))
 
         wms = {}
         for plane, _ in planes:
@@ -278,7 +296,8 @@ class RollupJob:
         self.run_cascade(spark, run_id=run_id, full_refresh=full_refresh,
                          fail_after=fail_after, quantile_hist=quantile_hist,
                          time_weight=time_weight, tw_method=tw_method,
-                         distinct=distinct, heartbeat=heartbeat, dds=dds)
+                         distinct=distinct, heartbeat=heartbeat, dds=dds,
+                         cms=cms)
 
         return {t: self.tables[t].read(spark) for t in TIERS}
 
@@ -366,6 +385,7 @@ class RollupJob:
         distinct: bool = False,
         heartbeat: bool = False,
         dds: bool = False,
+        cms: bool = False,
     ) -> None:
         """Cascade the 1h/1d tiers from whatever the 1m snapshot table
         currently holds — shared by batch runs (``run``) and by streaming
@@ -420,6 +440,12 @@ class RollupJob:
 
             planes.append(
                 ("dds", self.dds_tables, lambda df, t, s: dds_cascade(df, t))
+            )
+        if cms:
+            from ..operators.cms import cms_cascade
+
+            planes.append(
+                ("cms", self.cms_tables, lambda df, t, s: cms_cascade(df, t))
             )
         for tier, src_tier in (("1h", "1m"), ("1d", "1h")):
             t0 = time.time()
