@@ -642,6 +642,71 @@ def main() -> None:
         "scale_ratio": round(thb_big / thb_small, 2),
     }
 
+    # ---- ddsketch plane at 2M and 10x rows -----------------------------------
+    # (operators/ddsketch.py): 1m build + two cascade merges + decoded p95
+    from timeseriesvectordbpattermatcher_spark.operators.ddsketch import (
+        dds_bucket,
+        dds_cascade,
+        dds_quantiles,
+    )
+
+    def dds_timing(n_rows: int) -> float:
+        corpus = os.path.join(tempfile.gettempdir(), f"seqs_bench_{n_rows}")
+        seqs = derive_event_ts(spark.read.parquet(corpus))
+
+        def once():
+            day = dds_cascade(dds_cascade(dds_bucket(seqs), "1h"), "1d")
+            return dds_quantiles(day, qs={"p95": 0.95}).agg(
+                F.sum("p95"), F.sum("dds_n")
+            ).collect()[0][0]
+
+        return _best_of(once, k=args.runs)
+
+    tdd_small = dds_timing(2_000_000)
+    tdd_big = dds_timing(args.rows)
+    result["queries"]["dds_plane_1d"] = {
+        "rows_small": 2_000_000,
+        "rows_big": args.rows,
+        "sf0.1_sec": tdd_small,
+        "sf1_sec": tdd_big,
+        "scale_ratio": round(tdd_big / tdd_small, 2),
+    }
+
+    # ---- count-min token-frequency plane at 2M and 10x rows ------------------
+    # (operators/cms.py): explode-heavy build (every token occurrence fans
+    # into depth cells before map-side combine) + two cascade merges + a
+    # 16-token point-estimate read off the 1d tier
+    from timeseriesvectordbpattermatcher_spark.operators.cms import (
+        cms_bucket,
+        cms_cascade,
+        cms_estimate,
+    )
+
+    def cms_timing(n_rows: int) -> float:
+        corpus = os.path.join(tempfile.gettempdir(), f"seqs_bench_{n_rows}")
+        seqs = derive_event_ts(spark.read.parquet(corpus))
+
+        def once():
+            day = cms_cascade(cms_cascade(cms_bucket(seqs), "1h"), "1d")
+            probes = [
+                cms_estimate("cms", t).alias(f"e{t}") for t in range(0, 160, 10)
+            ]
+            return day.select(*probes).agg(
+                *[F.sum(f"e{t}") for t in range(0, 160, 10)]
+            ).collect()[0][0]
+
+        return _best_of(once, k=args.runs)
+
+    tcm_small = cms_timing(2_000_000)
+    tcm_big = cms_timing(args.rows)
+    result["queries"]["cms_plane_1d"] = {
+        "rows_small": 2_000_000,
+        "rows_big": args.rows,
+        "sf0.1_sec": tcm_small,
+        "sf1_sec": tcm_big,
+        "scale_ratio": round(tcm_big / tcm_small, 2),
+    }
+
     out_path = os.path.join(REPO, "BENCH", "sf1_latest.json")
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1)

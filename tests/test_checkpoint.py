@@ -297,3 +297,95 @@ def test_apply_retention_auto_guard(spark, tmp_path):
     )
     out = lag.apply_retention(as_of=far, horizon_days={"1m": 7, "1h": None})
     assert "1m" not in out["rollup"]  # skipped: upstream_version lags
+
+
+def test_run_from_snapshot_incremental_and_late_data(spark, tmp_path):
+    """Input-snapshot-incremental ingest: (1) first consume == direct run;
+    (2) a merge_into of LATE rows into days far behind the watermark
+    propagates through every tier WITHOUT full_refresh — the gap run()'s
+    event-time watermark cannot close; (3) rerun over an unchanged input
+    is a no-op; (4) only the late-touched partitions recompute."""
+    seqs = derive_event_ts(synth_seqs(spark, 2000, seed=23)).filter(
+        F.col("event_ts").isNotNull()
+    )
+    seqs = seqs.withColumn("bucket_day", F.to_date("event_ts")).cache()
+    late = seqs.filter(F.xxhash64("doc_id") % 11 == 0).cache()
+    first = seqs.subtract(late)
+    assert late.count() > 0
+
+    inp = SnapshotTable(str(tmp_path / "input"))
+    inp.overwrite_partitions(first, ["source", "bucket_day"])
+
+    job = RollupJob(str(tmp_path / "snapjob"))
+    job.run_from_snapshot(spark, inp, quantile_hist=True)
+    want_first = _tiers_as_sets(
+        RollupJob(str(tmp_path / "direct1")).run(spark, first.drop("bucket_day"))
+    )
+    got_first = {t: job.tables[t].read(spark).drop("bucket_day") for t in ("1m", "1h", "1d")}
+    assert _tiers_as_sets(got_first) == want_first
+
+    # late rows land via row-level MERGE into old (source, day) partitions
+    inp.merge_into(spark, late, key_cols=["doc_id"],
+                   partition_cols=["source", "bucket_day"])
+    v1m_before = job.tables["1m"].current_snapshot().version
+    job.run_from_snapshot(spark, inp, quantile_hist=True)
+
+    want_all = _tiers_as_sets(
+        RollupJob(str(tmp_path / "direct2")).run(spark, seqs.drop("bucket_day"))
+    )
+    got_all = {t: job.tables[t].read(spark).drop("bucket_day") for t in ("1m", "1h", "1d")}
+    assert _tiers_as_sets(got_all) == want_all
+
+    # hist plane followed along through the same cursor
+    hist_direct = RollupJob(str(tmp_path / "direct3")).run(
+        spark, seqs.drop("bucket_day"), quantile_hist=True
+    )
+    from timeseriesvectordbpattermatcher_spark.operators.quantiles import hist_quantile
+
+    def _hq(df):
+        return {
+            tuple(r)
+            for r in df.select(
+                "source", "bucket_ts", hist_quantile("hist", 0.95).alias("p95")
+            ).collect()
+        }
+
+    job3 = RollupJob(str(tmp_path / "direct3"))
+    assert _hq(job.hist_tables["1d"].read(spark)) == _hq(job3.hist_tables["1d"].read(spark))
+
+    # minimal recompute: only partitions the late rows touched were rewritten
+    snap = job.tables["1m"].current_snapshot()
+    rewritten = set(snap.changed_partitions(v1m_before))
+    touched = {
+        f"{r['source']}/{r['bucket_day']}"
+        for r in late.select("source", "bucket_day").distinct().collect()
+    }
+    assert rewritten == touched
+
+    # unchanged input -> no-op on every plane
+    v = {p: t["1m"].current_snapshot().version
+         for p, t in (("rollup", job.tables), ("hist", job.hist_tables))}
+    job.run_from_snapshot(spark, inp, quantile_hist=True)
+    assert job.tables["1m"].current_snapshot().version == v["rollup"]
+    assert job.hist_tables["1m"].current_snapshot().version == v["hist"]
+    seqs.unpersist(), late.unpersist()
+
+
+def test_run_from_snapshot_crash_between_planes_resumes(spark, tmp_path):
+    seqs = derive_event_ts(synth_seqs(spark, 1200, seed=29)).filter(
+        F.col("event_ts").isNotNull()
+    ).withColumn("bucket_day", F.to_date("event_ts"))
+    inp = SnapshotTable(str(tmp_path / "input"))
+    inp.overwrite_partitions(seqs, ["source", "bucket_day"])
+
+    job = RollupJob(str(tmp_path / "crash"))
+    with pytest.raises(RuntimeError, match="hist_1m"):
+        job.run_from_snapshot(spark, inp, quantile_hist=True, fail_after="hist_1m")
+    assert job.tables["1h"].current_snapshot() is None  # cascade never ran
+    job.run_from_snapshot(spark, inp, quantile_hist=True)
+
+    want = _tiers_as_sets(
+        RollupJob(str(tmp_path / "direct")).run(spark, seqs.drop("bucket_day"))
+    )
+    got = {t: job.tables[t].read(spark).drop("bucket_day") for t in ("1m", "1h", "1d")}
+    assert _tiers_as_sets(got) == want

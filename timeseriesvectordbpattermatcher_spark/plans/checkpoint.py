@@ -117,6 +117,86 @@ class RollupJob:
         )
         return snap
 
+    @staticmethod
+    def _plane_builders(
+        salt_buckets=None,
+        token_engine="expr",
+        quantile_hist=False,
+        time_weight=False,
+        tw_method="locf",
+        tw_val_col="n_tok",
+        distinct=False,
+        distinct_col="doc_id",
+        distinct_lgk=12,
+        heartbeat=False,
+        hb_period_sec=120.0,
+        dds=False,
+        dds_col="n_tok",
+        dds_alpha=0.01,
+        cms=False,
+        cms_width=2048,
+        cms_depth=4,
+    ) -> list:
+        """(plane, build_1m(affected_raw) -> df) for every enabled plane —
+        order fixed so fail_after hooks stay deterministic. Shared by the
+        event-time-watermark path (:meth:`run`) and the input-snapshot-
+        incremental path (:meth:`run_from_snapshot`)."""
+
+        def _build_rollup(raw):
+            return rollup_1m(raw, salt_buckets=salt_buckets, token_engine=token_engine)
+
+        def _build_hist(raw):
+            from ..operators.quantiles import hist_1m
+
+            return hist_1m(raw)
+
+        def _build_tw(raw):
+            from ..operators.timeweight import time_weight_bucket
+
+            # the raw table has many rows per (source, second); collapse to
+            # the per-instant max first — time_weight's input contract is
+            # one point per (key, ts), and max keeps the int exactness the
+            # cascade's bitwise pins rely on
+            pts = raw.groupBy("source", "event_ts").agg(
+                F.max(tw_val_col).alias("_twv")
+            )
+            return time_weight_bucket(pts, tier="1m", val_col="_twv", method=tw_method)
+
+        def _build_distinct(raw):
+            from ..operators.distinct import distinct_bucket
+
+            return distinct_bucket(raw, col=distinct_col, tier="1m", lgk=distinct_lgk)
+
+        def _build_hb(raw):
+            from ..operators.stateagg import heartbeat_bucket
+
+            return heartbeat_bucket(raw, hb_period_sec, tier="1m")
+
+        def _build_dds(raw):
+            from ..operators.ddsketch import dds_bucket
+
+            return dds_bucket(raw, alpha=dds_alpha, value_col=dds_col, tier="1m")
+
+        def _build_cms(raw):
+            from ..operators.cms import cms_bucket
+
+            return cms_bucket(raw, tier="1m", width=cms_width, depth=cms_depth)
+
+        planes = [("rollup", _build_rollup)]
+        if quantile_hist:
+            planes.append(("hist", _build_hist))
+        if time_weight:
+            planes.append(("tw", _build_tw))
+        if distinct:
+            planes.append(("distinct", _build_distinct))
+        if heartbeat:
+            planes.append(("hb", _build_hb))
+        if dds:
+            planes.append(("dds", _build_dds))
+        if cms:
+            planes.append(("cms", _build_cms))
+        return planes
+
     def run(
         self,
         spark: SparkSession,
@@ -190,61 +270,25 @@ class RollupJob:
         run_id = run_id or uuid.uuid4().hex[:12]
         t0 = time.time()
 
-        # (plane, build_1m(affected_raw) -> df) — order fixed so fail_after
-        # hooks stay deterministic
-        def _build_rollup(raw):
-            return rollup_1m(raw, salt_buckets=salt_buckets, token_engine=token_engine)
-
-        def _build_hist(raw):
-            from ..operators.quantiles import hist_1m
-
-            return hist_1m(raw)
-
-        def _build_tw(raw):
-            from ..operators.timeweight import time_weight_bucket
-
-            # the raw table has many rows per (source, second); collapse to
-            # the per-instant max first — time_weight's input contract is
-            # one point per (key, ts), and max keeps the int exactness the
-            # cascade's bitwise pins rely on
-            pts = raw.groupBy("source", "event_ts").agg(
-                F.max(tw_val_col).alias("_twv")
-            )
-            return time_weight_bucket(pts, tier="1m", val_col="_twv", method=tw_method)
-
-        def _build_distinct(raw):
-            from ..operators.distinct import distinct_bucket
-
-            return distinct_bucket(raw, col=distinct_col, tier="1m", lgk=distinct_lgk)
-
-        def _build_hb(raw):
-            from ..operators.stateagg import heartbeat_bucket
-
-            return heartbeat_bucket(raw, hb_period_sec, tier="1m")
-
-        def _build_dds(raw):
-            from ..operators.ddsketch import dds_bucket
-
-            return dds_bucket(raw, alpha=dds_alpha, value_col=dds_col, tier="1m")
-
-        def _build_cms(raw):
-            from ..operators.cms import cms_bucket
-
-            return cms_bucket(raw, tier="1m", width=cms_width, depth=cms_depth)
-
-        planes = [("rollup", _build_rollup)]
-        if quantile_hist:
-            planes.append(("hist", _build_hist))
-        if time_weight:
-            planes.append(("tw", _build_tw))
-        if distinct:
-            planes.append(("distinct", _build_distinct))
-        if heartbeat:
-            planes.append(("hb", _build_hb))
-        if dds:
-            planes.append(("dds", _build_dds))
-        if cms:
-            planes.append(("cms", _build_cms))
+        planes = self._plane_builders(
+            salt_buckets=salt_buckets,
+            token_engine=token_engine,
+            quantile_hist=quantile_hist,
+            time_weight=time_weight,
+            tw_method=tw_method,
+            tw_val_col=tw_val_col,
+            distinct=distinct,
+            distinct_col=distinct_col,
+            distinct_lgk=distinct_lgk,
+            heartbeat=heartbeat,
+            hb_period_sec=hb_period_sec,
+            dds=dds,
+            dds_col=dds_col,
+            dds_alpha=dds_alpha,
+            cms=cms,
+            cms_width=cms_width,
+            cms_depth=cms_depth,
+        )
 
         wms = {}
         for plane, _ in planes:
@@ -299,6 +343,99 @@ class RollupJob:
                          distinct=distinct, heartbeat=heartbeat, dds=dds,
                          cms=cms)
 
+        return {t: self.tables[t].read(spark) for t in TIERS}
+
+    def run_from_snapshot(
+        self,
+        spark: SparkSession,
+        input_table: SnapshotTable,
+        run_id: str | None = None,
+        fail_after: str | None = None,
+        full_refresh: bool = False,
+        target_file_rows: int | None = None,
+        **plane_opts,
+    ) -> dict[str, DataFrame | None]:
+        """Input-SNAPSHOT-incremental run: consume ``input_table``'s commit
+        log instead of an event-time watermark, closing :meth:`run`'s
+        documented late-data gap — rows landing in days at or behind the
+        watermark are silently skipped there, but here ANY rewritten input
+        partition (late corrections included, e.g. via
+        ``SnapshotTable.merge_into``) recomputes exactly those
+        (source, day) outputs. This is the same changed-partition protocol
+        :meth:`run_cascade` already applies tier-to-tier, extended one hop
+        upstream to the raw table.
+
+        Contract: ``input_table`` is partitioned by ``(source, bucket_day)``
+        with ``bucket_day = to_date(event_ts)`` and rows carrying
+        ``event_ts`` (the layout ``overwrite_partitions(df,
+        ["source", "bucket_day"])`` / ``merge_into(...,
+        partition_cols=["source", "bucket_day"])`` writes) — each input
+        partition then holds EXACTLY the rows of one output partition, so
+        the recompute set is both complete and minimal, and a 10^12-row
+        history is never rescanned. Each plane's 1m snapshot records the
+        input version it consumed (``meta.input_version``); crashes between
+        plane commits resume per-plane, reruns over an unchanged input are
+        no-ops. A job should use ONE ingestion mode (``run`` or
+        ``run_from_snapshot``) — the modes track different cursors.
+
+        ``plane_opts`` are :meth:`run`'s plane flags (``quantile_hist``,
+        ``time_weight``/``tw_method``, ``distinct``/..., ``heartbeat``/...,
+        ``dds``/..., ``cms``/..., ``salt_buckets``, ``token_engine``)."""
+        run_id = run_id or uuid.uuid4().hex[:12]
+        t0 = time.time()
+        planes = self._plane_builders(**plane_opts)
+
+        in_snap = input_table.current_snapshot()
+        if in_snap is not None:
+            for plane, build in planes:
+                snap1m = self._plane_tables[plane]["1m"].current_snapshot()
+                last = (
+                    -1
+                    if (full_refresh or snap1m is None or not snap1m.meta)
+                    else int(snap1m.meta.get("input_version", -1))
+                )
+                changed = in_snap.changed_partitions(last)
+                if not changed:
+                    continue
+                rows = input_table.read_partitions(spark, changed)
+                if rows is None:
+                    continue
+                if "bucket_day" in rows.columns:
+                    rows = rows.drop("bucket_day")
+                # watermark stays monotone for observability (read_range,
+                # retention absorption guards) even when late days rewrite
+                new_max = rows.agg(F.max("event_ts")).first()[0]
+                wm = snap1m.watermark if (snap1m and snap1m.watermark) else None
+                if new_max is not None:
+                    wm = max(wm, new_max.isoformat()) if wm else new_max.isoformat()
+                self._commit_tier(
+                    spark,
+                    "1m",
+                    build(rows),
+                    wm,
+                    run_id,
+                    t0,
+                    meta={"input_version": in_snap.version},
+                    target_file_rows=target_file_rows,
+                    plane=plane,
+                )
+                hook = "1m" if plane == "rollup" else f"{plane}_1m"
+                if fail_after == hook:
+                    raise RuntimeError(f"injected failure after {hook} commit")
+
+        self.run_cascade(
+            spark,
+            run_id=run_id,
+            full_refresh=full_refresh,
+            fail_after=fail_after,
+            quantile_hist=plane_opts.get("quantile_hist", False),
+            time_weight=plane_opts.get("time_weight", False),
+            tw_method=plane_opts.get("tw_method", "locf"),
+            distinct=plane_opts.get("distinct", False),
+            heartbeat=plane_opts.get("heartbeat", False),
+            dds=plane_opts.get("dds", False),
+            cms=plane_opts.get("cms", False),
+        )
         return {t: self.tables[t].read(spark) for t in TIERS}
 
     def apply_retention(
