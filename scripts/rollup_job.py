@@ -31,6 +31,12 @@ import sys
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="parquet/snapshot dir of seqs(doc_id,tokens,n_tok,source)")
+    ap.add_argument("--input-snapshot",
+                    help="consume a SnapshotTable partitioned by "
+                         "(source, bucket_day) via its commit log "
+                         "(RollupJob.run_from_snapshot): late rows merged "
+                         "into old days recompute exactly those outputs — "
+                         "no full refresh, no event-time watermark gap")
     ap.add_argument("--synthetic-rows", type=int, default=0,
                     help="generate a deterministic corpus instead of reading --input")
     ap.add_argument("--output", required=True, help="base dir for rollup_{1m,1h,1d} + audit")
@@ -113,19 +119,7 @@ def main() -> int:
     from timeseriesvectordbpattermatcher_spark.sources.synth import synth_seqs
 
     spark = get_spark(app_name="rollup_job", cpus=args.cpus)
-    if args.synthetic_rows:
-        seqs = synth_seqs(spark, args.synthetic_rows, seed=42)
-    elif args.input:
-        seqs = spark.read.parquet(args.input)
-    else:
-        print("need --input or --synthetic-rows", file=sys.stderr)
-        return 2
-
-    job = RollupJob(args.output)
-    tiers = job.run(
-        spark,
-        derive_event_ts(seqs),
-        full_refresh=args.full_refresh,
+    plane_opts = dict(
         salt_buckets=args.salt or None,
         token_engine=args.token_engine,
         quantile_hist=args.quantile_hist,
@@ -142,8 +136,36 @@ def main() -> int:
         cms=args.cms,
         cms_width=args.cms_width,
         cms_depth=args.cms_depth,
-        target_file_rows=args.target_file_rows or None,
     )
+    job = RollupJob(args.output)
+    if args.input_snapshot:
+        from timeseriesvectordbpattermatcher_spark.sources.snapshot_table import (
+            SnapshotTable,
+        )
+
+        tiers = job.run_from_snapshot(
+            spark,
+            SnapshotTable(args.input_snapshot),
+            full_refresh=args.full_refresh,
+            target_file_rows=args.target_file_rows or None,
+            **plane_opts,
+        )
+    else:
+        if args.synthetic_rows:
+            seqs = synth_seqs(spark, args.synthetic_rows, seed=42)
+        elif args.input:
+            seqs = spark.read.parquet(args.input)
+        else:
+            print("need --input, --input-snapshot or --synthetic-rows",
+                  file=sys.stderr)
+            return 2
+        tiers = job.run(
+            spark,
+            derive_event_ts(seqs),
+            full_refresh=args.full_refresh,
+            target_file_rows=args.target_file_rows or None,
+            **plane_opts,
+        )
     counts = {t: (df.count() if df is not None else 0) for t, df in tiers.items()}
     plane_counts = {}
     for flag, plane, tabs in (
