@@ -108,11 +108,6 @@ def main() -> int:
     ap.add_argument("--cpus", type=int, default=None, help="local-mode cores (ignored under spark-submit)")
     args = ap.parse_args()
 
-    from timeseriesvectordbpattermatcher_spark.operators.retention import (
-        DEFAULT_HORIZON_DAYS,
-        UNGUARDED,
-        expire_partitions,
-    )
     from timeseriesvectordbpattermatcher_spark.operators.rollup import derive_event_ts
     from timeseriesvectordbpattermatcher_spark.plans.checkpoint import RollupJob
     from timeseriesvectordbpattermatcher_spark.session import get_spark
@@ -183,28 +178,19 @@ def main() -> int:
                 for t in counts
             }
 
+    enabled_planes = ["rollup"] + list(plane_counts)
+
     expired = {}
     if args.expire:
-        today = dt.date.today()
-        coarser = {"1m": "1h", "1h": "1d"}
-        for tier, horizon in DEFAULT_HORIZON_DAYS.items():
-            # never drop a fine partition the coarser tier hasn't absorbed:
-            # cap at the coarser snapshot's committed watermark day
-            # top tier has no coarser absorber: age-only expiry is the
-            # deliberate policy there (it IS the archive tier)
-            absorbed = UNGUARDED
-            up = coarser.get(tier)
-            if up is not None:
-                up_snap = job.tables[up].current_snapshot()
-                if up_snap is None or not up_snap.watermark:
-                    expired[tier] = 0
-                    continue
-                absorbed = dt.datetime.fromisoformat(up_snap.watermark).date()
-            expired[tier] = len(
-                expire_partitions(
-                    job.tables[tier], horizon, as_of=today, absorbed_through=absorbed
-                )
-            )
+        # absorption-guarded expiry on EVERY enabled plane (1d, the archive
+        # tier, never expires here — see RollupJob.apply_retention)
+        dropped = job.apply_retention(
+            dt.date.today(), planes=tuple(enabled_planes)
+        )
+        expired = {
+            plane: {tier: len(keys) for tier, keys in tiers_d.items()}
+            for plane, tiers_d in dropped.items()
+        }
 
     maintenance = {}
     if args.compact:
@@ -213,16 +199,19 @@ def main() -> int:
             vacuum,
         )
 
-        for tier in counts:
-            stats = compact_partitions(
-                job.tables[tier], spark, ["source", "bucket_day"]
-            )
-            maintenance[tier] = {
-                "compacted": len(stats["compacted"]),
-                "files_before": stats["files_before"],
-                "files_after": stats["files_after"],
-                "vacuumed": vacuum(job.tables[tier], min_age_secs=args.vacuum_age),
-            }
+        for plane in enabled_planes:
+            tabs = job._plane_tables[plane]
+            maintenance[plane] = {}
+            for tier in counts:
+                if tabs[tier].current_snapshot() is None:
+                    continue
+                stats = compact_partitions(tabs[tier], spark, ["source", "bucket_day"])
+                maintenance[plane][tier] = {
+                    "compacted": len(stats["compacted"]),
+                    "files_before": stats["files_before"],
+                    "files_after": stats["files_after"],
+                    "vacuumed": vacuum(tabs[tier], min_age_secs=args.vacuum_age),
+                }
 
     print(json.dumps({"tiers": counts, "planes": plane_counts,
                       "expired": expired,
