@@ -189,7 +189,10 @@ def test_dim_validation():
         cms_error_bound(512, 0)
 
 
-def test_build_plan_two_exchanges(spark):
+def test_build_plan_shapes(spark):
+    """expr: explode + two hash aggregations (2 Exchanges). arrow: ONE
+    Exchange (the co-locating repartition) feeding the accumulating
+    kernel — no map-entry shuffle exists in the plan at all."""
     pdf = pd.DataFrame(
         {
             "source": ["a"],
@@ -197,13 +200,45 @@ def test_build_plan_two_exchanges(spark):
             "tokens": [[1, 2, 3]],
         }
     )
-    df = cms_bucket(
-        spark.createDataFrame(pdf, "source string, event_ts timestamp, tokens array<int>"),
-        width=WIDTH,
-        depth=DEPTH,
+    df = spark.createDataFrame(
+        pdf, "source string, event_ts timestamp, tokens array<int>"
     )
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 2, plan
+    expr_plan = (
+        cms_bucket(df, width=WIDTH, depth=DEPTH, engine="expr")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert expr_plan.count("Exchange") == 2, expr_plan
+    arrow_plan = (
+        cms_bucket(df, width=WIDTH, depth=DEPTH, engine="arrow")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert arrow_plan.count("Exchange") == 1, arrow_plan
+    assert "MapInArrow" in arrow_plan, arrow_plan
+
+
+def test_engine_parity_build_and_cascade(seqs):
+    """The arrow engine (deployment default) is map-for-map identical to
+    the expr plan at every tier — same xxhash64 chain, different physical
+    strategy. Transitively extends every expr-era oracle pin to arrow."""
+    e1m = _flat(cms_bucket(seqs, tier="1m", width=WIDTH, depth=DEPTH, engine="expr"))
+    a1m = _flat(cms_bucket(seqs, tier="1m", width=WIDTH, depth=DEPTH, engine="arrow"))
+    pd.testing.assert_frame_equal(a1m, e1m, check_exact=True)
+    base = cms_bucket(seqs, tier="1m", width=WIDTH, depth=DEPTH, engine="arrow")
+    eh = _flat(cms_cascade(base, "1h", width=WIDTH, depth=DEPTH, engine="expr"))
+    ah = _flat(cms_cascade(base, "1h", width=WIDTH, depth=DEPTH, engine="arrow"))
+    pd.testing.assert_frame_equal(ah, eh, check_exact=True)
+
+
+def test_arrow_cascade_widens_stride_past_configured_dims(seqs):
+    """A cascade invoked with SMALLER dims than the build (run_cascade
+    doesn't carry the build config) must not collide cells: the merge
+    kernel widens its per-batch stride to max cell + 1."""
+    big = cms_bucket(seqs, tier="1m", width=4 * WIDTH, depth=DEPTH, engine="arrow")
+    got = _flat(cms_cascade(big, "1h", width=WIDTH, depth=DEPTH, engine="arrow"))
+    want = _flat(
+        cms_bucket(seqs, tier="1h", width=4 * WIDTH, depth=DEPTH, engine="expr")
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
 
 
 def test_rollup_job_cms_plane_end_to_end(spark, seqs_2k, tmp_path):

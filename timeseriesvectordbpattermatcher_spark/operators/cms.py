@@ -30,12 +30,20 @@ tests/oracle/xxh64_pure.py reproduces this chain from the public xxHash
 spec, so the sketch tests pin map equality against an implementation that
 imports nothing from the engine.
 
-Everything is codegen'd expressions — explode + two hash-bounded
-aggregations to build (same two-Exchange shape as the exact histogram
-plane; map-side partial aggregation absorbs the d-way cell fan-out, so
-the build shuffle carries at most buckets x d x width rows no matter the
-corpus), map addition to merge, a least()-of-lookups expression to read.
-Zero UDFs, zero Python in the row path.
+Two build/merge engines, map-for-map identical (parity-pinned):
+
+- ``expr``: explode + two hash-bounded aggregations (the exact
+  histogram shape) — pure codegen, but when buckets are SMALL relative
+  to the grid the map-side combine absorbs nothing and the build
+  shuffles ~buckets x min(N*d, d*w) cell rows (measured 472s at sf0.1).
+- ``arrow`` (default): ONE repartition co-locating each (key, bucket),
+  then an accumulating ``mapInArrow`` kernel — the vectorized bit-exact
+  ``xxhash64(long, lit(j))`` twin (functions/xxhash.py) + per-batch
+  ``np.bincount`` — emits COMPLETE sparse grids, so no map-entry
+  exchange exists anywhere in the plan (46s on the same corpus). The
+  cascade merge uses the same shape with weighted bincount scatter.
+
+Reads (estimate / N) are always least()-of-lookups codegen expressions.
 
 The reference repo has no frequency sketches (its token work is
 full-materialization pandas); this plane exists for the north star's
@@ -97,6 +105,262 @@ def cms_cell_keys(token: Column, width: int, depth: int) -> Column:
     )
 
 
+def _resolve_engine(engine: str) -> str:
+    if engine not in ("auto", "expr", "arrow"):
+        raise ValueError(f"engine must be auto|expr|arrow, got {engine!r}")
+    return "arrow" if engine == "auto" else engine
+
+
+def _cms_out_schema(pre: DataFrame, key_col: str, sketch_col: str):
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            pre.schema[key_col],
+            T.StructField("bucket_ts", pre.schema["bucket_ts"].dataType),
+            T.StructField(
+                sketch_col, T.MapType(T.IntegerType(), T.LongType(), False)
+            ),
+        ]
+    )
+
+
+def _repartitioned(pre: DataFrame, key_col: str, num_partitions: int | None):
+    """Co-locate every (key, bucket_ts) group on one partition so the
+    accumulating kernel can emit COMPLETE sketches with no downstream
+    merge shuffle. Default partition count = 8x the session's shuffle
+    partitions: the kernel holds one sparse grid per bucket in its
+    partition, so more/smaller partitions bound peak Python memory (at
+    cluster scale, size so one partition's buckets x depth x width cells
+    fit an executor core's share)."""
+    if num_partitions is None:
+        sess = pre.sparkSession
+        num_partitions = 8 * int(sess.conf.get("spark.sql.shuffle.partitions"))
+    return pre.repartition(num_partitions, F.col(key_col), F.col("bucket_ts"))
+
+
+class _SketchAccumulator:
+    """Per-partition (key, bucket) -> sorted sparse (cells, counts) grids.
+
+    Batches are bincounted DENSE over only the buckets present in that
+    batch (lgids x depth x width int64 cells — bounded by the repartition
+    granularity, not the corpus), compressed to sparse immediately, and
+    re-merged only for buckets that straddle an Arrow batch boundary."""
+
+    def __init__(self, width: int, depth: int):
+        self.dw = depth * width
+        self.order: list[tuple] = []  # insertion-ordered (key, ts) pairs
+        self.segs: dict[tuple, list] = {}  # pair -> [(cells, counts), ...]
+
+    def flush(self, lgid_pairs: list, combined, weights,
+              stride: int | None = None) -> None:
+        """lgid_pairs: batch-local gid -> (key, ts) tuple; combined: int64
+        array of ``local_gid * stride + cell`` updates; weights: None
+        (count 1 each) or float64 per-update increments. ``stride`` only
+        scopes THIS flush (stored cells are absolute), so a merge batch
+        can widen it past self.dw when fine maps carry larger cell ids
+        than the configured dims imply — no silent collisions."""
+        import numpy as np
+
+        dw = stride if stride is not None else self.dw
+        n_lgid = len(lgid_pairs)
+        if len(combined):
+            dense = np.bincount(
+                combined,
+                weights=weights,
+                minlength=n_lgid * dw,
+            )
+            # float64 from weighted bincount is exact up to 2^53 — far
+            # beyond any per-cell day count; cast back to int64
+            nz = np.flatnonzero(dense)
+            gid_of = nz // dw
+            cell_of = (nz % dw).astype(np.int32)
+            cnt_of = np.rint(dense[nz]).astype(np.int64)
+        else:
+            gid_of = np.empty(0, dtype=np.int64)
+            cell_of = np.empty(0, dtype=np.int32)
+            cnt_of = np.empty(0, dtype=np.int64)
+        bounds = np.searchsorted(gid_of, np.arange(n_lgid + 1))
+        for g, pair in enumerate(lgid_pairs):
+            seg = (cell_of[bounds[g]: bounds[g + 1]],
+                   cnt_of[bounds[g]: bounds[g + 1]])
+            if pair in self.segs:
+                self.segs[pair].append(seg)
+            else:
+                self.order.append(pair)
+                self.segs[pair] = [seg]
+
+    def emit(self, key_type, ts_type, out_names):
+        import numpy as np
+        import pyarrow as pa
+
+        if not self.order:
+            return None
+        keys_out, ts_out = [], []
+        map_offsets = [0]
+        cells_all, counts_all = [], []
+        total = 0
+        for pair in self.order:
+            keys_out.append(pair[0])
+            ts_out.append(pair[1])
+            segs = self.segs[pair]
+            if len(segs) == 1:
+                cells, counts = segs[0]
+            else:  # bucket straddled an Arrow batch boundary: re-merge
+                cells = np.concatenate([s[0] for s in segs])
+                counts = np.concatenate([s[1] for s in segs])
+                order = np.argsort(cells, kind="stable")
+                cells, counts = cells[order], counts[order]
+                first = np.ones(len(cells), dtype=bool)
+                first[1:] = cells[1:] != cells[:-1]
+                starts = np.flatnonzero(first)
+                counts = np.add.reduceat(counts, starts) if len(cells) else counts
+                cells = cells[starts]
+            total += len(cells)
+            cells_all.append(cells)
+            counts_all.append(counts)
+            map_offsets.append(total)
+        flat_cells = (
+            np.concatenate(cells_all) if cells_all else np.empty(0, np.int32)
+        )
+        flat_counts = (
+            np.concatenate(counts_all) if counts_all else np.empty(0, np.int64)
+        )
+        maps = pa.MapArray.from_arrays(
+            pa.array(map_offsets, pa.int32()),
+            pa.array(flat_cells, pa.int32()),
+            pa.array(flat_counts, pa.int64()),
+        )
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(keys_out, key_type),
+                pa.array(ts_out, pa.int64()).cast(ts_type),
+                maps,
+            ],
+            names=out_names,
+        )
+
+
+def _cms_build_kernel(width: int, depth: int, out_names: list[str]):
+    """Accumulating mapInArrow kernel: raw (key, bucket_ts, tokens)
+    partitions -> complete sparse CMS grids. Hashing is the bit-exact
+    numpy twin of ``F.xxhash64(token::long, lit(j))``
+    (functions/xxhash.py, parity-pinned)."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from timeseriesvectordbpattermatcher_spark.functions.xxhash import (
+            _SPARK_SEED,
+            xxh64_int_const,
+            xxh64_long,
+        )
+
+        acc = _SketchAccumulator(width, depth)
+        dw = depth * width
+        key_type = ts_type = None
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            keyarr, tsarr, toks = b.column(0), b.column(1), b.column(2)
+            if key_type is None:
+                key_type, ts_type = keyarr.type, tsarr.type
+            key_py = keyarr.to_pylist()
+            ts_py = tsarr.cast("int64").to_pylist()
+            pairs = pd.Series(list(zip(key_py, ts_py)))
+            codes, uniq = pd.factorize(pairs, use_na_sentinel=False)
+            # flat token occurrences, minhash-kernel idiom: gather only
+            # non-null list extents so sliced arrays can't leak values
+            offs = np.asarray(toks.offsets, dtype=np.int64)
+            starts, ends = offs[:-1] - offs[0], offs[1:] - offs[0]
+            raw_len = ends - starts
+            null_list = np.asarray(toks.is_null(), dtype=bool)
+            eff_len = np.where(null_list, 0, raw_len)
+            sel = np.repeat(~null_list, raw_len)
+            vals = np.asarray(
+                toks.values.cast("int64"), dtype=np.int64
+            )[offs[0]: offs[-1]][sel]
+            val_null = np.asarray(toks.values.is_null(), dtype=bool)[
+                offs[0]: offs[-1]
+            ][sel]
+            rep = np.repeat(codes.astype(np.int64), eff_len)
+            if val_null.any():  # null elements never update the sketch
+                keep = ~val_null
+                vals, rep = vals[keep], rep[keep]
+            if len(vals):
+                inner = xxh64_long(vals.view(np.uint64), _SPARK_SEED)
+                combined = np.empty(depth * len(vals), dtype=np.int64)
+                base = rep * dw
+                for j in range(depth):
+                    col = xxh64_int_const(j, inner).view(np.int64) % width
+                    combined[j * len(vals): (j + 1) * len(vals)] = (
+                        base + j * width + col
+                    )
+            else:
+                combined = np.empty(0, dtype=np.int64)
+            acc.flush(list(uniq), combined, None)
+        out = acc.emit(key_type, ts_type, out_names)
+        if out is not None:
+            yield out
+
+    return gen
+
+
+def _cms_merge_kernel(width: int, depth: int, out_names: list[str]):
+    """Accumulating mapInArrow kernel for the cascade: fine-tier
+    (key, coarse_ts, map) partitions -> coarse sparse grids by weighted
+    bincount scatter (cell-count addition, bit-exact)."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = _SketchAccumulator(width, depth)
+        dw = depth * width
+        key_type = ts_type = None
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            keyarr, tsarr, maps = b.column(0), b.column(1), b.column(2)
+            if key_type is None:
+                key_type, ts_type = keyarr.type, tsarr.type
+            key_py = keyarr.to_pylist()
+            ts_py = tsarr.cast("int64").to_pylist()
+            pairs = pd.Series(list(zip(key_py, ts_py)))
+            codes, uniq = pd.factorize(pairs, use_na_sentinel=False)
+            offs = np.asarray(maps.offsets, dtype=np.int64)
+            starts, ends = offs[:-1] - offs[0], offs[1:] - offs[0]
+            raw_len = ends - starts
+            null_map = np.asarray(maps.is_null(), dtype=bool)
+            eff_len = np.where(null_map, 0, raw_len)
+            sel = np.repeat(~null_map, raw_len)
+            cells = np.asarray(maps.keys.cast("int64"), dtype=np.int64)[
+                offs[0]: offs[-1]
+            ][sel]
+            counts = np.asarray(maps.items.cast("int64"), dtype=np.int64)[
+                offs[0]: offs[-1]
+            ][sel]
+            rep = np.repeat(codes.astype(np.int64), eff_len)
+            # widen past the configured dims if the fine maps carry larger
+            # cells (build dims > cascade defaults): stride is flush-local
+            stride = dw
+            if len(cells):
+                if int(cells.min()) < 0:
+                    raise ValueError(
+                        "cms_cascade: negative cell key in sketch map — "
+                        "not a CMS sparse grid"
+                    )
+                stride = max(dw, int(cells.max()) + 1)
+            combined = rep * stride + cells
+            acc.flush(list(uniq), combined, counts.astype(np.float64), stride)
+        out = acc.emit(key_type, ts_type, out_names)
+        if out is not None:
+            yield out
+
+    return gen
+
+
 def cms_bucket(
     rows: DataFrame,
     tier: str = "1m",
@@ -106,39 +370,77 @@ def cms_bucket(
     ts_col: str = "event_ts",
     tokens_col: str = "tokens",
     sketch_col: str = "cms",
+    engine: str = "auto",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Per-(key, bucket) CMS over every token occurrence in ``tokens_col``
     (array column; duplicate tokens in one row count once each, matching
     total-occurrence semantics). Null ts rows are dropped (no bucket);
     null/empty token arrays and null elements don't update the sketch —
     a bucket whose rows carry no tokens keeps an empty map, it does not
-    vanish."""
+    vanish.
+
+    Engines (``auto`` -> ``arrow``; both produce identical maps,
+    parity-pinned in tests/test_cms.py):
+
+    - ``expr``: pure codegen'd explode + two hash aggregations. Correct
+      at any scale but pathological when buckets are SMALL relative to
+      the grid: with near-unique tokens the map-side combine absorbs
+      nothing, so the build shuffles ~buckets x min(N_bucket*depth, d*w)
+      cell rows (measured 472s at sf0.1 — the 2.15B-row fan-out barely
+      combines into ~1.5B shuffled cells).
+    - ``arrow``: ONE shuffle of the raw rows co-locating each
+      (key, bucket) on a partition, then an accumulating ``mapInArrow``
+      kernel (vectorized bit-exact ``xxhash64(long, lit(j))`` twin +
+      per-batch ``np.bincount``) emits COMPLETE sketches — no map-entry
+      shuffle at all. Shuffle bytes = the token payload itself (8x fewer
+      than the expr plan's cell rows at sf0.1; 472s -> 46s measured).
+    """
     if tier not in TIER_TRUNC:
         raise ValueError(f"tier must be in {list(TIER_TRUNC)}")
     _check_dims(width, depth)
-    tok = (
+    eng = _resolve_engine(engine)
+    if eng == "expr":
+        tok = (
+            rows.filter(F.col(ts_col).isNotNull())
+            .withColumn(
+                "bucket_ts", F.date_trunc(TIER_TRUNC[tier], F.col(ts_col))
+            )
+            .select(
+                key_col, "bucket_ts", F.explode_outer(tokens_col).alias("_t")
+            )
+        )
+        cells = tok.select(
+            key_col,
+            "bucket_ts",
+            F.explode_outer(
+                cms_cell_keys(F.col("_t"), width, depth)
+            ).alias("_hv"),
+        )
+        per_cell = cells.groupBy(key_col, "bucket_ts", "_hv").agg(
+            F.count("_hv").alias("_hc")  # count() skips null keep-alives
+        )
+        return per_cell.groupBy(key_col, "bucket_ts").agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_hv").isNotNull(), F.struct("_hv", "_hc"))
+                    )
+                )
+            ).alias(sketch_col)
+        )
+    pre = (
         rows.filter(F.col(ts_col).isNotNull())
-        .withColumn("bucket_ts", F.date_trunc(TIER_TRUNC[tier], F.col(ts_col)))
         .select(
-            key_col, "bucket_ts", F.explode_outer(tokens_col).alias("_t")
+            key_col,
+            F.date_trunc(TIER_TRUNC[tier], F.col(ts_col)).alias("bucket_ts"),
+            F.col(tokens_col).cast("array<long>").alias("_toks"),
         )
     )
-    cells = tok.select(
-        key_col,
-        "bucket_ts",
-        F.explode_outer(cms_cell_keys(F.col("_t"), width, depth)).alias("_hv"),
-    )
-    per_cell = cells.groupBy(key_col, "bucket_ts", "_hv").agg(
-        F.count("_hv").alias("_hc")  # count() skips the null keep-alive rows
-    )
-    return per_cell.groupBy(key_col, "bucket_ts").agg(
-        F.map_from_entries(
-            F.array_sort(
-                F.collect_list(
-                    F.when(F.col("_hv").isNotNull(), F.struct("_hv", "_hc"))
-                )
-            )
-        ).alias(sketch_col)
+    out_schema = _cms_out_schema(pre, key_col, sketch_col)
+    return _repartitioned(pre, key_col, num_partitions).mapInArrow(
+        _cms_build_kernel(width, depth, [f.name for f in out_schema.fields]),
+        out_schema,
     )
 
 
@@ -147,11 +449,37 @@ def cms_cascade(
     tier: str,
     key_col: str = "source",
     sketch_col: str = "cms",
+    width: int = 2048,
+    depth: int = 4,
+    engine: str = "auto",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Merge fine-tier sketches one tier coarser — cell-count addition, so
     a cascaded tier is BIT-EXACT vs building that tier from raw and its
-    error bound is the CMS bound for the coarser bucket's own N."""
-    return hist_cascade(sketches, tier, key_col=key_col, hist_col=sketch_col)
+    error bound is the CMS bound for the coarser bucket's own N.
+
+    ``expr`` delegates to the histogram merge (explode + re-agg: shuffles
+    every map entry twice); ``arrow`` (the ``auto`` default) repartitions
+    the fine-tier ROWS by coarse bucket and scatter-adds entries in an
+    accumulating kernel — one shuffle of the sketch payload, no
+    entry-level exchange. ``width``/``depth`` only size the arrow
+    kernel's dense accumulator; they must match the build dims."""
+    eng = _resolve_engine(engine)
+    if eng == "expr":
+        return hist_cascade(sketches, tier, key_col=key_col, hist_col=sketch_col)
+    if tier not in TIER_TRUNC:
+        raise ValueError(f"tier must be in {list(TIER_TRUNC)}")
+    _check_dims(width, depth)
+    pre = sketches.select(
+        key_col,
+        F.date_trunc(TIER_TRUNC[tier], F.col("bucket_ts")).alias("bucket_ts"),
+        F.col(sketch_col).alias("_m"),
+    )
+    out_schema = _cms_out_schema(pre, key_col, sketch_col)
+    return _repartitioned(pre, key_col, num_partitions).mapInArrow(
+        _cms_merge_kernel(width, depth, [f.name for f in out_schema.fields]),
+        out_schema,
+    )
 
 
 def cms_estimate(
