@@ -213,3 +213,56 @@ def test_discord_excludes_nan_and_ranks(profile):
     assert d.groupby("source")["rank"].apply(
         lambda s: sorted(s) == [1, 2, 3]).all()
     assert d["mp"].notna().all()
+
+
+def test_ab_join_matches_brute_force(spark):
+    from timeseriesvectordbpattermatcher_spark.operators.matrixprofile import (
+        matrix_profile_ab,
+    )
+
+    rng = np.random.default_rng(19)
+    pat = np.cos(np.linspace(0, 2 * np.pi, M)) * 3.0
+    ref_x = np.sin(np.arange(200) / 7.0) + rng.normal(0, 0.2, 200)
+    ref_x[150: 150 + M] = pat  # the pattern lives in history at 150
+    q_x = np.sin(np.arange(60) / 5.0) + rng.normal(0, 0.2, 60)
+    q_x[20: 20 + M] = pat + rng.normal(0, 0.01, M)  # query carries it too
+
+    def df_of(x, key="s"):
+        return spark.createDataFrame(pd.DataFrame({
+            "source": key,
+            "bucket_ts": pd.date_range("2024-01-01", periods=len(x), freq="min"),
+            "avg_n_tok": x,
+        }))
+
+    got = (
+        matrix_profile_ab(df_of(q_x), df_of(ref_x), M)
+        .toPandas().sort_values("idx").reset_index(drop=True)
+    )
+    nq, nr = len(q_x) - M + 1, len(ref_x) - M + 1
+    assert len(got) == nq
+    # brute force every query window against every ref window
+    for _, r in got.iterrows():
+        i = int(r["idx"])
+        wi = q_x[i: i + M]
+        best, bi = np.inf, -1
+        for j in range(nr):
+            wj = ref_x[j: j + M]
+            si, sj = wi.std(), wj.std()
+            if si == 0 and sj == 0:
+                d = 0.0
+            elif (si == 0) != (sj == 0):
+                d = math.sqrt(M)
+            else:
+                c = max(-1.0, min(1.0, float(
+                    np.dot((wi - wi.mean()) / si, (wj - wj.mean()) / sj)) / M))
+                d = math.sqrt(2 * M * (1 - c))
+            if d < best:
+                best, bi = d, j
+        assert abs(best - r["mp"]) < 1e-7, (i, best, r["mp"])
+    # the planted query pattern finds its historical twin
+    hit = got[got["idx"] == 20].iloc[0]
+    assert hit["mp"] < 0.2 and int(hit["mp_idx"]) == 150
+
+    # key present on one side only -> no rows
+    other = matrix_profile_ab(df_of(q_x, "only_q"), df_of(ref_x, "only_r"), M)
+    assert other.count() == 0

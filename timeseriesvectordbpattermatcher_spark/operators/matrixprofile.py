@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "matrix_profile",
     "matrix_profile_tiled",
+    "matrix_profile_ab",
     "profile_discords",
     "profile_motifs",
 ]
@@ -383,3 +384,107 @@ def profile_motifs(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.lit(top_k))
     )
+
+
+def matrix_profile_ab(
+    query: DataFrame,
+    ref: DataFrame,
+    m: int,
+    key_col: str = "source",
+    ts_col: str = "bucket_ts",
+    value_col: str = "avg_n_tok",
+    max_points: int = 200_000,
+) -> DataFrame:
+    """AB-join profile: for every length-``m`` window of the QUERY
+    series, the z-normalized distance to its nearest window in the
+    REFERENCE series sharing the same key — "find this pattern in
+    history", the reference engine's core matcher read re-expressed
+    shape-free. No exclusion zone (the sides are different series by
+    contract; self-joining the same frame belongs to
+    :func:`matrix_profile`). Keys present on only one side yield no
+    rows. Output: (key, idx, ts, mp, mp_idx) with ``idx`` indexing
+    query windows and ``mp_idx`` reference windows.
+
+    Physical shape: one cogroup on the key (both sides shuffle once),
+    then the same diagonal-streamed cross-distance kernel the tiled
+    variant uses. Per-task cost is O(n_q * n_r) per key — ``max_points``
+    bounds each side loudly; split the REFERENCE by time range and
+    min-merge downstream (exactly the tiled scheme) when history
+    exceeds it."""
+    if m < 2:
+        raise ValueError(f"m must be >= 2, got {m}")
+
+    def prep(df):
+        return df.filter(
+            F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        ).select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).cast("double").alias("val"),
+        )
+
+    def kernel(qpdf, rpdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({
+            "key": pd.Series([], dtype="object"),
+            "idx": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "mp": pd.Series([], dtype="float64"),
+            "mp_idx": pd.Series([], dtype="int64"),
+        })
+        if qpdf.empty or rpdf.empty:
+            return empty
+        qpdf = qpdf.sort_values("ts").reset_index(drop=True)
+        rpdf = rpdf.sort_values("ts").reset_index(drop=True)
+        xq = qpdf["val"].to_numpy(dtype=np.float64)
+        xr = rpdf["val"].to_numpy(dtype=np.float64)
+        if len(xq) > max_points or len(xr) > max_points:
+            raise ValueError(
+                f"side has {max(len(xq), len(xr))} points > "
+                f"max_points={max_points}: AB profile is O(n_q*n_r); "
+                "split the reference by time range and min-merge"
+            )
+        nq, nr = len(xq) - m + 1, len(xr) - m + 1
+        if nq < 1 or nr < 1:
+            return empty
+        muq, sigq = _moments(xq, m)
+        mur, sigr = _moments(xr, m)
+        best = np.full(nq, np.inf)
+        besti = np.full(nq, -1, dtype=np.int64)
+        for d in range(-(nq - 1), nr):
+            i0 = max(0, -d)
+            j0 = i0 + d
+            k = min(nq - i0, nr - j0)
+            if k < 1:
+                continue
+            prod = xq[i0: i0 + k + m - 1] * xr[j0: j0 + k + m - 1]
+            c = np.concatenate(([0.0], np.cumsum(prod)))
+            qt = c[m:] - c[:-m]
+            dist = _pair_dist(
+                qt, muq[i0: i0 + k], sigq[i0: i0 + k],
+                mur[j0: j0 + k], sigr[j0: j0 + k], m,
+            )
+            upd = dist < best[i0: i0 + k]
+            best[i0: i0 + k] = np.where(upd, dist, best[i0: i0 + k])
+            besti[i0: i0 + k] = np.where(
+                upd, j0 + np.arange(k), besti[i0: i0 + k]
+            )
+        return pd.DataFrame({
+            "key": qpdf["key"].iloc[:nq].values,
+            "idx": np.arange(nq, dtype=np.int64),
+            "ts": qpdf["ts"].iloc[:nq].values,
+            "mp": best,
+            "mp_idx": besti,
+        })
+
+    out_schema = (
+        f"key {query.schema[key_col].dataType.simpleString()}, "
+        f"idx long, ts {query.schema[ts_col].dataType.simpleString()}, "
+        "mp double, mp_idx long"
+    )
+    out = prep(query).groupBy("key").cogroup(
+        prep(ref).groupBy("key")
+    ).applyInPandas(kernel, out_schema)
+    return out.withColumnRenamed("key", key_col)
