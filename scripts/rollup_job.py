@@ -91,6 +91,14 @@ def main() -> int:
                          "sketch tiers (cms_{1m,1h,1d}; operators/cms.py)")
     ap.add_argument("--cms-width", type=int, default=2048,
                     help="CMS columns per hash row (error e/width * N)")
+    ap.add_argument("--topk", action="store_true",
+                    help="maintain mergeable Misra-Gries heavy-hitter token "
+                         "tiers (topk_{1m,1h,1d}; operators/heavyhitters.py) "
+                         "— the top-k ENUMERATION read CMS can't give, with "
+                         "the per-token overcount bound carried as hh_err")
+    ap.add_argument("--topk-cap", type=int, default=64,
+                    help="max summary entries per bucket; error bound is "
+                         "N/(cap+1)")
     ap.add_argument("--cms-depth", type=int, default=4,
                     help="CMS hash rows (failure prob e^-depth)")
     ap.add_argument("--target-file-rows", type=int, default=0,
@@ -131,6 +139,8 @@ def main() -> int:
         cms=args.cms,
         cms_width=args.cms_width,
         cms_depth=args.cms_depth,
+        topk=args.topk,
+        topk_cap=args.topk_cap,
     )
     job = RollupJob(args.output)
     if args.input_snapshot:
@@ -170,6 +180,7 @@ def main() -> int:
         (args.heartbeat, "hb", job.hb_tables),
         (args.dds, "dds", job.dds_tables),
         (args.cms, "cms", job.cms_tables),
+        (args.topk, "topk", job.topk_tables),
     ):
         if flag:
             plane_counts[plane] = {

@@ -15,7 +15,10 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from timeseriesvectordbpattermatcher_spark.operators.forecast import holt_winters
+from timeseriesvectordbpattermatcher_spark.operators.forecast import (
+    holt_winters,
+    holt_winters_fit,
+)
 
 P = 12
 A, B, G = 0.4, 0.15, 0.25
@@ -129,3 +132,68 @@ def test_guards(series):
         holt_winters(series, P, gamma=1.5)
     with pytest.raises(ValueError):
         holt_winters(series, P, horizon=-1)
+    with pytest.raises(ValueError):
+        holt_winters_fit(series, P, alphas=())
+    with pytest.raises(ValueError):
+        holt_winters_fit(series, P, betas=(0.0,))
+
+
+GRID_A, GRID_B, GRID_G = (0.2, 0.4, 0.8), (0.1, 0.3), (0.1, 0.3)
+
+
+def _python_grid_argmin(y):
+    best = None
+    for a in GRID_A:
+        for b in GRID_B:
+            for g in GRID_G:
+                fits, _ = _pure_hw(y, P, a, b, g, 0)
+                sse = float(sum(r[2] ** 2 for r in fits))
+                cand = (sse, a, b, g)
+                if best is None or cand < best:
+                    best = cand
+    return best
+
+
+def test_grid_fit_matches_python_argmin(series):
+    got = {
+        r["source"]: r
+        for r in holt_winters_fit(
+            series, P, alphas=GRID_A, betas=GRID_B, gammas=GRID_G
+        ).collect()
+    }
+    raw = _pdf()
+    assert set(got) == set(raw["source"].unique())
+    for key, g in raw.groupby("source"):
+        sse, a, b, gm = _python_grid_argmin(g["avg_n_tok"].to_numpy())
+        r = got[key]
+        assert (r["alpha"], r["beta"], r["gamma"]) == (a, b, gm)
+        assert r["sse"] == pytest.approx(sse, rel=1e-10)
+        assert r["n_fit"] == len(g) - P
+
+
+def test_fit_params_feed_back_per_key(series, spark):
+    """holt_winters(params=fit) runs each key under ITS OWN winning
+    parameters — fitted rows equal the pure-python recursion with that
+    key's argmin combo, and a key missing from params drops out."""
+    fit = holt_winters_fit(series, P, alphas=GRID_A, betas=GRID_B, gammas=GRID_G)
+    out = holt_winters(series, P, params=fit).toPandas()
+    raw = _pdf()
+    for key, g in raw.groupby("source"):
+        _, a, b, gm = _python_grid_argmin(g["avg_n_tok"].to_numpy())
+        fits, _ = _pure_hw(g["avg_n_tok"].to_numpy(), P, a, b, gm, 0)
+        got = out[out["source"] == key].sort_values("ts")
+        np.testing.assert_allclose(
+            got["yhat"].to_numpy(), np.array(fits)[:, 1], atol=1e-10
+        )
+    only_x = fit.filter(fit["source"] == "x")
+    sub = holt_winters(series, P, params=only_x).toPandas()
+    assert set(sub["source"].unique()) == {"x"}
+
+
+def test_fit_skips_short_series(spark):
+    pdf = pd.DataFrame({
+        "source": "t",
+        "bucket_ts": pd.date_range("2024-01-01", periods=2 * P - 1, freq="h"),
+        "avg_n_tok": np.arange(2 * P - 1, dtype=float),
+    })
+    assert holt_winters_fit(spark.createDataFrame(pdf), P).count() == 0

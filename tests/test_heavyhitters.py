@@ -1,0 +1,360 @@
+"""Misra-Gries heavy-hitter tiers (operators/heavyhitters.py).
+
+Oracles:
+- bit-exact replay: the whole pipeline (exact counts -> compress ->
+  pointwise merge -> compress) is deterministic, so a pure-python
+  replay over the raw pandas rows must match every map, error scalar
+  and total at every tier, entry for entry.
+- bounds vs DuckDB: exact per-(bucket, token) counts from an unnest
+  group-by (no summary anywhere) must satisfy
+  est <= true <= est + hh_err for every token, every token with
+  true > hh_err must be PRESENT in the summary, and
+  hh_err <= hh_n / (cap + 1) — the published Misra-Gries guarantee,
+  preserved under merging (Agarwal et al., PODS 2012).
+- exact regime: with cap >= distinct tokens the summary IS the exact
+  count map (err everywhere 0) and cascaded == direct bit-exact.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from timeseriesvectordbpattermatcher_spark.operators.heavyhitters import (
+    topk_bucket,
+    topk_cascade,
+    topk_read,
+)
+from timeseriesvectordbpattermatcher_spark.operators.rollup import derive_event_ts
+
+CAP = 8  # small so compression genuinely engages on the 2k corpus
+
+
+# ---------- engine-free python oracle ----------
+
+def mg_compress_py(counts: dict[int, int], cap: int) -> tuple[dict[int, int], int]:
+    if len(counts) <= cap:
+        return dict(counts), 0
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    thr = ordered[cap][1]
+    return {k: v - thr for k, v in counts.items() if v > thr}, thr
+
+
+def build_1m_py(raw: pd.DataFrame, cap: int):
+    """(source, minute) -> [map, err, n] from raw rows."""
+    out: dict[tuple, list] = {}
+    for _, r in raw.iterrows():
+        b = (r["source"], r["event_ts"].floor("min"))
+        slot = out.setdefault(b, [{}, 0, 0])
+        toks = r["tokens"]
+        for t in [] if toks is None else toks:
+            slot[0][int(t)] = slot[0].get(int(t), 0) + 1
+            slot[2] += 1
+    for b, slot in out.items():
+        m, thr = mg_compress_py(slot[0], cap)
+        out[b] = [m, thr, slot[2]]
+    return out
+
+
+def cascade_py(fine: dict[tuple, list], freq: str, cap: int):
+    out: dict[tuple, list] = {}
+    for (src, ts), (m, err, n) in fine.items():
+        b = (src, ts.floor(freq))
+        slot = out.setdefault(b, [{}, 0, 0])
+        for k, v in m.items():
+            slot[0][k] = slot[0].get(k, 0) + v
+        slot[1] += err
+        slot[2] += n
+    for b, slot in out.items():
+        m, thr = mg_compress_py(slot[0], cap)
+        out[b] = [m, slot[1] + thr, slot[2]]
+    return out
+
+
+def oracle_flat(tiers: dict[tuple, list]) -> pd.DataFrame:
+    rows = []
+    for (src, ts), (m, err, n) in sorted(tiers.items()):
+        if not m:
+            rows.append((src, ts, None, None, err, n))
+        for k in sorted(m):
+            rows.append((src, ts, k, m[k], err, n))
+    return pd.DataFrame(
+        rows, columns=["source", "bucket_ts", "token", "est", "hh_err", "hh_n"]
+    ).reset_index(drop=True)
+
+
+def engine_flat(df) -> pd.DataFrame:
+    out = (
+        df.select(
+            "source", "bucket_ts",
+            F.explode_outer("hh").alias("token", "est"),
+            "hh_err", "hh_n",
+        )
+        .toPandas()
+        .sort_values(["source", "bucket_ts", "token"])
+        .reset_index(drop=True)
+    )
+    return out[["source", "bucket_ts", "token", "est", "hh_err", "hh_n"]]
+
+
+@pytest.fixture(scope="module")
+def seqs(spark, seqs_2k):
+    df = (
+        derive_event_ts(seqs_2k)
+        .filter(F.col("event_ts").isNotNull())
+        .select("source", "event_ts", "tokens")
+        .cache()
+    )
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def tiers(seqs):
+    t1m = topk_bucket(seqs, tier="1m", cap=CAP).cache()
+    t1h = topk_cascade(t1m, "1h", cap=CAP).cache()
+    t1d = topk_cascade(t1h, "1d", cap=CAP).cache()
+    t1m.count(), t1h.count(), t1d.count()
+    yield {"1m": t1m, "1h": t1h, "1d": t1d}
+    for t in t1m, t1h, t1d:
+        t.unpersist()
+
+
+@pytest.fixture(scope="module")
+def oracle_tiers(seqs):
+    raw = seqs.toPandas()
+    o1m = build_1m_py(raw, CAP)
+    o1h = cascade_py(o1m, "h", CAP)
+    o1d = cascade_py(o1h, "d", CAP)
+    return {"1m": o1m, "1h": o1h, "1d": o1d}
+
+
+@pytest.mark.parametrize("tier", ["1m", "1h", "1d"])
+def test_bitexact_vs_python_oracle(tiers, oracle_tiers, tier):
+    got = engine_flat(tiers[tier])
+    want = oracle_flat(oracle_tiers[tier])
+    for col in ("token", "est", "hh_err", "hh_n"):
+        want[col] = want[col].astype(got[col].dtype)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_bounds_vs_duckdb_exact(tiers, seqs, duck):
+    duck.register("raw_hh", seqs.select("source", "event_ts", "tokens").toPandas())
+    exact = duck.sql("""
+        SELECT source, bucket_ts, tok, count(*) AS c FROM (
+          SELECT source, date_trunc('day', event_ts) AS bucket_ts,
+                 unnest(tokens) AS tok
+          FROM raw_hh
+        ) GROUP BY 1, 2, 3
+    """).df()
+    got = engine_flat(tiers["1d"]).dropna(subset=["token"])
+    exact["tok"] = exact["tok"].astype("int64")
+    got["token"] = got["token"].astype("int64")
+    m = got.merge(
+        exact.rename(columns={"tok": "token"}),
+        on=["source", "bucket_ts", "token"],
+        how="left",
+    )
+    assert m["c"].notna().all()  # every summary token really occurred
+    assert (m["est"] <= m["c"]).all()              # never overcount
+    assert (m["c"] <= m["est"] + m["hh_err"]).all()  # undercount bounded
+
+    # completeness: any token with true count > hh_err must be present
+    errs = (
+        engine_flat(tiers["1d"])[["source", "bucket_ts", "hh_err", "hh_n"]]
+        .drop_duplicates()
+    )
+    e = exact.rename(columns={"tok": "token"}).merge(
+        errs, on=["source", "bucket_ts"]
+    )
+    must = e[e["c"] > e["hh_err"]]
+    present = must.merge(
+        got[["source", "bucket_ts", "token"]],
+        on=["source", "bucket_ts", "token"],
+        how="left",
+        indicator=True,
+    )
+    assert (present["_merge"] == "both").all()
+
+    # the published error guarantee, preserved through the merges
+    assert (errs["hh_err"] <= errs["hh_n"] / (CAP + 1)).all()
+
+
+def test_exact_regime_large_cap(seqs, duck):
+    duck.register("raw_hh", seqs.select("source", "event_ts", "tokens").toPandas())
+    want = duck.sql("""
+        SELECT source, bucket_ts, tok AS token, count(*) AS est FROM (
+          SELECT source, date_trunc('hour', event_ts) AS bucket_ts,
+                 unnest(tokens) AS tok
+          FROM raw_hh
+        ) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """).df().reset_index(drop=True)
+    big = 1_000_000
+    t1m = topk_bucket(seqs, tier="1m", cap=big)
+    t1h = topk_cascade(t1m, "1h", cap=big)
+    got = engine_flat(t1h).dropna(subset=["token"]).reset_index(drop=True)
+    assert (got["hh_err"] == 0).all()
+    cmp = got[["source", "bucket_ts", "token", "est"]].copy()
+    for col in ("token", "est"):
+        cmp[col] = cmp[col].astype("int64")
+        want[col] = want[col].astype("int64")
+    want["bucket_ts"] = want["bucket_ts"].astype(cmp["bucket_ts"].dtype)
+    pd.testing.assert_frame_equal(cmp, want, check_exact=True)
+    # direct hour build == cascaded (no compression anywhere => addition)
+    direct = engine_flat(topk_bucket(seqs, tier="1h", cap=big))
+    pd.testing.assert_frame_equal(engine_flat(t1h), direct, check_exact=True)
+
+
+def test_ties_at_threshold_drop_together(spark):
+    # counts: 5,3,3,3,1 with cap=2 -> thr = 3 (3rd largest); ALL entries
+    # with count 3 drop; survivors: {10: 2}; err = 3
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"],
+            "event_ts": pd.to_datetime(["2024-01-01 00:00:05"]),
+            "tokens": [[10] * 5 + [20] * 3 + [30] * 3 + [40] * 3 + [50]],
+        }
+    )
+    df = spark.createDataFrame(
+        pdf, "source string, event_ts timestamp, tokens array<int>"
+    )
+    row = topk_bucket(df, cap=2).collect()[0]
+    assert row["hh"] == {10: 2}
+    assert row["hh_err"] == 3
+    assert row["hh_n"] == 15
+
+
+def test_null_and_empty_token_rows(spark):
+    pdf = pd.DataFrame(
+        {
+            "source": ["a", "a", "b", "b"],
+            "event_ts": pd.to_datetime(["2024-01-01 00:00:05"] * 4),
+            "tokens": [[1, 1, 2], [], None, None],
+        }
+    )
+    df = spark.createDataFrame(
+        pdf, "source string, event_ts timestamp, tokens array<int>"
+    )
+    out = topk_bucket(df, cap=CAP)
+    rows = {r["source"]: r for r in out.collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["b"]["hh"] == {} and rows["b"]["hh_err"] == 0 and rows["b"]["hh_n"] == 0
+    assert rows["a"]["hh"] == {1: 2, 2: 1} and rows["a"]["hh_n"] == 3
+    # empty buckets survive the cascade with empty maps too
+    casc = {r["source"]: r for r in topk_cascade(out, "1h", cap=CAP).collect()}
+    assert casc["b"]["hh"] == {} and casc["b"]["hh_n"] == 0
+
+
+def test_topk_read_ranks_and_bounds(spark):
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"],
+            "event_ts": pd.to_datetime(["2024-01-01 00:00:05"]),
+            "tokens": [[7] * 4 + [8] * 2 + [9]],
+        }
+    )
+    df = spark.createDataFrame(
+        pdf, "source string, event_ts timestamp, tokens array<int>"
+    )
+    t = topk_bucket(df, cap=CAP)
+    rows = topk_read(t, n=2).orderBy("rank").collect()
+    assert [(r["token"], r["est"], r["rank"]) for r in rows] == [(7, 4, 1), (8, 2, 2)]
+    assert all(r["est_hi"] == r["est"] + r["hh_err"] for r in rows)
+
+
+def test_cap_validation(spark):
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"],
+            "event_ts": pd.to_datetime(["2024-01-01"]),
+            "tokens": [[1]],
+        }
+    )
+    df = spark.createDataFrame(
+        pdf, "source string, event_ts timestamp, tokens array<int>"
+    )
+    with pytest.raises(ValueError):
+        topk_bucket(df, cap=0)
+    with pytest.raises(ValueError):
+        topk_bucket(df, tier="5m")
+
+
+def test_build_plan_two_exchanges(spark):
+    """Build = explode + two hash aggs (token counts, map rebuild); the
+    compression is a pure projection — no further Exchange, no UDF."""
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"],
+            "event_ts": pd.to_datetime(["2024-01-01"]),
+            "tokens": [[1, 2, 3]],
+        }
+    )
+    df = spark.createDataFrame(
+        pdf, "source string, event_ts timestamp, tokens array<int>"
+    )
+    plan = (
+        topk_bucket(df, cap=CAP)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 2, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_wide_map_compression_stays_fast(spark):
+    """Regression pin for the higher-order-function trap (module
+    docstring): compressing maps with thousands of entries must be
+    seconds, not CPU-hours. A comparator-based sort with the threshold
+    expression inlined into the survivor lambda re-evaluates an
+    O(n log n) subtree PER ELEMENT — the first cut measured ~90
+    CPU-minutes on exactly this shape."""
+    import time
+
+    n_tokens, n_buckets = 4000, 64
+    rows = pd.DataFrame(
+        {
+            "source": ["s"] * n_buckets,
+            "event_ts": pd.date_range("2024-01-01", periods=n_buckets, freq="min"),
+            "tokens": [list(range(n_tokens)) for _ in range(n_buckets)],
+        }
+    )
+    df = spark.createDataFrame(
+        rows, "source string, event_ts timestamp, tokens array<int>"
+    )
+    t0 = time.time()
+    out = topk_bucket(df, cap=CAP)
+    assert out.count() == n_buckets
+    wall = time.time() - t0
+    assert wall < 30, f"wide-map compression took {wall:.1f}s — lambda trap is back"
+
+
+def test_rollup_job_topk_plane_end_to_end(spark, seqs_2k, tmp_path):
+    """topk=True maintains the summary tiers alongside stats with the
+    same watermark/resume semantics; the job's cascaded 1d summaries are
+    bit-equal to the python oracle's replay, reruns are no-ops, and a
+    crash after the topk 1m commit resumes exactly."""
+    from timeseriesvectordbpattermatcher_spark.plans.checkpoint import RollupJob
+
+    seqs = derive_event_ts(seqs_2k).filter(F.col("event_ts").isNotNull())
+    raw = seqs.select("source", "event_ts", "tokens").toPandas()
+    want = oracle_flat(cascade_py(cascade_py(build_1m_py(raw, CAP), "h", CAP), "d", CAP))
+
+    job = RollupJob(str(tmp_path / "hhjob"))
+    job.run(spark, seqs, topk=True, topk_cap=CAP)
+    got = engine_flat(job.topk_tables["1d"].read(spark).drop("bucket_day"))
+    for col in ("token", "est", "hh_err", "hh_n"):
+        want[col] = want[col].astype(got[col].dtype)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+    v = job.topk_tables["1m"].current_snapshot().version
+    job.run(spark, seqs, topk=True, topk_cap=CAP)
+    assert job.topk_tables["1m"].current_snapshot().version == v
+
+    crashed = RollupJob(str(tmp_path / "hhcrash"))
+    with pytest.raises(RuntimeError, match="topk_1m"):
+        crashed.run(spark, seqs, topk=True, topk_cap=CAP, fail_after="topk_1m")
+    assert crashed.topk_tables["1h"].current_snapshot() is None
+    crashed.run(spark, seqs, topk=True, topk_cap=CAP)
+    got2 = engine_flat(crashed.topk_tables["1d"].read(spark).drop("bucket_day"))
+    pd.testing.assert_frame_equal(got2, want, check_exact=True)

@@ -15,9 +15,14 @@ Hyndman & Athanasopoulos, "Forecasting: Principles and Practice"):
 Initialization is the classical convention: level_0 = mean of the first
 period, trend_0 = mean slope between the first two periods, seasonal_0
 = first-period values minus their mean. Parameters are EXPLICIT inputs
-(``alpha``/``beta``/``gamma``): parameter search is an estimation
-problem callers own; given parameters, the transform is deterministic
-and exactly reproducible by the engine-free oracle.
+(``alpha``/``beta``/``gamma``) so the transform is deterministic and
+exactly reproducible by the engine-free oracle; when the caller wants
+them chosen, :func:`holt_winters_fit` runs the standard grid search as
+a DISTRIBUTED job — the (alpha, beta, gamma) grid broadcast-crossJoins
+onto the series so every (key, combo) SSE evaluation is its own task,
+and the per-key argmin is a struct-min aggregate — then feeds back in
+via ``holt_winters(..., params=...)`` (per-key parameters joined onto
+the series, read by the same kernel).
 
 The recursion is inherently sequential per key, so this is a grouped
 ``applyInPandas`` kernel — the distribution axis is the KEY count (one
@@ -37,11 +42,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["holt_winters"]
+__all__ = ["holt_winters", "holt_winters_fit"]
 
 
-def _hw_kernel(period: int, alpha: float, beta: float, gamma: float,
-               horizon: int):
+def _hw_states(y, period: int, alpha: float, beta: float, gamma: float):
+    """Run the recursion over ``y`` (numpy, len >= 2*period). Returns
+    (fitted[period:], levels, trends, seasons_after, level_T, trend_T,
+    season_state) — the single source of truth both the emit kernel and
+    the SSE grid kernel call, so fit and search can never disagree."""
+    import numpy as np
+
+    level = float(y[:period].mean())
+    trend = float((y[period: 2 * period].mean() - y[:period].mean()) / period)
+    season = (y[:period] - y[:period].mean()).astype(np.float64)
+    n = len(y)
+    m = n - period
+    fitted = np.empty(m)
+    levels = np.empty(m)
+    trends = np.empty(m)
+    seasons = np.empty(m)
+    for t in range(period, n):
+        s_idx = t % period
+        prev_l, prev_b = level, trend
+        fitted[t - period] = prev_l + prev_b + season[s_idx]
+        level = alpha * (y[t] - season[s_idx]) + (1 - alpha) * (prev_l + prev_b)
+        trend = beta * (level - prev_l) + (1 - beta) * prev_b
+        season[s_idx] = gamma * (y[t] - level) + (1 - gamma) * season[s_idx]
+        levels[t - period] = level
+        trends[t - period] = trend
+        seasons[t - period] = season[s_idx]
+    return fitted, levels, trends, seasons, level, trend, season
+
+
+def _hw_kernel(period: int, alpha: float | None, beta: float | None,
+               gamma: float | None, horizon: int, from_cols: bool = False):
     def run(pdf):
         import numpy as np
         import pandas as pd
@@ -63,29 +97,19 @@ def _hw_kernel(period: int, alpha: float, beta: float, gamma: float,
         })
         if n < 2 * period:  # need two full cycles to initialize
             return empty
-        level = float(y[:period].mean())
-        trend = float((y[period: 2 * period].mean() - y[:period].mean()) / period)
-        season = (y[:period] - y[:period].mean()).astype(np.float64)
-        rows_ts, rows_y, rows_hat = [], [], []
-        rows_res, rows_l, rows_b, rows_s = [], [], [], []
-        for t in range(period, n):
-            s_idx = t % period
-            prev_l, prev_b = level, trend
-            fitted = prev_l + prev_b + season[s_idx]
-            level = alpha * (y[t] - season[s_idx]) + (1 - alpha) * (prev_l + prev_b)
-            trend = beta * (level - prev_l) + (1 - beta) * prev_b
-            season[s_idx] = gamma * (y[t] - level) + (1 - gamma) * season[s_idx]
-            rows_ts.append(pdf["ts"].iloc[t])
-            rows_y.append(y[t])
-            rows_hat.append(fitted)
-            rows_res.append(y[t] - fitted)
-            rows_l.append(level)
-            rows_b.append(trend)
-            rows_s.append(season[s_idx])
+        if from_cols:
+            a = float(pdf["alpha"].iloc[0])
+            b = float(pdf["beta"].iloc[0])
+            g = float(pdf["gamma"].iloc[0])
+        else:
+            a, b, g = alpha, beta, gamma
+        fitted, levels, trends, seasons, level, trend, season = _hw_states(
+            y, period, a, b, g
+        )
         fit = pd.DataFrame({
-            "key": key, "kind": "fit", "ts": rows_ts, "y": rows_y,
-            "yhat": rows_hat, "resid": rows_res, "level": rows_l,
-            "trend": rows_b, "season": rows_s,
+            "key": key, "kind": "fit", "ts": pdf["ts"].iloc[period:].to_numpy(),
+            "y": y[period:], "yhat": fitted, "resid": y[period:] - fitted,
+            "level": levels, "trend": trends, "season": seasons,
         })
         if horizon <= 0:
             return fit
@@ -118,6 +142,7 @@ def holt_winters(
     key_col: str = "source",
     ts_col: str = "bucket_ts",
     value_col: str = "avg_n_tok",
+    params: DataFrame | None = None,
 ) -> DataFrame:
     """Additive Holt-Winters per key. Returns ``kind='fit'`` rows (from
     the second period on: y, one-step-ahead yhat, resid, and the level/
@@ -126,12 +151,19 @@ def holt_winters(
     step. Keys with fewer than ``2 * period`` points yield no rows (the
     classical initialization needs two full cycles). NULL values/
     timestamps are excluded before fitting — the recursion is positional,
-    so gap-fill upstream if cycles must stay wall-clock aligned."""
+    so gap-fill upstream if cycles must stay wall-clock aligned.
+
+    ``params`` optionally supplies PER-KEY smoothing parameters — a frame
+    with (``key_col``, alpha, beta, gamma), e.g. the output of
+    :func:`holt_winters_fit` — replacing the scalar arguments; keys
+    absent from ``params`` are dropped (inner join: no silent fallback to
+    the scalars)."""
     if period < 2:
         raise ValueError(f"period must be >= 2, got {period}")
-    for name, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
-        if not (0.0 < v <= 1.0):
-            raise ValueError(f"{name} must be in (0, 1], got {v}")
+    if params is None:
+        for name, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+            if not (0.0 < v <= 1.0):
+                raise ValueError(f"{name} must be in (0, 1], got {v}")
     if horizon < 0:
         raise ValueError(f"horizon must be >= 0, got {horizon}")
     pts = series.filter(
@@ -147,8 +179,118 @@ def holt_winters(
         "y double, yhat double, resid double, "
         "level double, trend double, season double"
     )
-    out = pts.groupBy("key").applyInPandas(
-        _hw_kernel(period, float(alpha), float(beta), float(gamma), horizon),
-        out_schema,
-    )
+    if params is not None:
+        p = params.select(
+            F.col(key_col).alias("key"),
+            F.col("alpha").cast("double").alias("alpha"),
+            F.col("beta").cast("double").alias("beta"),
+            F.col("gamma").cast("double").alias("gamma"),
+        )
+        pts = pts.join(F.broadcast(p), "key")
+        kern = _hw_kernel(period, None, None, None, horizon, from_cols=True)
+    else:
+        kern = _hw_kernel(period, float(alpha), float(beta), float(gamma), horizon)
+    out = pts.groupBy("key").applyInPandas(kern, out_schema)
     return out.withColumnRenamed("key", key_col)
+
+
+def _hw_sse_kernel(period: int):
+    def run(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        cols = {
+            "key": pd.Series([], dtype=pdf["key"].dtype),
+            "alpha": pd.Series([], dtype="float64"),
+            "beta": pd.Series([], dtype="float64"),
+            "gamma": pd.Series([], dtype="float64"),
+            "sse": pd.Series([], dtype="float64"),
+            "n_fit": pd.Series([], dtype="int64"),
+        }
+        y = pdf["val"].to_numpy(dtype=np.float64)
+        if len(y) < 2 * period:
+            return pd.DataFrame(cols)
+        a = float(pdf["alpha"].iloc[0])
+        b = float(pdf["beta"].iloc[0])
+        g = float(pdf["gamma"].iloc[0])
+        fitted, *_ = _hw_states(y, period, a, b, g)
+        resid = y[period:] - fitted
+        return pd.DataFrame({
+            "key": [pdf["key"].iloc[0]],
+            "alpha": [a], "beta": [b], "gamma": [g],
+            "sse": [float(resid @ resid)],
+            "n_fit": [len(resid)],
+        })
+
+    return run
+
+
+def holt_winters_fit(
+    series: DataFrame,
+    period: int,
+    alphas: tuple[float, ...] = (0.1, 0.3, 0.5, 0.7, 0.9),
+    betas: tuple[float, ...] = (0.05, 0.1, 0.3),
+    gammas: tuple[float, ...] = (0.05, 0.2, 0.4),
+    key_col: str = "source",
+    ts_col: str = "bucket_ts",
+    value_col: str = "avg_n_tok",
+) -> DataFrame:
+    """Distributed grid search for per-key Holt-Winters parameters:
+    minimize one-step-ahead SSE over the (alpha, beta, gamma) grid.
+    Output: one row per key with the winning alpha/beta/gamma, its
+    ``sse`` and ``n_fit`` — feed it straight back as
+    ``holt_winters(..., params=fit)``.
+
+    Physical shape: the grid (a tuple cross product, tens of rows)
+    broadcast-crossJoins onto the series, so each (key, combo) cell is
+    its own task-parallel group — a 3-key corpus with a 45-point grid
+    spreads across 135 tasks instead of 3 serial per-key loops. Data
+    replication is series x |grid| rows; the series here are rollup-tier
+    summaries (minutes per key), which is exactly the regime where that
+    trade is right. The argmin is a lexicographic struct-min on
+    (sse, alpha, beta, gamma) — deterministic under SSE ties. Keys
+    shorter than ``2 * period`` points produce no row."""
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    grid = [
+        (float(a), float(b), float(g))
+        for a in alphas for b in betas for g in gammas
+    ]
+    if not grid:
+        raise ValueError("parameter grid is empty")
+    for a, b, g in grid:
+        for name, v in (("alpha", a), ("beta", b), ("gamma", g)):
+            if not (0.0 < v <= 1.0):
+                raise ValueError(f"{name} must be in (0, 1], got {v}")
+    spark = series.sparkSession
+    grid_df = spark.createDataFrame(grid, "alpha double, beta double, gamma double")
+    pts = series.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("val"),
+    )
+    cells = pts.crossJoin(F.broadcast(grid_df))
+    key_type = series.schema[key_col].dataType.simpleString()
+    sse = cells.groupBy("key", "alpha", "beta", "gamma").applyInPandas(
+        _hw_sse_kernel(period),
+        f"key {key_type}, alpha double, beta double, gamma double, "
+        "sse double, n_fit bigint",
+    )
+    best = (
+        sse.groupBy("key")
+        .agg(
+            F.min(F.struct("sse", "alpha", "beta", "gamma", "n_fit")).alias("_b")
+        )
+        .select(
+            F.col("key").alias(key_col),
+            F.col("_b.alpha").alias("alpha"),
+            F.col("_b.beta").alias("beta"),
+            F.col("_b.gamma").alias("gamma"),
+            F.col("_b.sse").alias("sse"),
+            F.col("_b.n_fit").alias("n_fit"),
+        )
+    )
+    return best

@@ -1,0 +1,270 @@
+"""Misra-Gries heavy-hitter (top-k token) tiers.
+
+The CMS plane (operators/cms.py) answers point queries — "how often did
+token t appear in this bucket" — but cannot ENUMERATE the frequent
+tokens: recovering top-k from a CMS needs a candidate set. This plane
+stores the candidates themselves: a bounded Misra-Gries summary
+(Misra & Gries 1982; the SpaceSaving-equivalent form) per
+(source, bucket), mergeable up the 1m -> 1h -> 1d cascade by the
+counter-addition + re-compress rule of Agarwal et al., "Mergeable
+Summaries" (PODS 2012).
+
+Summary = ``hh: map<token, est>`` with at most ``cap`` entries plus one
+scalar ``hh_err``. Invariant maintained by construction at every tier
+(est(t) = 0 when t is absent):
+
+    est(t) <= true(t) <= est(t) + hh_err        for EVERY token t
+
+so any token with true count > ``hh_err`` is guaranteed present, and
+``hh_err <= N / (cap + 1)`` where N is the bucket's total token count —
+the classical frequent-elements guarantee. Compression subtracts the
+(cap+1)-th largest counter from all counters and drops the non-positive
+ones; merging adds counters pointwise, adds the error scalars, then
+compresses once more. Every step is deterministic, so the whole cascade
+is exactly reproducible by the engine-free oracle in
+tests/test_heavyhitters.py (and is bit-equal to an exact top-k whenever
+``cap`` >= the bucket's distinct-token count, where ``hh_err`` stays 0).
+
+Scale shape (mirrors the histogram plane): the 1m build is one explode +
+two hash aggs — the shuffle carries (source, bucket, token, partial
+count) rows with map-side combine, bounded by buckets x distinct tokens
+per bucket, never by corpus rows. Compression is zero-UDF expression
+work, arranged carefully around a Spark higher-order-function trap: a
+custom ``array_sort`` COMPARATOR runs interpreted per comparison, and a
+subexpression referenced inside a lambda is re-evaluated PER ELEMENT —
+a first cut that embedded the O(n log n) threshold expression in the
+survivor filter's lambda went O(n^2 log n) interpreted and measured
+~90 CPU-minutes on a 2k-row corpus. The shipped form therefore (a)
+derives the threshold from a comparator-FREE primitive sort of
+``map_values`` (ties make entry order irrelevant to the threshold
+VALUE), and (b) materializes it as its own projection column first, so
+the lambdas only reference a computed attribute (multi-referenced
+non-cheap producers are exactly what CollapseProject refuses to inline;
+a regression test pins the wall time). Cascade merges explode only the
+cap-bounded maps (rows = buckets x cap, corpus-size independent). A
+(source, day) output depends only on same-(source, day) fine buckets, so
+the RollupJob's changed-partition recompute protocol applies unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .rollup import TIER_TRUNC
+
+__all__ = [
+    "mg_threshold",
+    "compress_summary",
+    "topk_bucket",
+    "topk_cascade",
+    "topk_read",
+]
+
+
+def _check_cap(cap: int) -> None:
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+
+
+def mg_threshold(hist: Column | str, cap: int) -> Column:
+    """The Misra-Gries decrement for one ``map<int, bigint>``: the
+    (cap+1)-th largest count, or 0 when the map already fits. Only the
+    VALUE matters (ties at the threshold drop together), so this sorts
+    ``map_values`` with the comparator-free primitive ``array_sort``
+    and indexes from the end — no interpreted comparator anywhere."""
+    _check_cap(cap)
+    vals = F.array_sort(F.map_values(hist))  # ascending, codegen'd
+    return (
+        F.when(
+            F.size(vals) > cap,
+            F.element_at(vals, F.size(vals) - F.lit(cap)),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+
+
+def compress_summary(
+    df: DataFrame,
+    src_col: str,
+    cap: int,
+    out_map: str = "hh",
+    thr_col: str = "_thr",
+) -> DataFrame:
+    """Two-projection Misra-Gries compression of ``src_col`` into
+    ``out_map`` (<= cap entries, each decremented by the threshold) with
+    the subtracted threshold left in ``thr_col`` for the caller's error
+    accounting. The threshold is materialized as its OWN column in the
+    first projection so the survivor filter/transform lambdas reference
+    a plain attribute — never re-evaluating the sort per element (see
+    the module docstring; pinned by the perf regression test)."""
+    _check_cap(cap)
+    d = df.withColumn(thr_col, mg_threshold(src_col, cap))
+    thr = F.col(thr_col)
+    survivors = F.filter(F.map_entries(src_col), lambda e: e["value"] > thr)
+    dec = F.transform(
+        survivors,
+        lambda e: F.struct(
+            e["key"].alias("key"), (e["value"] - thr).alias("value")
+        ),
+    )
+    # default struct array_sort orders by key asc — again comparator-free
+    return d.withColumn(out_map, F.map_from_entries(F.array_sort(dec))).drop(
+        src_col
+    )
+
+
+def topk_bucket(
+    df: DataFrame,
+    tier: str = "1m",
+    cap: int = 64,
+    key_col: str = "source",
+    ts_col: str = "event_ts",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Finest heavy-hitter tier: (key, bucket_ts) -> ``hh`` (<= cap-entry
+    Misra-Gries map over the bucket's token occurrences) + ``hh_err``
+    (the per-token overcount bound, 0 when the bucket's distinct tokens
+    fit in ``cap``) + ``hh_n`` (exact total token count — the scale of
+    the bound, and the cross-check against the stats tier's token sums).
+
+    Buckets whose rows carry only NULL/empty arrays survive with an empty
+    map (explode_outer + NULL-guarded struct, the histogram-plane rule),
+    so cascade merges never see missing groups."""
+    if tier not in TIER_TRUNC:
+        raise ValueError(f"tier must be one of {sorted(TIER_TRUNC)}, got {tier!r}")
+    _check_cap(cap)
+    bucket = F.date_trunc(TIER_TRUNC[tier], F.col(ts_col)).alias("bucket_ts")
+    ex = df.select(
+        F.col(key_col), bucket, F.explode_outer(tokens_col).alias("_hv")
+    )
+    counts = ex.groupBy(key_col, "bucket_ts", "_hv").agg(
+        F.count("_hv").alias("_hc")
+    )
+    exact = counts.groupBy(key_col, "bucket_ts").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_hv").isNotNull(), F.struct("_hv", "_hc"))
+                )
+            )
+        ).alias("_exact"),
+        F.coalesce(F.sum("_hc"), F.lit(0)).cast("bigint").alias("hh_n"),
+    )
+    out = compress_summary(exact, "_exact", cap)
+    return out.select(
+        key_col, "bucket_ts", "hh", F.col("_thr").alias("hh_err"), "hh_n"
+    )
+
+
+def topk_cascade(
+    df: DataFrame,
+    tier: str,
+    cap: int = 64,
+    key_col: str = "source",
+) -> DataFrame:
+    """Merge a finer tier's summaries one tier coarser (1m->1h, 1h->1d):
+    pointwise counter addition (explode the cap-bounded maps, sum per
+    coarse token), error scalars add, then one re-compress whose
+    subtraction joins the error. The est <= true <= est + hh_err
+    invariant survives merging (Agarwal et al. 2012); ``cap`` must be
+    the build's cap or the bound loosens silently — pass the same value.
+
+    Two bounded aggs + one bucket-sized join: the scalar leg
+    (hh_err/hh_n sums) is buckets-sized, the map leg explodes
+    buckets x cap rows; nothing scales with corpus rows."""
+    if tier not in TIER_TRUNC:
+        raise ValueError(f"tier must be one of {sorted(TIER_TRUNC)}, got {tier!r}")
+    _check_cap(cap)
+    coarse = F.date_trunc(TIER_TRUNC[tier], F.col("bucket_ts")).alias("bucket_ts")
+    scalars = (
+        df.select(key_col, coarse, "hh_err", "hh_n")
+        .groupBy(key_col, "bucket_ts")
+        .agg(
+            F.sum("hh_err").cast("bigint").alias("_err_in"),
+            F.sum("hh_n").cast("bigint").alias("hh_n"),
+        )
+    )
+    ex = df.select(key_col, coarse, F.explode_outer("hh").alias("_hv", "_hc"))
+    summed = (
+        ex.filter(F.col("_hv").isNotNull())
+        .groupBy(key_col, "bucket_ts", "_hv")
+        .agg(F.sum("_hc").alias("_hc"))
+    )
+    merged = summed.groupBy(key_col, "bucket_ts").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("_hv", "_hc")))
+        ).alias("_merged")
+    )
+    # groups whose fine maps were all empty must survive with empty maps
+    joined = scalars.join(merged, [key_col, "bucket_ts"], "left").withColumn(
+        "_merged",
+        F.coalesce(
+            F.col("_merged"),
+            F.map_from_entries(
+                F.array().cast("array<struct<_hv:int,_hc:bigint>>")
+            ),
+        ),
+    )
+    out = compress_summary(joined, "_merged", cap)
+    return out.select(
+        key_col,
+        "bucket_ts",
+        "hh",
+        (F.col("_err_in") + F.col("_thr")).cast("bigint").alias("hh_err"),
+        "hh_n",
+    )
+
+
+def topk_read(
+    df: DataFrame,
+    n: int | None = None,
+    key_col: str = "source",
+) -> DataFrame:
+    """Row view of a summary tier: one row per (key, bucket_ts, token)
+    with ``est`` (guaranteed lower bound), ``est_hi = est + hh_err``
+    (guaranteed upper bound) and ``rank`` by (est desc, token asc);
+    ``n`` keeps only the top n per bucket. A pure per-row explode of the
+    cap-bounded maps — ranking happens inside each row's own sorted
+    array (struct sort on (-est, token): comparator-free), so there is
+    no window and no extra Exchange."""
+    if n is not None and n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    by_desc = F.array_sort(
+        F.transform(
+            F.map_entries("hh"),
+            lambda e: F.struct(
+                (-e["value"]).alias("negv"),
+                e["key"].alias("token"),
+                e["value"].alias("est"),
+            ),
+        )
+    )
+    ranked = F.transform(
+        by_desc,
+        lambda e, i: F.struct(
+            e["token"].alias("token"),
+            e["est"].alias("est"),
+            (i + 1).alias("rank"),
+        ),
+    )
+    if n is not None:
+        ranked = F.slice(ranked, 1, n)
+    out = df.select(
+        key_col,
+        "bucket_ts",
+        "hh_err",
+        "hh_n",
+        F.explode(ranked).alias("_e"),
+    )
+    return out.select(
+        key_col,
+        "bucket_ts",
+        F.col("_e.token").alias("token"),
+        F.col("_e.est").alias("est"),
+        (F.col("_e.est") + F.col("hh_err")).alias("est_hi"),
+        F.col("_e.rank").alias("rank"),
+        "hh_err",
+        "hh_n",
+    )

@@ -61,6 +61,11 @@ class RollupJob:
         self.dds_tables = {t: SnapshotTable(os.path.join(base_dir, f"dds_{t}")) for t in TIERS}
         # - cms: mergeable Count-Min token-frequency sketches (operators/cms.py)
         self.cms_tables = {t: SnapshotTable(os.path.join(base_dir, f"cms_{t}")) for t in TIERS}
+        # - topk: mergeable Misra-Gries heavy-hitter token summaries
+        #   (operators/heavyhitters.py)
+        self.topk_tables = {
+            t: SnapshotTable(os.path.join(base_dir, f"topk_{t}")) for t in TIERS
+        }
         self._plane_tables = {
             "rollup": self.tables,
             "hist": self.hist_tables,
@@ -69,6 +74,7 @@ class RollupJob:
             "hb": self.hb_tables,
             "dds": self.dds_tables,
             "cms": self.cms_tables,
+            "topk": self.topk_tables,
         }
         self.audit = AuditLog(os.path.join(base_dir, "audit"))
 
@@ -136,6 +142,8 @@ class RollupJob:
         cms=False,
         cms_width=2048,
         cms_depth=4,
+        topk=False,
+        topk_cap=64,
     ) -> list:
         """(plane, build_1m(affected_raw) -> df) for every enabled plane —
         order fixed so fail_after hooks stay deterministic. Shared by the
@@ -182,6 +190,11 @@ class RollupJob:
 
             return cms_bucket(raw, tier="1m", width=cms_width, depth=cms_depth)
 
+        def _build_topk(raw):
+            from ..operators.heavyhitters import topk_bucket
+
+            return topk_bucket(raw, tier="1m", cap=topk_cap)
+
         planes = [("rollup", _build_rollup)]
         if quantile_hist:
             planes.append(("hist", _build_hist))
@@ -195,6 +208,8 @@ class RollupJob:
             planes.append(("dds", _build_dds))
         if cms:
             planes.append(("cms", _build_cms))
+        if topk:
+            planes.append(("topk", _build_topk))
         return planes
 
     def run(
@@ -222,6 +237,8 @@ class RollupJob:
         cms: bool = False,
         cms_width: int = 2048,
         cms_depth: int = 4,
+        topk: bool = False,
+        topk_cap: int = 64,
     ) -> dict[str, DataFrame | None]:
         """Incremental run. ``seqs_ts`` must carry event_ts (derive_event_ts).
         ``salt_buckets`` enables the two-phase salted 1m aggregation for
@@ -266,7 +283,12 @@ class RollupJob:
           the ``tokens`` arrays (operators/cms.py) — point estimates of
           any token's occurrence count per bucket within
           (e/cms_width)*N with prob >= 1-e^-cms_depth; cell addition
-          merges exactly, so cascaded tiers are bit-equal to direct."""
+          merges exactly, so cascaded tiers are bit-equal to direct.
+        - ``topk``: mergeable Misra-Gries heavy-hitter summaries over the
+          ``tokens`` arrays (operators/heavyhitters.py) — the top-k
+          ENUMERATION read CMS point queries can't give, <= ``topk_cap``
+          entries per bucket with the per-token overcount bound carried
+          as ``hh_err`` (est <= true <= est + hh_err at every tier)."""
         run_id = run_id or uuid.uuid4().hex[:12]
         t0 = time.time()
 
@@ -288,6 +310,8 @@ class RollupJob:
             cms=cms,
             cms_width=cms_width,
             cms_depth=cms_depth,
+            topk=topk,
+            topk_cap=topk_cap,
         )
 
         wms = {}
@@ -341,7 +365,7 @@ class RollupJob:
                          fail_after=fail_after, quantile_hist=quantile_hist,
                          time_weight=time_weight, tw_method=tw_method,
                          distinct=distinct, heartbeat=heartbeat, dds=dds,
-                         cms=cms)
+                         cms=cms, topk=topk, topk_cap=topk_cap)
 
         return {t: self.tables[t].read(spark) for t in TIERS}
 
@@ -435,6 +459,8 @@ class RollupJob:
             heartbeat=plane_opts.get("heartbeat", False),
             dds=plane_opts.get("dds", False),
             cms=plane_opts.get("cms", False),
+            topk=plane_opts.get("topk", False),
+            topk_cap=plane_opts.get("topk_cap", 64),
         )
         return {t: self.tables[t].read(spark) for t in TIERS}
 
@@ -523,6 +549,8 @@ class RollupJob:
         heartbeat: bool = False,
         dds: bool = False,
         cms: bool = False,
+        topk: bool = False,
+        topk_cap: int = 64,
     ) -> None:
         """Cascade the 1h/1d tiers from whatever the 1m snapshot table
         currently holds — shared by batch runs (``run``) and by streaming
@@ -583,6 +611,16 @@ class RollupJob:
 
             planes.append(
                 ("cms", self.cms_tables, lambda df, t, s: cms_cascade(df, t))
+            )
+        if topk:
+            from ..operators.heavyhitters import topk_cascade
+
+            planes.append(
+                (
+                    "topk",
+                    self.topk_tables,
+                    lambda df, t, s: topk_cascade(df, t, cap=topk_cap),
+                )
             )
         for tier, src_tier in (("1h", "1m"), ("1d", "1h")):
             t0 = time.time()
