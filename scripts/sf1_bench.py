@@ -707,6 +707,41 @@ def main() -> None:
         "scale_ratio": round(tcm_big / tcm_small, 2),
     }
 
+    # ---- heavy-hitter (Misra-Gries) plane at 2M and 10x rows -----------------
+    # (operators/heavyhitters.py): explode + exact counts + compression at
+    # 1m, two counter-addition merges, top-3 read off the 1d tier
+    from timeseriesvectordbpattermatcher_spark.operators.heavyhitters import (
+        topk_bucket,
+        topk_cascade,
+        topk_read,
+    )
+
+    def topk_timing(n_rows: int) -> float:
+        corpus = os.path.join(tempfile.gettempdir(), f"seqs_bench_{n_rows}")
+        seqs = derive_event_ts(spark.read.parquet(corpus))
+
+        def once():
+            day = topk_cascade(
+                topk_cascade(topk_bucket(seqs, cap=64), "1h", cap=64),
+                "1d",
+                cap=64,
+            )
+            return topk_read(day, n=3).agg(
+                F.sum("est"), F.max("hh_err")
+            ).collect()[0][0]
+
+        return _best_of(once, k=args.runs)
+
+    thh_small = topk_timing(2_000_000)
+    thh_big = topk_timing(args.rows)
+    result["queries"]["topk_plane_1d"] = {
+        "rows_small": 2_000_000,
+        "rows_big": args.rows,
+        "sf0.1_sec": thh_small,
+        "sf1_sec": thh_big,
+        "scale_ratio": round(thh_big / thh_small, 2),
+    }
+
     out_path = os.path.join(REPO, "BENCH", "sf1_latest.json")
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1)

@@ -241,3 +241,143 @@ def test_cusum_single_exchange(spark):
     plan = cusum_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange ") == 1, plan[:2000]
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan[:2000]
+
+
+# ---------------- PELT (exact offline segmentation) ----------------
+
+from timeseriesvectordbpattermatcher_spark.operators.changepoints import (  # noqa: E402
+    pelt_changepoints,
+)
+
+
+def _op_dp(y, beta, min_size):
+    """UNPRUNED optimal-partitioning DP — the exactness oracle for PELT
+    (same objective, no candidate pruning, O(n^2))."""
+    n = len(y)
+    cs = np.concatenate(([0.0], np.cumsum(y)))
+    cs2 = np.concatenate(([0.0], np.cumsum(np.asarray(y) ** 2)))
+
+    def cost(a, b):
+        m = b - a
+        s = cs[b] - cs[a]
+        return cs2[b] - cs2[a] - s * s / m
+
+    F_arr = [math.inf] * (n + 1)
+    F_arr[0] = -beta
+    prev = [0] * (n + 1)
+    for t in range(min_size, n + 1):
+        for s in range(0, t - min_size + 1):
+            v = F_arr[s] + cost(s, t) + beta
+            if v < F_arr[t]:
+                F_arr[t], prev[t] = v, s
+    if not math.isfinite(F_arr[n]):
+        return [(0, n)]
+    bounds = [n]
+    while bounds[0] != 0:
+        bounds.insert(0, prev[bounds[0]])
+    return list(zip(bounds[:-1], bounds[1:]))
+
+
+def _pelt_df(spark, series: dict[str, np.ndarray]):
+    rows = [
+        (k, int(i), float(v))
+        for k, y in series.items()
+        for i, v in enumerate(y)
+    ]
+    return spark.createDataFrame(rows, "series_id string, ts long, close double")
+
+
+def test_pelt_matches_unpruned_dp(spark):
+    rng = np.random.default_rng(23)
+    series = {
+        # three planted mean shifts
+        "shifts": np.concatenate([
+            rng.normal(0, 0.5, 40), rng.normal(4, 0.5, 25),
+            rng.normal(-2, 0.5, 35), rng.normal(1, 0.5, 30),
+        ]),
+        # no shift at all
+        "flatish": rng.normal(3, 0.5, 90),
+        # constant
+        "const": np.full(50, 7.0),
+    }
+    beta = 8.0
+    got = pelt_changepoints(
+        _pelt_df(spark, series), penalty=beta, min_size=2
+    ).toPandas()
+    for key, y in series.items():
+        want = _op_dp(y, beta, 2)
+        sub = got[got["series_id"] == key].sort_values("seg")
+        assert [(a, b - 1) for a, b in want] == list(
+            zip(sub["start_ts"], sub["end_ts"])
+        ), key
+        means = [float(np.mean(y[a:b])) for a, b in want]
+        np.testing.assert_allclose(sub["mean"].to_numpy(), means, atol=1e-9)
+        assert (sub["n_pts"].to_numpy() == [b - a for a, b in want]).all()
+    # the planted series recovers exactly 4 segments at this penalty
+    assert len(got[got["series_id"] == "shifts"]) == 4
+    assert len(got[got["series_id"] == "const"]) == 1
+
+
+def test_pelt_exhaustive_tiny(spark):
+    """Against ALL segmentations of tiny series (every subset of cut
+    positions respecting min_size) — stronger than the DP oracle."""
+    from itertools import combinations
+
+    rng = np.random.default_rng(5)
+    y = np.round(rng.normal(0, 1, 10), 3)
+    y[5:] += 3.0
+    beta = 2.0
+    min_size = 2
+
+    def seg_cost(a, b):
+        s = y[a:b]
+        return float(((s - s.mean()) ** 2).sum())
+
+    best = (math.inf, None)
+    n = len(y)
+    for k in range(0, n):
+        for cuts in combinations(range(1, n), k):
+            bounds = [0, *cuts, n]
+            if any(b - a < min_size for a, b in zip(bounds, bounds[1:])):
+                continue
+            tot = sum(seg_cost(a, b) for a, b in zip(bounds, bounds[1:]))
+            tot += beta * (len(bounds) - 1)
+            cand = (tot, tuple(bounds))
+            if cand < best:
+                best = cand
+    got = pelt_changepoints(
+        _pelt_df(spark, {"t": y}), penalty=beta, min_size=min_size
+    ).toPandas().sort_values("seg")
+    bounds = best[1]
+    assert list(got["start_ts"]) == list(bounds[:-1])
+    assert list(got["end_ts"]) == [b - 1 for b in bounds[1:]]
+
+
+def test_pelt_default_penalty_deterministic_and_sane(spark):
+    rng = np.random.default_rng(9)
+    y = np.concatenate([rng.normal(0, 0.3, 60), rng.normal(5, 0.3, 60)])
+    df = _pelt_df(spark, {"d": y})
+    a = pelt_changepoints(df).toPandas().sort_values("seg")
+    b = pelt_changepoints(df).toPandas().sort_values("seg")
+    assert a.equals(b)
+    # default BIC penalty finds the one obvious 5-sigma shift, nothing else
+    assert len(a) == 2 and a["start_ts"].tolist() == [0, 60]
+    # and the penalty it derived replays from the published formula
+    d = np.diff(y)
+    sig = np.median(np.abs(d - np.median(d))) / (0.6744897501960817 * np.sqrt(2))
+    assert a["penalty"].iloc[0] == pytest.approx(2 * sig * sig * np.log(len(y)))
+
+
+def test_pelt_edges(spark):
+    # shorter than min_size -> one degenerate segment; nulls dropped
+    rows = [("s", 0, 1.0), ("s", 1, None), ("s", 2, 2.0)]
+    df = spark.createDataFrame(rows, "series_id string, ts long, close double")
+    out = pelt_changepoints(df, penalty=1.0, min_size=5).toPandas()
+    assert len(out) == 1 and out["n_pts"].iloc[0] == 2
+    assert out["mean"].iloc[0] == pytest.approx(1.5)
+    with pytest.raises(ValueError):
+        pelt_changepoints(df, min_size=0)
+    with pytest.raises(ValueError):
+        pelt_changepoints(df, penalty=-1.0)
+    with pytest.raises(Exception, match="max_points"):
+        pelt_changepoints(df, penalty=1.0, max_points=1).collect()

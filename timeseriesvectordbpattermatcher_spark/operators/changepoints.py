@@ -372,3 +372,147 @@ def cusum_changepoints(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def _pelt_kernel(penalty: float | None, min_size: int, max_points: int):
+    """Grouped PELT (Killick, Fearnhead & Eckley 2012) with the L2
+    mean-change cost computed from prefix sums. Exact: the pruning rule
+    ``F(s) + C(s, t) > F(t)  =>  drop s`` is lossless for subadditive
+    costs (L2 is, by the within/between variance decomposition), so the
+    result equals the unpruned optimal-partitioning DP — pinned in
+    tests/test_changepoints.py."""
+
+    def run(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        pdf = pdf[pdf["val"].notna() & pdf["ts"].notna()].reset_index(drop=True)
+        empty = pd.DataFrame({
+            "series": pd.Series([], dtype=pdf["series"].dtype),
+            "seg": pd.Series([], dtype="int32"),
+            "start_ts": pd.Series([], dtype=pdf["ts"].dtype),
+            "end_ts": pd.Series([], dtype=pdf["ts"].dtype),
+            "n_pts": pd.Series([], dtype="int64"),
+            "mean": pd.Series([], dtype="float64"),
+            "penalty": pd.Series([], dtype="float64"),
+        })
+        n = len(pdf)
+        if n == 0:
+            return empty
+        if n > max_points:
+            raise ValueError(
+                f"PELT series has {n} points > max_points={max_points}; "
+                f"raise max_points deliberately or pre-aggregate the series"
+            )
+        key = pdf["series"].iloc[0]
+        y = pdf["val"].to_numpy(dtype=np.float64)
+        if penalty is None:
+            # robust sigma from first differences (MAD / (Phi^-1(3/4) * sqrt 2));
+            # BIC-style beta = 2 * sigma^2 * log n. Deterministic in the data.
+            if n >= 3:
+                d = np.diff(y)
+                sig = np.median(np.abs(d - np.median(d))) / (0.6744897501960817 * np.sqrt(2.0))
+            else:
+                sig = 0.0
+            beta = max(2.0 * sig * sig * np.log(max(n, 2)), 1e-12)
+        else:
+            beta = float(penalty)
+
+        cs = np.concatenate(([0.0], np.cumsum(y)))
+        cs2 = np.concatenate(([0.0], np.cumsum(y * y)))
+
+        def cost(a: int, b: int) -> float:  # y[a:b], b exclusive
+            m = b - a
+            s = cs[b] - cs[a]
+            return float(cs2[b] - cs2[a] - s * s / m)
+
+        INF = np.inf
+        Fv = np.full(n + 1, INF)
+        Fv[0] = -beta
+        prev = np.zeros(n + 1, dtype=np.int64)
+        cands: list[int] = [0]
+        for t in range(min_size, n + 1):
+            best, barg = INF, 0
+            admissible = [s for s in cands if t - s >= min_size]
+            for s in admissible:
+                v = Fv[s] + cost(s, t) + beta
+                if v < best:
+                    best, barg = v, s
+            if not admissible:  # n < 2*min_size tail: only s=0 later
+                continue
+            Fv[t] = best
+            prev[t] = barg
+            # lossless prune among the candidates actually considered
+            cands = [s for s in cands if not (t - s >= min_size and Fv[s] + cost(s, t) > Fv[t])]
+            cands.append(t)
+        if not np.isfinite(Fv[n]):
+            # fewer than min_size points: one degenerate whole-series segment
+            bounds = [0, n]
+        else:
+            bounds = [n]
+            while bounds[0] != 0:
+                bounds.insert(0, int(prev[bounds[0]]))
+        segs = list(zip(bounds[:-1], bounds[1:]))
+        return pd.DataFrame({
+            "series": key,
+            "seg": np.arange(len(segs), dtype="int32"),
+            "start_ts": [pdf["ts"].iloc[a] for a, _ in segs],
+            "end_ts": [pdf["ts"].iloc[b - 1] for _, b in segs],
+            "n_pts": [b - a for a, b in segs],
+            "mean": [float((cs[b] - cs[a]) / (b - a)) for a, b in segs],
+            "penalty": beta,
+        })
+
+    return run
+
+
+def pelt_changepoints(
+    df: DataFrame,
+    value_col: str = "close",
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    penalty: float | None = None,
+    min_size: int = 2,
+    max_points: int = 200_000,
+) -> DataFrame:
+    """Exact offline multi-changepoint segmentation per series: PELT
+    (Killick et al. 2012) minimizing ``sum of segment L2 costs +
+    penalty * (#segments)`` — the batch complement to the online
+    :func:`cusum_changepoints` (CUSUM flags the FIRST shift as data
+    arrives; PELT recovers ALL mean shifts of a finished window
+    optimally). Returns one row per (series, segment): ``seg`` index,
+    ``start_ts``/``end_ts`` (inclusive), ``n_pts``, segment ``mean``,
+    and the ``penalty`` actually used.
+
+    ``penalty=None`` uses a BIC-style default ``2 * sigma^2 * log n``
+    with sigma estimated robustly from first differences (MAD) — a
+    deterministic function of the series, reproduced by the oracle.
+    NULL values/timestamps are dropped before segmentation.
+
+    Distribution contract matches the matrix profile: one grouped
+    kernel per series (O(n) memory, near-linear time thanks to PELT
+    pruning), the distribution axis is the KEY count, and a series
+    longer than ``max_points`` fails loudly rather than silently
+    serializing a giant task. Segment series at a coarser tier (the
+    rollup cascade exists for exactly this) when a key overflows."""
+    if min_size < 1:
+        raise ValueError(f"min_size must be >= 1, got {min_size}")
+    if penalty is not None and penalty < 0:
+        raise ValueError(f"penalty must be >= 0, got {penalty}")
+    pts = df.select(
+        F.col(series_col).alias("series"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("val"),
+    )
+    out_schema = (
+        f"series {df.schema[series_col].dataType.simpleString()}, "
+        f"seg int, "
+        f"start_ts {df.schema[ts_col].dataType.simpleString()}, "
+        f"end_ts {df.schema[ts_col].dataType.simpleString()}, "
+        "n_pts bigint, mean double, penalty double"
+    )
+    out = pts.groupBy("series").applyInPandas(
+        _pelt_kernel(penalty, int(min_size), int(max_points)), out_schema
+    )
+    return out.withColumnRenamed("series", series_col)
