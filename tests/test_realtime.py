@@ -1,0 +1,133 @@
+"""Real-time continuous aggregates (plans/realtime.py).
+
+Oracle: the view must equal a FULL recompute over all raw rows — built
+with the same operators but over the whole corpus in one pass (no
+committed/fresh split anywhere), plus a DuckDB recount of the seam
+bucket. The cut is chosen mid-minute so the watermark bucket is
+genuinely partial in the committed tier: the test fails if the seam
+merge double-counts or drops either side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from timeseriesvectordbpattermatcher_spark.operators.quantiles import hist_rollup
+from timeseriesvectordbpattermatcher_spark.operators.rollup import (
+    TIER_TRUNC,
+    derive_event_ts,
+    rollup_all_tiers,
+)
+from timeseriesvectordbpattermatcher_spark.plans.checkpoint import RollupJob
+from timeseriesvectordbpattermatcher_spark.plans.realtime import (
+    realtime_hist,
+    realtime_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, seqs_2k):
+    df = derive_event_ts(seqs_2k).filter(F.col("event_ts").isNotNull()).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def cut(corpus):
+    """A timestamp strictly inside a populated minute bucket, so the
+    committed watermark bucket is partial."""
+    ts = [r[0] for r in corpus.select("event_ts").orderBy("event_ts").collect()]
+    n = len(ts)
+    for i in range(int(n * 0.6), n - 1):
+        if ts[i + 1] > ts[i] and ts[i].replace(second=0) == ts[i + 1].replace(second=0):
+            return ts[i]
+    raise RuntimeError("no mid-minute cut found in corpus")
+
+
+@pytest.fixture(scope="module")
+def job(spark, corpus, cut, tmp_path_factory):
+    j = RollupJob(str(tmp_path_factory.mktemp("rt") / "job"))
+    head = corpus.filter(F.col("event_ts") <= F.lit(cut.isoformat()))
+    j.run(spark, head, quantile_hist=True)
+    return j
+
+
+def _sorted(df, cols=("source", "bucket_ts")):
+    out = df.toPandas().sort_values(list(cols)).reset_index(drop=True)
+    return out[sorted(out.columns)]
+
+
+@pytest.mark.parametrize("tier", ["1m", "1h", "1d"])
+def test_realtime_stats_equals_full_recompute(spark, corpus, job, cut, tier):
+    want = _sorted(rollup_all_tiers(corpus)[tier])
+    got = _sorted(realtime_stats(job, spark, corpus, tier=tier))
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # the committed side really is stale (cut excluded some rows), so
+    # equality above proves the fresh-tail merge did the work
+    committed = job.tables[tier].read(spark)
+    assert committed.count() <= len(want)
+    assert committed.agg(F.sum("cnt")).first()[0] < corpus.count()
+
+
+def test_seam_bucket_merges_not_duplicates(spark, corpus, job, cut):
+    """The watermark minute itself: committed holds rows <= cut, the
+    fresh tail the rest; the view's bucket must equal a DuckDB recount
+    of ALL rows in that minute (and appear exactly once)."""
+    wm_bucket = cut.replace(second=0)
+    got = (
+        realtime_stats(job, spark, corpus, tier="1m")
+        .filter(F.col("bucket_ts") == F.lit(wm_bucket.isoformat()))
+        .toPandas()
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.register(
+        "raw_rt",
+        corpus.select("source", "event_ts", "n_tok").toPandas(),
+    )
+    want = con.sql(f"""
+        SELECT source, count(*) AS cnt, sum(n_tok) AS sum_n_tok
+        FROM raw_rt
+        WHERE date_trunc('minute', event_ts) = TIMESTAMP '{wm_bucket}'
+        GROUP BY 1 ORDER BY 1
+    """).df()
+    got = got.sort_values("source").reset_index(drop=True)
+    assert not got["source"].duplicated().any()
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+    assert (got["sum_n_tok"].to_numpy() == want["sum_n_tok"].to_numpy()).all()
+    # and the committed side alone disagrees (it is genuinely partial)
+    comm = (
+        job.tables["1m"].read(spark)
+        .filter(F.col("bucket_ts") == F.lit(wm_bucket.isoformat()))
+        .toPandas()
+    )
+    assert comm["cnt"].sum() < got["cnt"].sum()
+
+
+@pytest.mark.parametrize("tier", ["1m", "1d"])
+def test_realtime_hist_equals_full_recompute(spark, corpus, job, tier):
+    keyed = corpus.withColumn(
+        "bucket_ts", F.date_trunc(TIER_TRUNC[tier], F.col("event_ts"))
+    )
+    want = hist_rollup(keyed, ["source", "bucket_ts"]).selectExpr(
+        "source", "bucket_ts", "explode_outer(hist) as (v, c)"
+    )
+    got = realtime_hist(job, spark, corpus, tier=tier).selectExpr(
+        "source", "bucket_ts", "explode_outer(hist) as (v, c)"
+    )
+    w = _sorted(want, ("source", "bucket_ts", "v"))
+    g = _sorted(got, ("source", "bucket_ts", "v"))
+    pd.testing.assert_frame_equal(g, w, check_exact=True)
+
+
+def test_realtime_before_any_commit_is_plain_rollup(spark, corpus, tmp_path):
+    empty_job = RollupJob(str(tmp_path / "fresh"))
+    got = _sorted(realtime_stats(empty_job, spark, corpus, tier="1h"))
+    want = _sorted(rollup_all_tiers(corpus)["1h"])
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    with pytest.raises(ValueError):
+        realtime_stats(empty_job, spark, corpus, tier="5m")

@@ -1,0 +1,122 @@
+"""Real-time continuous aggregates: committed tier + fresh raw tail.
+
+Between RollupJob runs the tier tables are stale: rows ingested after
+the last commit are invisible to tier readers until the next batch (or
+stream micro-batch) lands. TimescaleDB calls the fix "real-time
+continuous aggregates": a read-path view that UNIONs the materialized
+aggregate with an on-the-fly aggregation of only the raw rows past the
+materialization watermark. This module is that view for the engine's
+tiers.
+
+Exactness at the seam: the watermark bucket is typically PARTIAL in the
+committed tier (rows <= watermark) while the fresh tail holds the rest.
+Every stats column is a mergeable partial (cnt/sum/min/max/tok_* — the
+same partial->final algebra the 1h/1d cascade already uses), so merging
+``committed ∪ fresh`` per (source, bucket) with ``cascade(..., same
+tier)`` reconstructs the full bucket exactly; ``avg_n_tok`` is
+recomputed from the merged sums. The histogram plane merges the same
+way (map addition via ``hist_cascade``). Pinned in
+tests/test_realtime.py: the real-time view at ANY cut point equals a
+full recompute over all raw, bit for bit, at every tier.
+
+Scale shape: the committed side is a manifest-pruned tier read; the
+fresh side scans ONLY rows with ``event_ts`` past the TIER'S OWN
+watermark (each tier records the raw watermark it reflects, so a 1h
+view lagging the 1m table still reads the right tail) — at 10^12 rows
+that filter is the difference between a view and a full re-scan, and it
+pushes down to the raw source's time partitioning/file stats when the
+input is a SnapshotTable written by this engine. Same in-order
+assumption as ``RollupJob.run``: late rows AT or BEHIND the watermark
+are the ingestion paths' job (``run_from_snapshot`` / ``merge_into``),
+not this read's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.quantiles import hist_1m, hist_cascade
+from ..operators.rollup import TIER_TRUNC, cascade, rollup_1m
+from .checkpoint import RollupJob
+
+__all__ = ["realtime_stats", "realtime_hist"]
+
+_PARTIALS = [
+    "cnt", "sum_n_tok", "min_n_tok", "max_n_tok",
+    "tok_min", "tok_max", "tok_sum",
+]
+
+
+def _tier_watermark(job: RollupJob, plane: str, tier: str) -> str | None:
+    table = job._plane_tables[plane][tier]
+    snap = table.current_snapshot()
+    return snap.watermark if snap is not None else None
+
+
+def _fresh_tail(raw: DataFrame, wm: str | None) -> DataFrame:
+    if wm is None:
+        return raw
+    return raw.filter(F.col("event_ts") > F.lit(wm))
+
+
+def realtime_stats(
+    job: RollupJob,
+    spark: SparkSession,
+    raw: DataFrame,
+    tier: str = "1m",
+    token_engine: str = "expr",
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """The stats tier as it WOULD look if the job ran right now:
+    committed ``tier`` rows merged with a fresh rollup of raw rows past
+    that tier's watermark. Output schema matches the tier tables
+    (source, bucket_ts, cnt, sum/min/max/avg_n_tok, tok_min/max/sum).
+    ``raw`` must carry ``event_ts`` (derive_event_ts upstream)."""
+    if tier not in TIER_TRUNC:
+        raise ValueError(f"tier must be one of {sorted(TIER_TRUNC)}, got {tier!r}")
+    wm = _tier_watermark(job, "rollup", tier)
+    fresh_1m = rollup_1m(
+        _fresh_tail(raw, wm),
+        salt_buckets=salt_buckets,
+        token_engine=token_engine,
+    )
+    fresh = fresh_1m if tier == "1m" else cascade(
+        fresh_1m if tier == "1h" else cascade(fresh_1m, "1h"), tier
+    )
+    committed = job.tables[tier].read(spark)
+    if committed is None:
+        return fresh
+    parts = committed.select("source", "bucket_ts", *_PARTIALS).unionByName(
+        fresh.select("source", "bucket_ts", *_PARTIALS)
+    )
+    # cascade to the SAME tier: bucket trunc is the identity, so this is
+    # exactly the partial->final merge over the seam buckets
+    return cascade(parts, tier)
+
+
+def realtime_hist(
+    job: RollupJob,
+    spark: SparkSession,
+    raw: DataFrame,
+    tier: str = "1m",
+    value_col: str = "n_tok",
+) -> DataFrame:
+    """The histogram plane's real-time view: committed ``hist`` maps
+    merged (map addition) with a fresh build over the raw tail past the
+    hist tier's own watermark. Same seam algebra as the hist cascade,
+    so quantiles read from this view equal a full recompute."""
+    if tier not in TIER_TRUNC:
+        raise ValueError(f"tier must be one of {sorted(TIER_TRUNC)}, got {tier!r}")
+    wm = _tier_watermark(job, "hist", tier)
+    fresh_1m = hist_1m(_fresh_tail(raw, wm), value_col=value_col)
+    fresh = fresh_1m if tier == "1m" else hist_cascade(
+        fresh_1m if tier == "1h" else hist_cascade(fresh_1m, "1h"), tier
+    )
+    committed = job.hist_tables[tier].read(spark)
+    if committed is None:
+        return fresh
+    parts = committed.select("source", "bucket_ts", "hist").unionByName(
+        fresh.select("source", "bucket_ts", "hist")
+    )
+    return hist_cascade(parts, tier)
