@@ -131,3 +131,98 @@ def test_realtime_before_any_commit_is_plain_rollup(spark, corpus, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_exact=True)
     with pytest.raises(ValueError):
         realtime_stats(empty_job, spark, corpus, tier="5m")
+
+
+# ---------------- sketch planes (dds / cms / topk) ----------------
+
+from timeseriesvectordbpattermatcher_spark.plans.realtime import (  # noqa: E402
+    realtime_cms,
+    realtime_dds,
+    realtime_topk,
+)
+
+W, D, CAP = 256, 3, 6
+
+
+@pytest.fixture(scope="module")
+def job_sketch(spark, corpus, cut, tmp_path_factory):
+    j = RollupJob(str(tmp_path_factory.mktemp("rts") / "job"))
+    head = corpus.filter(F.col("event_ts") <= F.lit(cut.isoformat()))
+    j.run(spark, head, dds=True, cms=True, cms_width=W, cms_depth=D,
+          topk=True, topk_cap=CAP)
+    return j
+
+
+def _map_flat(df, col):
+    out = (
+        df.selectExpr("source", "bucket_ts", f"explode_outer({col}) as (k, c)")
+        .toPandas()
+        .sort_values(["source", "bucket_ts", "k"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def test_realtime_dds_equals_full_recompute(spark, corpus, job_sketch):
+    from timeseriesvectordbpattermatcher_spark.operators.ddsketch import (
+        dds_bucket,
+        dds_cascade,
+    )
+
+    want = _map_flat(dds_cascade(dds_bucket(corpus), "1h"), "dds")
+    got = _map_flat(realtime_dds(job_sketch, spark, corpus, tier="1h"), "dds")
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_realtime_cms_equals_full_recompute(spark, corpus, job_sketch):
+    from timeseriesvectordbpattermatcher_spark.operators.cms import cms_bucket
+
+    want = _map_flat(cms_bucket(corpus, tier="1m", width=W, depth=D), "cms")
+    got = _map_flat(
+        realtime_cms(job_sketch, spark, corpus, tier="1m", width=W, depth=D),
+        "cms",
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_realtime_topk_bounds_and_exact_regime(spark, corpus, job_sketch, duck):
+    # bounds at the build cap: est <= true <= est + hh_err everywhere
+    view = realtime_topk(job_sketch, spark, corpus, tier="1m", cap=CAP)
+    got = (
+        view.selectExpr(
+            "source", "bucket_ts", "explode(hh) as (token, est)", "hh_err"
+        ).toPandas()
+    )
+    duck.register("raw_rtk", corpus.select("source", "event_ts", "tokens").toPandas())
+    exact = duck.sql("""
+        SELECT source, bucket_ts, tok AS token, count(*) AS c FROM (
+          SELECT source, date_trunc('minute', event_ts) AS bucket_ts,
+                 unnest(tokens) AS tok FROM raw_rtk
+        ) GROUP BY 1, 2, 3
+    """).df()
+    got["bucket_ts"] = got["bucket_ts"].astype(exact["bucket_ts"].dtype)
+    m = got.merge(exact, on=["source", "bucket_ts", "token"], how="left")
+    assert m["c"].notna().all()
+    assert (m["est"] <= m["c"]).all()
+    assert (m["c"] <= m["est"] + m["hh_err"]).all()
+    # exact regime (cap >= distinct tokens): the seam adds no error and
+    # the view equals a direct build bit for bit
+    from timeseriesvectordbpattermatcher_spark.operators.heavyhitters import (
+        topk_bucket,
+    )
+
+    big_job = job_sketch  # committed summaries are CAP-compressed, so the
+    # exact-regime check must run against a job built at the big cap
+    import tempfile
+
+    j2 = RollupJob(tempfile.mkdtemp(prefix="rtk_"))
+    cut_expr = job_sketch.tables["1m"].current_snapshot().watermark
+    head = corpus.filter(F.col("event_ts") <= F.lit(cut_expr))
+    j2.run(spark, head, topk=True, topk_cap=10**6)
+    want = _map_flat(topk_bucket(corpus, cap=10**6), "hh")
+    got2 = _map_flat(realtime_topk(j2, spark, corpus, tier="1m", cap=10**6), "hh")
+    pd.testing.assert_frame_equal(
+        got2[["source", "bucket_ts", "k", "c"]],
+        want[["source", "bucket_ts", "k", "c"]],
+        check_exact=True,
+    )

@@ -40,7 +40,7 @@ from ..operators.quantiles import hist_1m, hist_cascade
 from ..operators.rollup import TIER_TRUNC, cascade, rollup_1m
 from .checkpoint import RollupJob
 
-__all__ = ["realtime_stats", "realtime_hist"]
+__all__ = ["realtime_stats", "realtime_hist", "realtime_dds", "realtime_cms", "realtime_topk"]
 
 _PARTIALS = [
     "cnt", "sum_n_tok", "min_n_tok", "max_n_tok",
@@ -120,3 +120,95 @@ def realtime_hist(
         fresh.select("source", "bucket_ts", "hist")
     )
     return hist_cascade(parts, tier)
+
+
+def realtime_dds(
+    job: RollupJob,
+    spark: SparkSession,
+    raw: DataFrame,
+    tier: str = "1m",
+    alpha: float = 0.01,
+    value_col: str = "n_tok",
+) -> DataFrame:
+    """Real-time DDSketch plane: committed sketch maps merged (count
+    addition) with a fresh build over the raw tail. ``alpha`` must be
+    the plane's build alpha — bucket keys are alpha-dependent and this
+    read cannot detect a mismatch."""
+    from ..operators.ddsketch import dds_bucket, dds_cascade
+
+    if tier not in TIER_TRUNC:
+        raise ValueError(f"tier must be one of {sorted(TIER_TRUNC)}, got {tier!r}")
+    wm = _tier_watermark(job, "dds", tier)
+    fresh_1m = dds_bucket(_fresh_tail(raw, wm), alpha=alpha, value_col=value_col)
+    fresh = fresh_1m if tier == "1m" else dds_cascade(
+        fresh_1m if tier == "1h" else dds_cascade(fresh_1m, "1h"), tier
+    )
+    committed = job.dds_tables[tier].read(spark)
+    if committed is None:
+        return fresh
+    parts = committed.select("source", "bucket_ts", "dds").unionByName(
+        fresh.select("source", "bucket_ts", "dds")
+    )
+    return dds_cascade(parts, tier)
+
+
+def realtime_cms(
+    job: RollupJob,
+    spark: SparkSession,
+    raw: DataFrame,
+    tier: str = "1m",
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Real-time Count-Min plane: cell addition over committed + fresh.
+    ``width``/``depth`` must match the plane's build config (the
+    cascade's stride widening protects against collisions but the
+    estimates only carry the build's error bound)."""
+    from ..operators.cms import cms_bucket, cms_cascade
+
+    if tier not in TIER_TRUNC:
+        raise ValueError(f"tier must be one of {sorted(TIER_TRUNC)}, got {tier!r}")
+    wm = _tier_watermark(job, "cms", tier)
+    fresh_1m = cms_bucket(_fresh_tail(raw, wm), width=width, depth=depth)
+    fresh = fresh_1m if tier == "1m" else cms_cascade(
+        fresh_1m if tier == "1h" else cms_cascade(fresh_1m, "1h", width=width, depth=depth),
+        tier, width=width, depth=depth,
+    )
+    committed = job.cms_tables[tier].read(spark)
+    if committed is None:
+        return fresh
+    parts = committed.select("source", "bucket_ts", "cms").unionByName(
+        fresh.select("source", "bucket_ts", "cms")
+    )
+    return cms_cascade(parts, tier, width=width, depth=depth)
+
+
+def realtime_topk(
+    job: RollupJob,
+    spark: SparkSession,
+    raw: DataFrame,
+    tier: str = "1m",
+    cap: int = 64,
+) -> DataFrame:
+    """Real-time heavy-hitter plane: counter addition + one re-compress
+    over committed + fresh (the standard mergeable-summaries merge, so
+    the est <= true <= est + hh_err bound still holds — the seam merge
+    may add one more compression's worth of ``hh_err`` vs a batch
+    rebuild, which the bound accounts for)."""
+    from ..operators.heavyhitters import topk_bucket, topk_cascade
+
+    if tier not in TIER_TRUNC:
+        raise ValueError(f"tier must be one of {sorted(TIER_TRUNC)}, got {tier!r}")
+    wm = _tier_watermark(job, "topk", tier)
+    fresh_1m = topk_bucket(_fresh_tail(raw, wm), cap=cap)
+    fresh = fresh_1m if tier == "1m" else topk_cascade(
+        fresh_1m if tier == "1h" else topk_cascade(fresh_1m, "1h", cap=cap),
+        tier, cap=cap,
+    )
+    committed = job.topk_tables[tier].read(spark)
+    if committed is None:
+        return fresh
+    parts = committed.select(
+        "source", "bucket_ts", "hh", "hh_err", "hh_n"
+    ).unionByName(fresh.select("source", "bucket_ts", "hh", "hh_err", "hh_n"))
+    return topk_cascade(parts, tier, cap=cap)
