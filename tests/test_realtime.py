@@ -226,3 +226,97 @@ def test_realtime_topk_bounds_and_exact_regime(spark, corpus, job_sketch, duck):
         want[["source", "bucket_ts", "k", "c"]],
         check_exact=True,
     )
+
+
+# ---------------- bridge planes (tw / distinct / hb) ----------------
+
+from timeseriesvectordbpattermatcher_spark.plans.realtime import (  # noqa: E402
+    realtime_distinct,
+    realtime_hb,
+    realtime_tw,
+)
+
+LGK, HB_PERIOD = 12, 120.0
+
+
+@pytest.fixture(scope="module")
+def job_bridge(spark, corpus, cut, tmp_path_factory):
+    j = RollupJob(str(tmp_path_factory.mktemp("rtb") / "job"))
+    head = corpus.filter(F.col("event_ts") <= F.lit(cut.isoformat()))
+    j.run(spark, head, time_weight=True, distinct=True, distinct_lgk=LGK,
+          heartbeat=True, hb_period_sec=HB_PERIOD)
+    return j
+
+
+@pytest.mark.parametrize("tier", ["1m", "1h"])
+def test_realtime_tw_equals_full_recompute(spark, corpus, job_bridge, tier):
+    """Bitwise on this int-valued second-aligned corpus: every segment
+    area is an integer-valued double, so addition order (committed +
+    fresh + seam bridge vs one pass) cannot differ."""
+    from timeseriesvectordbpattermatcher_spark.operators.timeweight import (
+        time_weight_bucket,
+        time_weight_cascade,
+    )
+
+    pts = corpus.groupBy("source", "event_ts").agg(F.max("n_tok").alias("_twv"))
+    direct_1m = time_weight_bucket(pts, tier="1m", val_col="_twv")
+    want_df = direct_1m if tier == "1m" else time_weight_cascade(direct_1m, tier)
+    want = _sorted(want_df)
+    got = _sorted(realtime_tw(job_bridge, spark, corpus, tier=tier))
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # committed side genuinely stale
+    assert job_bridge.tw_tables[tier].read(spark).agg(F.sum("n")).first()[0] < \
+        pts.count()
+
+
+def test_realtime_hb_equals_full_recompute(spark, corpus, job_bridge):
+    from timeseriesvectordbpattermatcher_spark.operators.stateagg import (
+        heartbeat_bucket,
+        heartbeat_cascade,
+    )
+
+    want = _sorted(
+        heartbeat_cascade(heartbeat_bucket(corpus, HB_PERIOD, tier="1m"), "1h")
+    )
+    got = _sorted(realtime_hb(job_bridge, spark, corpus, tier="1h",
+                              period_sec=HB_PERIOD))
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_realtime_distinct_within_published_bound(spark, corpus, job_bridge, duck):
+    from timeseriesvectordbpattermatcher_spark.operators.distinct import (
+        distinct_estimate,
+    )
+
+    got = distinct_estimate(
+        realtime_distinct(job_bridge, spark, corpus, tier="1h", lgk=LGK)
+    ).toPandas()
+    duck.register("raw_rd", corpus.select("source", "event_ts", "doc_id").toPandas())
+    want = duck.sql("""
+        SELECT source, date_trunc('hour', event_ts) AS bucket_ts,
+               count(DISTINCT doc_id) AS d
+        FROM raw_rd GROUP BY 1, 2
+    """).df()
+    got["bucket_ts"] = got["bucket_ts"].astype(want["bucket_ts"].dtype)
+    m = got.merge(want, on=["source", "bucket_ts"])
+    assert len(m) == len(want)
+    rse = 1.04 / (2 ** (LGK / 2))
+    bad = (m["approx_distinct"] - m["d"]).abs() > 5 * rse * m["d"] + 1
+    assert not bad.any(), m[bad]
+
+
+def test_same_tier_cascade_on_full_buckets_is_identity(spark, corpus):
+    """The relaxed guard: cascading a tier onto ITSELF with one complete
+    summary per bucket must return the same rows (no partials to merge,
+    no spurious bridges)."""
+    from timeseriesvectordbpattermatcher_spark.operators.timeweight import (
+        time_weight_bucket,
+        time_weight_cascade,
+    )
+
+    pts = corpus.groupBy("source", "event_ts").agg(F.max("n_tok").alias("_twv"))
+    t1m = time_weight_bucket(pts, tier="1m", val_col="_twv")
+    again = time_weight_cascade(t1m, "1m", from_tier="1m")
+    pd.testing.assert_frame_equal(_sorted(again), _sorted(t1m), check_exact=True)
+    with pytest.raises(ValueError, match="coarsen"):
+        time_weight_cascade(t1m, "1m", from_tier="1h")

@@ -71,7 +71,8 @@ def distinct_cascade(
     associative and overlap-correct by construction."""
     if from_tier not in TIER_TRUNC or to_tier not in TIER_TRUNC:
         raise ValueError(f"tiers must be in {list(TIER_TRUNC)}")
-    if TIER_ORDER.index(to_tier) <= TIER_ORDER.index(from_tier):
+    if TIER_ORDER.index(to_tier) < TIER_ORDER.index(from_tier):
+        # equal tiers = same-bucket partial merge (real-time seam read)
         raise ValueError(f"cascade must coarsen: {from_tier} -> {to_tier}")
     return (
         sketches.withColumn(

@@ -133,7 +133,7 @@ def state_cascade(
     no reading lies between them, by construction)."""
     _check_tiers(from_tier, to_tier)
     coarse = F.date_trunc(TIER_TRUNC[to_tier], F.col("bucket_ts"))
-    w = Window.partitionBy(key_col, "_coarse").orderBy("bucket_ts")
+    w = Window.partitionBy(key_col, "_coarse").orderBy("bucket_ts", "first")
     nxt_first = F.lead("first").over(w)
     bridge = F.when(
         nxt_first.isNotNull(),

@@ -77,9 +77,13 @@ def _check_method(method: str) -> None:
 
 
 def _check_tiers(from_tier: str, to_tier: str) -> None:
+    # equal tiers are allowed: the bucket trunc is then the identity and the
+    # cascade becomes a same-bucket PARTIAL merge — the seam operation the
+    # real-time views (plans/realtime.py) rely on. Only strictly finer
+    # targets are rejected.
     if from_tier not in TIER_TRUNC or to_tier not in TIER_TRUNC:
         raise ValueError(f"tiers must be in {list(TIER_TRUNC)}")
-    if TIER_ORDER.index(to_tier) <= TIER_ORDER.index(from_tier):
+    if TIER_ORDER.index(to_tier) < TIER_ORDER.index(from_tier):
         raise ValueError(f"cascade must coarsen: {from_tier} -> {to_tier}")
 
 
@@ -155,7 +159,7 @@ def time_weight_cascade(
     _check_method(method)
     _check_tiers(from_tier, to_tier)
     coarse = F.date_trunc(TIER_TRUNC[to_tier], F.col("bucket_ts"))
-    w = Window.partitionBy(key_col, "_coarse").orderBy("bucket_ts")
+    w = Window.partitionBy(key_col, "_coarse").orderBy("bucket_ts", "first")
     stepped = tw.withColumn("_coarse", coarse).withColumn(
         "_bridge",
         F.when(
@@ -310,7 +314,7 @@ def counter_cascade(
     the boundary-crossing segment between consecutive fine buckets."""
     _check_tiers(from_tier, to_tier)
     coarse = F.date_trunc(TIER_TRUNC[to_tier], F.col("bucket_ts"))
-    w = Window.partitionBy(key_col, "_coarse").orderBy("bucket_ts")
+    w = Window.partitionBy(key_col, "_coarse").orderBy("bucket_ts", "first")
     nxt_first = F.lead("first").over(w)
     last_val = F.col("last")["val"]
     bridge_inc = F.when(

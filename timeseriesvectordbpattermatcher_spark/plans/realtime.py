@@ -40,7 +40,7 @@ from ..operators.quantiles import hist_1m, hist_cascade
 from ..operators.rollup import TIER_TRUNC, cascade, rollup_1m
 from .checkpoint import RollupJob
 
-__all__ = ["realtime_stats", "realtime_hist", "realtime_dds", "realtime_cms", "realtime_topk"]
+__all__ = ["realtime_stats", "realtime_hist", "realtime_dds", "realtime_cms", "realtime_topk", "realtime_tw", "realtime_distinct", "realtime_hb"]
 
 _PARTIALS = [
     "cnt", "sum_n_tok", "min_n_tok", "max_n_tok",
@@ -212,3 +212,105 @@ def realtime_topk(
         "source", "bucket_ts", "hh", "hh_err", "hh_n"
     ).unionByName(fresh.select("source", "bucket_ts", "hh", "hh_err", "hh_n"))
     return topk_cascade(parts, tier, cap=cap)
+
+
+def realtime_tw(
+    job: RollupJob,
+    spark: SparkSession,
+    raw: DataFrame,
+    tier: str = "1m",
+    method: str = "locf",
+    val_col: str = "n_tok",
+) -> DataFrame:
+    """Real-time time-weight plane. The seam is EXACT here too: the
+    same-tier merge (cascade with identity bucket trunc, partials
+    ordered by their own first point) re-adds the bridge segment from
+    the committed partial's last reading to the fresh tail's first —
+    precisely the raw segment that crossed the watermark. Replicates
+    the job plane's per-instant ``max`` collapse so the view matches
+    what a batch run would commit."""
+    from ..operators.timeweight import time_weight_bucket, time_weight_cascade
+
+    if tier not in TIER_TRUNC:
+        raise ValueError(f"tier must be one of {sorted(TIER_TRUNC)}, got {tier!r}")
+    wm = _tier_watermark(job, "tw", tier)
+    pts = (
+        _fresh_tail(raw, wm)
+        .groupBy("source", "event_ts")
+        .agg(F.max(val_col).alias("_twv"))
+    )
+    fresh_1m = time_weight_bucket(pts, tier="1m", val_col="_twv", method=method)
+    fresh = fresh_1m if tier == "1m" else time_weight_cascade(
+        fresh_1m if tier == "1h" else time_weight_cascade(
+            fresh_1m, "1h", method=method
+        ),
+        tier, from_tier="1h", method=method,
+    )
+    committed = job.tw_tables[tier].read(spark)
+    if committed is None:
+        return fresh
+    parts = committed.select(
+        "source", "bucket_ts", "first", "last", "area", "n"
+    ).unionByName(fresh.select("source", "bucket_ts", "first", "last", "area", "n"))
+    return time_weight_cascade(parts, tier, from_tier=tier, method=method)
+
+
+def realtime_distinct(
+    job: RollupJob,
+    spark: SparkSession,
+    raw: DataFrame,
+    tier: str = "1m",
+    col: str = "doc_id",
+    lgk: int = 12,
+) -> DataFrame:
+    """Real-time HLL distinct plane: register-max union of committed and
+    fresh sketches — union is overlap-correct, so even a value seen on
+    both sides of the watermark counts once."""
+    from ..operators.distinct import distinct_bucket, distinct_cascade
+
+    if tier not in TIER_TRUNC:
+        raise ValueError(f"tier must be one of {sorted(TIER_TRUNC)}, got {tier!r}")
+    wm = _tier_watermark(job, "distinct", tier)
+    fresh_1m = distinct_bucket(_fresh_tail(raw, wm), col=col, tier="1m", lgk=lgk)
+    fresh = fresh_1m if tier == "1m" else distinct_cascade(
+        fresh_1m if tier == "1h" else distinct_cascade(fresh_1m, "1h"),
+        tier, from_tier="1h",
+    )
+    committed = job.distinct_tables[tier].read(spark)
+    if committed is None:
+        return fresh
+    parts = committed.select("source", "bucket_ts", "dsk").unionByName(
+        fresh.select("source", "bucket_ts", "dsk")
+    )
+    return distinct_cascade(parts, tier, from_tier=tier)
+
+
+def realtime_hb(
+    job: RollupJob,
+    spark: SparkSession,
+    raw: DataFrame,
+    tier: str = "1m",
+    period_sec: float = 120.0,
+) -> DataFrame:
+    """Real-time heartbeat plane: island interval-union over committed +
+    fresh — associative and order-free, so the seam (an island spanning
+    the watermark) merges exactly."""
+    from ..operators.stateagg import heartbeat_bucket, heartbeat_cascade
+
+    if tier not in TIER_TRUNC:
+        raise ValueError(f"tier must be one of {sorted(TIER_TRUNC)}, got {tier!r}")
+    wm = _tier_watermark(job, "hb", tier)
+    fresh_1m = heartbeat_bucket(_fresh_tail(raw, wm), period_sec, tier="1m")
+    fresh = fresh_1m if tier == "1m" else heartbeat_cascade(
+        fresh_1m if tier == "1h" else heartbeat_cascade(fresh_1m, "1h"),
+        tier, from_tier="1h",
+    )
+    committed = job.hb_tables[tier].read(spark)
+    if committed is None:
+        return fresh
+    parts = committed.select(
+        "source", "bucket_ts", "first_hb", "last_hb", "live", "n"
+    ).unionByName(
+        fresh.select("source", "bucket_ts", "first_hb", "last_hb", "live", "n")
+    )
+    return heartbeat_cascade(parts, tier, from_tier=tier)
