@@ -281,9 +281,10 @@ def test_cap_validation(spark):
         topk_bucket(df, tier="5m")
 
 
-def test_build_plan_two_exchanges(spark):
-    """Build = explode + two hash aggs (token counts, map rebuild); the
-    compression is a pure projection — no further Exchange, no UDF."""
+def test_build_plan_shapes(spark):
+    """expr: explode + two hash aggs (2 Exchanges, compression a pure
+    projection). arrow (default): ONE co-locating Exchange feeding the
+    accumulating kernel — no per-token shuffle exists in the plan."""
     pdf = pd.DataFrame(
         {
             "source": ["a"],
@@ -294,12 +295,45 @@ def test_build_plan_two_exchanges(spark):
     df = spark.createDataFrame(
         pdf, "source string, event_ts timestamp, tokens array<int>"
     )
-    plan = (
-        topk_bucket(df, cap=CAP)
+    expr_plan = (
+        topk_bucket(df, cap=CAP, engine="expr")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("Exchange") == 2, plan
-    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert expr_plan.count("Exchange") == 2, expr_plan
+    assert "BatchEvalPython" not in expr_plan and "MapInPandas" not in expr_plan
+    arrow_plan = (
+        topk_bucket(df, cap=CAP, engine="arrow")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert arrow_plan.count("Exchange") == 1, arrow_plan
+    assert "MapInArrow" in arrow_plan, arrow_plan
+
+
+def test_engine_parity_expr_vs_arrow(seqs):
+    """The arrow build (deployment default) is summary-for-summary
+    identical to the expr plan — exact counts are unique per bucket, so
+    the compressed result cannot depend on physical layout. Transitively
+    extends the python-oracle bit-exact pin to both engines."""
+    e = engine_flat(topk_bucket(seqs, cap=CAP, engine="expr"))
+    a = engine_flat(topk_bucket(seqs, cap=CAP, engine="arrow"))
+    pd.testing.assert_frame_equal(a, e, check_exact=True)
+
+
+def test_arrow_engine_null_and_empty_rows(spark):
+    pdf = pd.DataFrame(
+        {
+            "source": ["a", "a", "b", "b"],
+            "event_ts": pd.to_datetime(["2024-01-01 00:00:05"] * 4),
+            "tokens": [[1, 1, 2], [], None, None],
+        }
+    )
+    df = spark.createDataFrame(
+        pdf, "source string, event_ts timestamp, tokens array<int>"
+    )
+    rows = {r["source"]: r for r in topk_bucket(df, cap=CAP, engine="arrow").collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["b"]["hh"] == {} and rows["b"]["hh_err"] == 0 and rows["b"]["hh_n"] == 0
+    assert rows["a"]["hh"] == {1: 2, 2: 1} and rows["a"]["hh_n"] == 3
 
 
 def test_wide_map_compression_stays_fast(spark):

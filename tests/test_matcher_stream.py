@@ -141,3 +141,53 @@ def test_matcher_sink_validates_modes(spark, tmp_path):
         matcher_sink(results)
     with pytest.raises(ValueError):
         matcher_sink(results, refs=spark.range(1), index_table=results)
+
+
+def test_stream_matcher_dtw_equals_batch(spark, tmp_path, refs_and_queries):
+    """dtw_refs mode: streamed micro-batches produce exactly the batch
+    dtw_topk result over the same queries (elastic matcher parity)."""
+    from timeseriesvectordbpattermatcher_spark.operators.dtw import dtw_topk
+
+    refs, qsegs = refs_and_queries
+    drefs = refs.select(
+        F.col("segment_id").alias("ref_id"), F.col("features").alias("vec")
+    ).localCheckpoint(eager=True)
+    inbox = _stream_queries(spark, tmp_path, qsegs)
+    results = SnapshotTable(str(tmp_path / "dtw_res"))
+    sink = matcher_sink(
+        results, dtw_refs=drefs, k=5, dtw_band=6,
+        query_id="query_id", query_vec="q_features",
+        ref_id="ref_id", ref_vec="vec",
+    )
+    _run_stream(
+        spark, inbox, str(tmp_path / "dtw_ckpt"), sink,
+        qsegs.schema,
+    )
+    got = (
+        read_matches(spark, results)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    want = (
+        dtw_topk(
+            qsegs, drefs, k=5, band=6,
+            query_id="query_id", query_vec="q_features",
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [
+        (r["query_id"], r["ref_id"], r["rank"]) for r in got
+    ] == [(r["query_id"], r["ref_id"], r["rank"]) for r in want]
+    assert all(
+        abs(g["dtw"] - w["dtw"]) < 1e-9 for g, w in zip(got, want)
+    )
+
+
+def test_matcher_sink_rejects_two_modes(spark, tmp_path, refs_and_queries):
+    refs, _ = refs_and_queries
+    results = SnapshotTable(str(tmp_path / "two_modes"))
+    with pytest.raises(ValueError, match="exactly one"):
+        matcher_sink(results, refs=refs, dtw_refs=refs)
+    with pytest.raises(ValueError, match="exactly one"):
+        matcher_sink(results)

@@ -115,6 +115,126 @@ def compress_summary(
     )
 
 
+def _topk_build_kernel(cap: int, out_names: list[str]):
+    """Accumulating mapInArrow kernel: co-located (key, bucket_ts,
+    tokens) partitions -> complete compressed summaries. Exact
+    (bucket, token) counts are accumulated with a lexsort run-length
+    pass per batch (no dense grid — tokens are unbounded ids, unlike
+    CMS cells), segments merged at emit, then the MG compress runs in
+    numpy. Same deterministic result as the expr engine — exact counts
+    are unique per bucket, so partition layout cannot show."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        order: list[tuple] = []
+        segs: dict[tuple, list] = {}
+        key_type = ts_type = None
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            keyarr, tsarr, toks = b.column(0), b.column(1), b.column(2)
+            if key_type is None:
+                key_type, ts_type = keyarr.type, tsarr.type
+            key_py = keyarr.to_pylist()
+            ts_py = tsarr.cast("int64").to_pylist()
+            pairs = pd.Series(list(zip(key_py, ts_py)))
+            codes, uniq = pd.factorize(pairs, use_na_sentinel=False)
+            offs = np.asarray(toks.offsets, dtype=np.int64)
+            raw_len = offs[1:] - offs[:-1]
+            null_list = np.asarray(toks.is_null(), dtype=bool)
+            eff_len = np.where(null_list, 0, raw_len)
+            sel = np.repeat(~null_list, raw_len)
+            vals = np.asarray(toks.values.cast("int64"), dtype=np.int64)[
+                offs[0]: offs[-1]
+            ][sel]
+            val_null = np.asarray(toks.values.is_null(), dtype=bool)[
+                offs[0]: offs[-1]
+            ][sel]
+            rep = np.repeat(codes.astype(np.int64), eff_len)
+            if val_null.any():  # null elements count nowhere (expr parity)
+                keep = ~val_null
+                vals, rep = vals[keep], rep[keep]
+            if len(vals):
+                o = np.lexsort((vals, rep))
+                rs, vs = rep[o], vals[o]
+                first = np.ones(len(vs), dtype=bool)
+                first[1:] = (vs[1:] != vs[:-1]) | (rs[1:] != rs[:-1])
+                starts = np.flatnonzero(first)
+                cnts = np.diff(np.append(starts, len(vs))).astype(np.int64)
+                g_of, v_of = rs[starts], vs[starts]
+            else:
+                g_of = np.empty(0, dtype=np.int64)
+                v_of = np.empty(0, dtype=np.int64)
+                cnts = np.empty(0, dtype=np.int64)
+            bounds = np.searchsorted(g_of, np.arange(len(uniq) + 1))
+            for g, pair in enumerate(uniq):
+                seg = (v_of[bounds[g]: bounds[g + 1]],
+                       cnts[bounds[g]: bounds[g + 1]])
+                if pair in segs:
+                    segs[pair].append(seg)
+                else:
+                    order.append(pair)
+                    segs[pair] = [seg]
+        if not order:
+            return
+        keys_out, ts_out, errs, ns = [], [], [], []
+        map_offsets = [0]
+        toks_all, cnts_all = [], []
+        total = 0
+        for pair in order:
+            ss = segs[pair]
+            if len(ss) == 1:
+                t, c = ss[0]
+            else:  # bucket straddled an Arrow batch boundary: re-merge
+                t = np.concatenate([s[0] for s in ss])
+                c = np.concatenate([s[1] for s in ss])
+                o = np.argsort(t, kind="stable")
+                t, c = t[o], c[o]
+                first = np.ones(len(t), dtype=bool)
+                first[1:] = t[1:] != t[:-1]
+                starts = np.flatnonzero(first)
+                c = np.add.reduceat(c, starts) if len(t) else c
+                t = t[starts]
+            n_tot = int(c.sum())
+            if len(t) > cap:
+                by_desc = np.lexsort((t, -c))
+                thr = int(c[by_desc[cap]])
+                keep = c > thr
+                t, c = t[keep], c[keep] - thr
+            else:
+                thr = 0
+            keys_out.append(pair[0])
+            ts_out.append(pair[1])
+            errs.append(thr)
+            ns.append(n_tot)
+            total += len(t)
+            toks_all.append(t)
+            cnts_all.append(c)
+            map_offsets.append(total)
+        flat_t = np.concatenate(toks_all) if toks_all else np.empty(0, np.int64)
+        flat_c = np.concatenate(cnts_all) if cnts_all else np.empty(0, np.int64)
+        maps = pa.MapArray.from_arrays(
+            pa.array(map_offsets, pa.int32()),
+            pa.array(flat_t.astype(np.int32), pa.int32()),
+            pa.array(flat_c, pa.int64()),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(keys_out, key_type),
+                pa.array(ts_out, pa.int64()).cast(ts_type),
+                maps,
+                pa.array(errs, pa.int64()),
+                pa.array(ns, pa.int64()),
+            ],
+            names=out_names,
+        )
+
+    return gen
+
+
 def topk_bucket(
     df: DataFrame,
     tier: str = "1m",
@@ -122,6 +242,8 @@ def topk_bucket(
     key_col: str = "source",
     ts_col: str = "event_ts",
     tokens_col: str = "tokens",
+    engine: str = "auto",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Finest heavy-hitter tier: (key, bucket_ts) -> ``hh`` (<= cap-entry
     Misra-Gries map over the bucket's token occurrences) + ``hh_err``
@@ -131,11 +253,50 @@ def topk_bucket(
 
     Buckets whose rows carry only NULL/empty arrays survive with an empty
     map (explode_outer + NULL-guarded struct, the histogram-plane rule),
-    so cascade merges never see missing groups."""
+    so cascade merges never see missing groups.
+
+    Two parity-pinned physical engines (``auto`` = arrow):
+
+    - ``expr``: explode + two hash aggs. Fine at test scale, but the
+      first shuffle keys EVERY token occurrence by (key, bucket, token)
+      — when per-task key cardinality outgrows the hash-agg memory the
+      partial combine degrades to a sort-based spill of near-raw volume
+      (measured: a 20M-row/5.4B-token build spilled past 60 GB of local
+      disk — the same pathology the CMS plane hit).
+    - ``arrow``: ONE co-locating repartition on (key, bucket_ts) + an
+      accumulating ``mapInArrow`` kernel (numpy lexsort run-length
+      counts, MG compress at emit). The only Exchange carries the raw
+      rows themselves; nothing per-token ever shuffles. Token ids must
+      fit int32 (vocab ids; the map key type both engines share)."""
     if tier not in TIER_TRUNC:
         raise ValueError(f"tier must be one of {sorted(TIER_TRUNC)}, got {tier!r}")
     _check_cap(cap)
+    if engine not in ("auto", "expr", "arrow"):
+        raise ValueError(f"engine must be auto|expr|arrow, got {engine!r}")
     bucket = F.date_trunc(TIER_TRUNC[tier], F.col(ts_col)).alias("bucket_ts")
+    if (engine if engine != "auto" else "arrow") == "arrow":
+        from pyspark.sql import types as T
+
+        pre = df.select(F.col(key_col), bucket, F.col(tokens_col).alias("_tk"))
+        if num_partitions is None:
+            sess = pre.sparkSession
+            num_partitions = 8 * int(
+                sess.conf.get("spark.sql.shuffle.partitions")
+            )
+        pre = pre.repartition(num_partitions, F.col(key_col), F.col("bucket_ts"))
+        schema = T.StructType(
+            [
+                pre.schema[key_col],
+                T.StructField("bucket_ts", pre.schema["bucket_ts"].dataType),
+                T.StructField(
+                    "hh", T.MapType(T.IntegerType(), T.LongType(), False)
+                ),
+                T.StructField("hh_err", T.LongType()),
+                T.StructField("hh_n", T.LongType()),
+            ]
+        )
+        names = [key_col, "bucket_ts", "hh", "hh_err", "hh_n"]
+        return pre.mapInArrow(_topk_build_kernel(cap, names), schema=schema)
     ex = df.select(
         F.col(key_col), bucket, F.explode_outer(tokens_col).alias("_hv")
     )

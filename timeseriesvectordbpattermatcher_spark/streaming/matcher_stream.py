@@ -25,9 +25,12 @@ def matcher_sink(
     results_table,
     refs: DataFrame | None = None,
     index_table=None,
+    dtw_refs: DataFrame | None = None,
     k: int | None = None,
     strategy: str = "auto",
     nprobe: int = 4,
+    dtw_band: int = 8,
+    dtw_znorm: bool = True,
     run_prefix: str = "match",
     query_id: str = "query_id",
     query_vec: str = "q_features",
@@ -46,14 +49,20 @@ def matcher_sink(
       each batch probes only its ``nprobe`` lists' files (raw cosine
       top-k, no E2 filters; the batch carries (query_id, <query_vec>)).
       A rebuild of the index between batches is picked up atomically.
+    - ``dtw_refs``: a static reference-segment DataFrame matched by
+      banded DTW (operators/dtw.py — exact elastic top-k with LB_Keogh
+      pruning, ``dtw_band``/``dtw_znorm``); extra kwargs flow to
+      ``dtw_topk`` (e.g. ``ref_id``/``ref_vec`` column names). The
+      bounded-ref broadcast contract applies per batch.
 
     Results land one ``_batch=<id>`` partition per micro-batch with the
     standard replay guard (a replayed batch is skipped; its commit already
     published). ``fold_stream_batches`` + ``vacuum`` maintain the results
     table like any other streaming sink output.
     """
-    if (refs is None) == (index_table is None):
-        raise ValueError("pass exactly one of refs / index_table")
+    n_modes = sum(x is not None for x in (refs, index_table, dtw_refs))
+    if n_modes != 1:
+        raise ValueError("pass exactly one of refs / index_table / dtw_refs")
 
     def _last(table) -> int:
         snap = table.current_snapshot()
@@ -76,6 +85,14 @@ def matcher_sink(
                 kw["k"] = k
             out = match_pipeline(
                 batch_df, refs, strategy=strategy, store_dir=store_dir, **kw
+            )
+        elif dtw_refs is not None:
+            from ..operators.dtw import dtw_topk
+
+            out = dtw_topk(
+                batch_df, dtw_refs, k=k or 20, band=dtw_band,
+                znorm=dtw_znorm, query_id=query_id, query_vec=query_vec,
+                **pipeline_kw,
             )
         else:
             from ..operators.similarity import ivf_probe_index
