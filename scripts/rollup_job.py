@@ -101,6 +101,16 @@ def main() -> int:
                          "N/(cap+1)")
     ap.add_argument("--cms-depth", type=int, default=4,
                     help="CMS hash rows (failure prob e^-depth)")
+    ap.add_argument("--stats2", action="store_true",
+                    help="maintain mergeable regression/correlation moment "
+                         "tiers (stats2_{1m,1h,1d}; operators/stats2d.py) — "
+                         "per-bucket slope/corr/r2/skew reads at any tier "
+                         "without rescanning raw")
+    ap.add_argument("--stats2-y", default="n_tok",
+                    help="dependent variable column for --stats2")
+    ap.add_argument("--stats2-x", default=None,
+                    help="independent variable column for --stats2 "
+                         "(default: time since the grid origin)")
     ap.add_argument("--target-file-rows", type=int, default=0,
                     help="fan fat 1m partitions out range-clustered on "
                          "bucket_ts (parallel writes + per-file time stats "
@@ -141,6 +151,9 @@ def main() -> int:
         cms_depth=args.cms_depth,
         topk=args.topk,
         topk_cap=args.topk_cap,
+        stats2=args.stats2,
+        stats2_y=args.stats2_y,
+        stats2_x=args.stats2_x,
     )
     job = RollupJob(args.output)
     if args.input_snapshot:
@@ -181,6 +194,7 @@ def main() -> int:
         (args.dds, "dds", job.dds_tables),
         (args.cms, "cms", job.cms_tables),
         (args.topk, "topk", job.topk_tables),
+        (args.stats2, "stats2", job.stats2_tables),
     ):
         if flag:
             plane_counts[plane] = {

@@ -66,6 +66,11 @@ class RollupJob:
         self.topk_tables = {
             t: SnapshotTable(os.path.join(base_dir, f"topk_{t}")) for t in TIERS
         }
+        # - stats2: mergeable 1-D/2-D regression moment sums
+        #   (operators/stats2d.py)
+        self.stats2_tables = {
+            t: SnapshotTable(os.path.join(base_dir, f"stats2_{t}")) for t in TIERS
+        }
         self._plane_tables = {
             "rollup": self.tables,
             "hist": self.hist_tables,
@@ -75,6 +80,7 @@ class RollupJob:
             "dds": self.dds_tables,
             "cms": self.cms_tables,
             "topk": self.topk_tables,
+            "stats2": self.stats2_tables,
         }
         self.audit = AuditLog(os.path.join(base_dir, "audit"))
 
@@ -144,6 +150,9 @@ class RollupJob:
         cms_depth=4,
         topk=False,
         topk_cap=64,
+        stats2=False,
+        stats2_y="n_tok",
+        stats2_x=None,
     ) -> list:
         """(plane, build_1m(affected_raw) -> df) for every enabled plane —
         order fixed so fail_after hooks stay deterministic. Shared by the
@@ -195,6 +204,14 @@ class RollupJob:
 
             return topk_bucket(raw, tier="1m", cap=topk_cap)
 
+        def _build_stats2(raw):
+            from ..operators.stats2d import stats2_bucket
+
+            return stats2_bucket(
+                raw, tier="1m", y_col=stats2_y, x_col=stats2_x,
+                salt_buckets=salt_buckets,
+            )
+
         planes = [("rollup", _build_rollup)]
         if quantile_hist:
             planes.append(("hist", _build_hist))
@@ -210,6 +227,8 @@ class RollupJob:
             planes.append(("cms", _build_cms))
         if topk:
             planes.append(("topk", _build_topk))
+        if stats2:
+            planes.append(("stats2", _build_stats2))
         return planes
 
     def run(
@@ -239,6 +258,9 @@ class RollupJob:
         cms_depth: int = 4,
         topk: bool = False,
         topk_cap: int = 64,
+        stats2: bool = False,
+        stats2_y: str = "n_tok",
+        stats2_x: str | None = None,
     ) -> dict[str, DataFrame | None]:
         """Incremental run. ``seqs_ts`` must carry event_ts (derive_event_ts).
         ``salt_buckets`` enables the two-phase salted 1m aggregation for
@@ -288,7 +310,11 @@ class RollupJob:
           ``tokens`` arrays (operators/heavyhitters.py) — the top-k
           ENUMERATION read CMS point queries can't give, <= ``topk_cap``
           entries per bucket with the per-token overcount bound carried
-          as ``hh_err`` (est <= true <= est + hh_err at every tier)."""
+          as ``hh_err`` (est <= true <= est + hh_err at every tier).
+        - ``stats2``: mergeable regression/correlation moment sums of
+          ``stats2_y`` against ``stats2_x`` (None = time since the grid
+          origin) per bucket (operators/stats2d.py) — per-tier slope /
+          corr / r2 / skew reads without rescanning raw."""
         run_id = run_id or uuid.uuid4().hex[:12]
         t0 = time.time()
 
@@ -312,6 +338,9 @@ class RollupJob:
             cms_depth=cms_depth,
             topk=topk,
             topk_cap=topk_cap,
+            stats2=stats2,
+            stats2_y=stats2_y,
+            stats2_x=stats2_x,
         )
 
         wms = {}
@@ -365,7 +394,7 @@ class RollupJob:
                          fail_after=fail_after, quantile_hist=quantile_hist,
                          time_weight=time_weight, tw_method=tw_method,
                          distinct=distinct, heartbeat=heartbeat, dds=dds,
-                         cms=cms, topk=topk, topk_cap=topk_cap)
+                         cms=cms, topk=topk, topk_cap=topk_cap, stats2=stats2)
 
         return {t: self.tables[t].read(spark) for t in TIERS}
 
@@ -461,6 +490,7 @@ class RollupJob:
             cms=plane_opts.get("cms", False),
             topk=plane_opts.get("topk", False),
             topk_cap=plane_opts.get("topk_cap", 64),
+            stats2=plane_opts.get("stats2", False),
         )
         return {t: self.tables[t].read(spark) for t in TIERS}
 
@@ -551,6 +581,7 @@ class RollupJob:
         cms: bool = False,
         topk: bool = False,
         topk_cap: int = 64,
+        stats2: bool = False,
     ) -> None:
         """Cascade the 1h/1d tiers from whatever the 1m snapshot table
         currently holds — shared by batch runs (``run``) and by streaming
@@ -620,6 +651,16 @@ class RollupJob:
                     "topk",
                     self.topk_tables,
                     lambda df, t, s: topk_cascade(df, t, cap=topk_cap),
+                )
+            )
+        if stats2:
+            from ..operators.stats2d import stats2_cascade
+
+            planes.append(
+                (
+                    "stats2",
+                    self.stats2_tables,
+                    lambda df, t, s: stats2_cascade(df, t, from_tier=s),
                 )
             )
         for tier, src_tier in (("1h", "1m"), ("1d", "1h")):

@@ -40,7 +40,7 @@ from ..operators.quantiles import hist_1m, hist_cascade
 from ..operators.rollup import TIER_TRUNC, cascade, rollup_1m
 from .checkpoint import RollupJob
 
-__all__ = ["realtime_stats", "realtime_hist", "realtime_dds", "realtime_cms", "realtime_topk", "realtime_tw", "realtime_distinct", "realtime_hb"]
+__all__ = ["realtime_stats", "realtime_hist", "realtime_dds", "realtime_cms", "realtime_topk", "realtime_tw", "realtime_distinct", "realtime_hb", "realtime_stats2"]
 
 _PARTIALS = [
     "cnt", "sum_n_tok", "min_n_tok", "max_n_tok",
@@ -314,3 +314,35 @@ def realtime_hb(
         fresh.select("source", "bucket_ts", "first_hb", "last_hb", "live", "n")
     )
     return heartbeat_cascade(parts, tier, from_tier=tier)
+
+
+def realtime_stats2(
+    job: RollupJob,
+    spark: SparkSession,
+    raw: DataFrame,
+    tier: str = "1m",
+    y_col: str = "n_tok",
+    x_col: str | None = None,
+) -> DataFrame:
+    """Real-time regression-moments plane: columnwise sum over committed
+    + fresh (power sums are additive, so the seam bucket reconstructs
+    exactly — the same merge the cascade uses). ``y_col``/``x_col``
+    must match the plane's build config; moment sums carry no column
+    identity and this read cannot detect a mismatch."""
+    from ..operators.stats2d import SUMMARY_COLS, stats2_bucket, stats2_cascade
+
+    if tier not in TIER_TRUNC:
+        raise ValueError(f"tier must be one of {sorted(TIER_TRUNC)}, got {tier!r}")
+    wm = _tier_watermark(job, "stats2", tier)
+    fresh_1m = stats2_bucket(_fresh_tail(raw, wm), y_col=y_col, x_col=x_col)
+    fresh = fresh_1m if tier == "1m" else stats2_cascade(
+        fresh_1m if tier == "1h" else stats2_cascade(fresh_1m, "1h"),
+        tier, from_tier="1h",
+    )
+    committed = job.stats2_tables[tier].read(spark)
+    if committed is None:
+        return fresh
+    parts = committed.select("source", "bucket_ts", *SUMMARY_COLS).unionByName(
+        fresh.select("source", "bucket_ts", *SUMMARY_COLS)
+    )
+    return stats2_cascade(parts, tier, from_tier=tier)
