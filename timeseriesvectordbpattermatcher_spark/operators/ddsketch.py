@@ -67,6 +67,7 @@ __all__ = [
     "dds_bucket",
     "dds_cascade",
     "dds_quantiles",
+    "dds_rolling_quantiles",
 ]
 
 #: separates the negative / zero / positive key ranges; indices are
@@ -167,6 +168,38 @@ def dds_quantiles(
     qs = qs or {"p50": 0.50, "p95": 0.95, "p99": 0.99}
     out = add_hist_quantiles(sketches, qs=qs, hist_col=sketch_col, keys=keys)
     out = out.withColumnRenamed("hist_n", "dds_n")
+    for name in qs:
+        out = out.withColumn(name, dds_decode(F.col(name), alpha))
+    return out
+
+
+def dds_rolling_quantiles(
+    sketches: DataFrame,
+    window_buckets: int,
+    tier: str,
+    alpha: float = 0.01,
+    qs: dict[str, float] | None = None,
+    key_col: str = "source",
+    sketch_col: str = "dds",
+    min_buckets: int | None = None,
+) -> DataFrame:
+    """Rolling approximate quantiles over the TRAILING ``window_buckets``
+    calendar slots of a DDSketch tier — "p99 latency of the last 24
+    hourly buckets" read from tier summaries, never raw. Merging is
+    count addition (exact), so each read carries the same relative-error
+    guarantee ``alpha`` as a single-bucket read; ``alpha`` must match
+    the plane's build alpha (bucket keys are alpha-dependent and this
+    read cannot detect a mismatch). Same calendar-range window, warm-up
+    (``min_buckets``), and ``win_buckets`` semantics as
+    :func:`~.quantiles.hist_rolling_quantiles`, which does the walking;
+    this wrapper decodes the winning keys to bucket midpoints."""
+    from .quantiles import hist_rolling_quantiles
+
+    qs = qs or {"p50": 0.50, "p95": 0.95, "p99": 0.99}
+    out = hist_rolling_quantiles(
+        sketches, window_buckets, tier, qs=qs,
+        key_col=key_col, hist_col=sketch_col, min_buckets=min_buckets,
+    ).withColumnRenamed("hist_n", "dds_n")
     for name in qs:
         out = out.withColumn(name, dds_decode(F.col(name), alpha))
     return out

@@ -227,3 +227,95 @@ def add_hist_quantiles(
         ).alias(hist_col)
     )
     return ex.groupBy(*keys).agg(*aggs)
+
+
+_TIER_UNIT = {"1m": "minute", "1h": "hour", "1d": "day"}
+_TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
+
+
+def hist_rolling_quantiles(
+    df: DataFrame,
+    window_buckets: int,
+    tier: str,
+    qs: dict[str, float] | None = None,
+    key_col: str = "source",
+    hist_col: str = "hist",
+    min_buckets: int | None = None,
+) -> DataFrame:
+    """Rolling quantiles over the TRAILING ``window_buckets`` CALENDAR
+    slots of a histogram tier — "p99 of the last 24 hourly buckets"
+    served from tier summaries, never from raw. Exact (the histograms
+    are exact and merge by addition), inverted-CDF type 1 like every
+    read in this module.
+
+    The window is calendar-ranged, not row-ranged: a bucket with no
+    summary row (nothing ingested that slot) simply contributes nothing,
+    and ``win_buckets`` (emitted) counts the slots that DID contribute,
+    so a gap shows up as a smaller denominator rather than silently
+    stretching the window back in time (the row-frame behavior).
+    Quantile columns are NULL while ``win_buckets < min_buckets``
+    (default: ``window_buckets`` — the repo's warm-up convention); pass
+    ``min_buckets=1`` for gap-tolerant reads.
+
+    Physical shape (10^12-safe because inputs are TIER tables, already
+    calendar-bounded): explode maps -> scatter each entry to the <=
+    ``window_buckets`` future slots it serves (bounded fan-out, narrow)
+    -> ONE Exchange on (key, target slot) where a window cumsum walks
+    the sorted values (duplicate values from different source slots are
+    fine: rows order by value, so the first row whose cumulative count
+    reaches the target is still the quantile value) -> final agg reuses
+    the same partitioning. Output rows exist only for slots present in
+    the input (no densification — compose with gap-fill for a grid).
+    """
+    if tier not in _TIER_UNIT:
+        raise ValueError(f"tier must be one of {sorted(_TIER_UNIT)}, got {tier!r}")
+    if window_buckets < 1:
+        raise ValueError("window_buckets must be >= 1")
+    qs = qs or {"p50": 0.50, "p95": 0.95, "p99": 0.99}
+    mb = window_buckets if min_buckets is None else min_buckets
+    unit = _TIER_UNIT[tier]
+    step = _TIER_SECONDS[tier]
+
+    # scatter: entry at slot b serves targets b .. b+(k-1) slots
+    targets = F.expr(
+        f"sequence(bucket_ts, bucket_ts + interval {window_buckets - 1} {unit}, "
+        f"interval 1 {unit})"
+    )
+    ex = (
+        df.select(key_col, "bucket_ts", F.explode_outer(hist_col).alias("_hv", "_hc"))
+        .withColumn("_tgt", F.explode(targets))
+    )
+
+    w_cum = (
+        Window.partitionBy(key_col, "_tgt")
+        .orderBy("_hv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(key_col, "_tgt")
+    ex = (
+        ex.withColumn("_cum", F.sum("_hc").over(w_cum))
+        .withColumn("_tot", F.sum("_hc").over(w_all))
+    )
+    aggs = [
+        F.coalesce(F.max("_tot"), F.lit(0).cast("bigint")).alias("hist_n"),
+        # a slot is an OUTPUT slot only if its own summary row exists
+        F.max(F.col("bucket_ts") == F.col("_tgt")).alias("_has_origin"),
+        F.size(F.collect_set("bucket_ts")).alias("win_buckets"),
+    ]
+    for name, q in qs.items():
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"q must be in (0, 1], got {q}")
+        target = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.col("_tot") * F.lit(q)))
+        aggs.append(F.min(F.when(F.col("_cum") >= target, F.col("_hv"))).alias(name))
+    out = (
+        ex.groupBy(key_col, "_tgt")
+        .agg(*aggs)
+        .filter(F.col("_has_origin"))
+        .drop("_has_origin")
+        .withColumnRenamed("_tgt", "bucket_ts")
+    )
+    for name in qs:
+        out = out.withColumn(
+            name, F.when(F.col("win_buckets") >= F.lit(mb), F.col(name))
+        )
+    return out
