@@ -139,3 +139,118 @@ def lttb(
         return pdf.iloc[idx][["key", "ts", "val"]]
 
     return pts.groupBy(*group_cols).applyInPandas(run, schema=schema)
+
+
+def _asap_metrics(y: np.ndarray) -> tuple[float, float]:
+    """(roughness, kurtosis) per the ASAP paper (Rong & Bailis, VLDB'17):
+    roughness = stddev of first differences; kurtosis = population
+    m4/m2^2 (non-excess)."""
+    d = np.diff(y)
+    rough = float(d.std()) if len(d) else 0.0
+    mu = y.mean()
+    m2 = float(((y - mu) ** 2).mean())
+    kurt = float(((y - mu) ** 4).mean() / (m2 * m2)) if m2 > 0 else float("nan")
+    return rough, kurt
+
+
+def _asap_sma(y: np.ndarray, w: int) -> np.ndarray:
+    c = np.concatenate(([0.0], np.cumsum(y)))
+    return (c[w:] - c[:-w]) / w
+
+
+def _asap_choose_window(y: np.ndarray) -> int:
+    """Exact grid search of the ASAP objective: over SMA windows
+    w in [1, n//10], minimize roughness subject to preserving kurtosis
+    (kurt(SMA_w) >= kurt(original)). The paper prunes this search with
+    autocorrelation peaks and a Pearson bound purely for speed; searching
+    the full range returns the same optimum, and here the input is
+    already preaggregated to plot width, so the exhaustive form is cheap
+    and exactly reproducible. Ties keep the smaller window."""
+    n = len(y)
+    best_w, best_rough = 1, _asap_metrics(y)[0]
+    _, kurt0 = _asap_metrics(y)
+    if not np.isfinite(kurt0):  # constant series: nothing to smooth
+        return 1
+    for w in range(2, max(1, n // 10) + 1):
+        s = _asap_sma(y, w)
+        rough, kurt = _asap_metrics(s)
+        if np.isfinite(kurt) and kurt >= kurt0 and rough < best_rough:
+            best_w, best_rough = w, rough
+    return best_w
+
+
+def asap_smooth(
+    points: DataFrame,
+    resolution: int,
+    key_col: str = "source",
+    ts_col: str = "event_ts",
+    val_col: str = "val",
+) -> DataFrame:
+    """ASAP smoothing (Rong & Bailis, "ASAP: Prioritizing Attention via
+    Time Series Smoothing", VLDB 2017 — the algorithm behind
+    TimescaleDB-toolkit's ``asap_smooth``): pick the moving-average
+    window that minimizes roughness while PRESERVING kurtosis, so noise
+    flattens but anomalous spikes stay visible — the smoothing
+    complement to :func:`lttb` (which picks points, never averages).
+
+    Pipeline per key (one ``applyInPandas`` task per key, same
+    across-series execution shape as :func:`lttb`):
+
+    1. drop null ts/val, sort by ts;
+    2. if n > 2 * resolution, preaggregate to index-even blocks of
+       means (block-start ts) so the search runs at plot width — the
+       paper's own preaggregation step;
+    3. choose w by the exact grid search (see
+       :func:`_asap_choose_window`);
+    4. emit the SMA_w series: ts = each window's START timestamp,
+       ``val`` = window mean, ``w`` = the chosen window (constant per
+       key, handy for captions/debugging).
+
+    Output length is ``len(preaggregated) - w + 1`` (<= 2 * resolution).
+    A single giant key runs in one task — for 10^9-point single series
+    downsample with ``lttb(strips=...)`` first or feed a tier table
+    (bucket averages) instead of raw; this operator's domain is
+    plot-width series, where exactness and reproducibility win.
+    """
+    if resolution < 3:
+        raise ValueError(f"resolution must be >= 3, got {resolution}")
+    pts = points.filter(
+        F.col(ts_col).isNotNull() & F.col(val_col).isNotNull()
+    ).select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(val_col).cast("double").alias("val"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("ts", pts.schema["ts"].dataType),
+            T.StructField("val", T.DoubleType()),
+            T.StructField("w", T.IntegerType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "val"], kind="mergesort")
+        ts = pdf["ts"].to_numpy()
+        y = pdf["val"].to_numpy()
+        n = len(y)
+        if n > 2 * resolution:
+            block = int(np.ceil(n / (2.0 * resolution)))
+            nb = int(np.ceil(n / block))
+            pad = nb * block - n
+            yp = np.concatenate([y, np.full(pad, np.nan)])
+            y = np.nanmean(yp.reshape(nb, block), axis=1)
+            ts = ts[::block][:nb]
+        w = _asap_choose_window(y)
+        s = _asap_sma(y, w) if w > 1 else y
+        return pd.DataFrame(
+            {
+                "key": pdf["key"].iloc[0],
+                "ts": ts[: len(s)],
+                "val": s,
+                "w": np.int32(w),
+            }
+        )
+
+    return pts.groupBy("key").applyInPandas(run, schema=schema)
