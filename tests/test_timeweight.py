@@ -486,3 +486,67 @@ def test_interpolated_average_hand_case(spark):
     assert out[2] == (20.0 * 1800 + 40.0 * 1800) / 3600  # 30.0
     # first bucket: no prev -> covered from :30, value 10 carried to end
     assert out[0] == 10.0
+
+
+# ------------------------------------------------------------- gauge reads
+
+from pyspark.sql import Window  # noqa: E402
+
+from timeseriesvectordbpattermatcher_spark.operators.timeweight import (  # noqa: E402
+    gauge_delta,
+)
+
+
+@pytest.mark.parametrize("tier", ["1m", "1h", "1d"])
+def test_gauge_delta_matches_duckdb(points, duck, tier):
+    """delta = last - first per bucket (no reset rule, unlike increase);
+    rate = delta / observed span, NULL on single-point buckets. DuckDB
+    recomputes both from raw with its own first/last-by-ts."""
+    trunc = {"1m": "minute", "1h": "hour", "1d": "day"}[tier]
+    pdf = points.toPandas()
+    duck.register("g_pts", pdf)
+    want = duck.sql(f"""
+        SELECT source, date_trunc('{trunc}', event_ts) AS bucket_ts,
+               last(val ORDER BY event_ts) - first(val ORDER BY event_ts) AS delta,
+               CASE WHEN epoch(max(event_ts)) != epoch(min(event_ts))
+                    THEN (last(val ORDER BY event_ts) - first(val ORDER BY event_ts))
+                         / (epoch(max(event_ts)) - epoch(min(event_ts))) END AS grate
+        FROM g_pts GROUP BY 1, 2 ORDER BY 1, 2
+    """).df().reset_index(drop=True)
+    got = (
+        gauge_delta(time_weight_bucket(points, tier=tier))
+        .select("source", "bucket_ts", "delta", "grate")
+        .toPandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False, rtol=1e-9, atol=1e-12,
+    )
+
+
+def test_gauge_reads_any_tier_and_counter_summaries(points):
+    """The accessor works on cascaded tiers (endpoint structs survive the
+    merge) and on counter summaries; on a monotone series delta equals
+    the counter's increase."""
+    t1m = time_weight_bucket(points, tier="1m")
+    t1d = time_weight_cascade(time_weight_cascade(t1m, "1h"), "1d", from_tier="1h")
+    direct = gauge_delta(time_weight_bucket(points, tier="1d"))
+    casc = gauge_delta(t1d)
+    a = _flat(casc)[["source", "bucket_ts", "delta", "grate"]]
+    b = _flat(direct)[["source", "bucket_ts", "delta", "grate"]]
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True), check_exact=True
+    )
+    mono = points.withColumn(
+        "val",
+        F.sum("val").over(
+            Window.partitionBy("source")
+            .orderBy("event_ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    cb = gauge_delta(counter_bucket(mono, tier="1d"))
+    row = cb.filter(F.col("resets") == 0).first()
+    assert row is not None and row["delta"] == row["increase"]

@@ -350,6 +350,30 @@ def counter_rate(ca: DataFrame, out_col: str = "rate") -> DataFrame:
     )
 
 
+def gauge_delta(
+    tw: DataFrame,
+    delta_col: str = "delta",
+    rate_col: str = "grate",
+) -> DataFrame:
+    """Gauge reads (TimescaleDB ``gauge_agg``'s ``delta``/``rate``): a
+    gauge may go up or down, so there is no reset rule — the bucket's
+    net change is simply ``last - first`` and the rate divides by the
+    observed span (NULL on a single-point bucket, like
+    :func:`tw_average`). Pure accessors over the endpoint structs the
+    time-weight summaries already carry, so they read at ANY tier of
+    either the tw plane or :func:`counter_bucket` summaries (whose
+    first/last are the raw endpoints too — `increase` differs from
+    `delta` exactly by the reset corrections). Note the in-bucket read
+    sees only in-bucket endpoints; the boundary segment into the next
+    bucket belongs to the next tier's merge, same convention as the
+    area algebra."""
+    span = _seconds_between(F.col("first")["ts"], F.col("last")["ts"])
+    delta = F.col("last")["val"] - F.col("first")["val"]
+    return tw.withColumn(delta_col, delta).withColumn(
+        rate_col, F.try_divide(delta, F.nullif(span, F.lit(0.0)))
+    )
+
+
 # --- OHLC bucket summaries (mergeable candles) ------------------------------
 
 
