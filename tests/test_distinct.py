@@ -204,3 +204,58 @@ def test_distinct_plane_resumes_after_crash(spark, tmp_path, duck):
             / ea["approx_distinct"].clip(lower=1)
         )
         assert (rel <= 10 * RSE).all(), t
+
+
+def test_rolling_estimate_within_band_and_overlap_corrected(rows, duck):
+    """Rolling trailing-K calendar union: every slot's estimate sits in
+    the HLL band of DuckDB's exact distinct over the window's raw rows;
+    a doc active in several slots of one window counts once."""
+    from timeseriesvectordbpattermatcher_spark.operators.distinct import (
+        distinct_rolling_estimate,
+    )
+
+    K = 5
+    sk = distinct_bucket(rows, tier="1m", lgk=LGK)
+    got = distinct_rolling_estimate(sk, K, "1m", min_buckets=1).select(
+        "source", "bucket_ts", "win_buckets", "approx_distinct"
+    ).toPandas()
+    duck.register("dst_rows", rows.toPandas())
+    want = duck.sql(f"""
+        WITH r AS (
+          SELECT source, date_trunc('minute', event_ts) AS b, doc_id
+          FROM dst_rows WHERE event_ts IS NOT NULL),
+        slots AS (SELECT DISTINCT source, b FROM r)
+        SELECT s.source, s.b AS bucket_ts,
+               count(DISTINCT r.doc_id) AS exact,
+               count(DISTINCT r.b) AS wb
+        FROM slots s JOIN r ON r.source = s.source
+         AND epoch(s.b) - epoch(r.b) BETWEEN 0 AND {(K - 1) * 60}
+        GROUP BY 1, 2
+    """).df()
+    m = got.merge(want, on=["source", "bucket_ts"], how="outer", indicator=True)
+    assert (m["_merge"] == "both").all()
+    assert (m["win_buckets"] == m["wb"]).all()
+    rel = (m["approx_distinct"] - m["exact"]).abs() / m["exact"].clip(lower=1)
+    assert (rel <= 5 * RSE).all(), m[rel > 5 * RSE].head()
+
+
+def test_rolling_estimate_warmup_and_overlap(spark):
+    from timeseriesvectordbpattermatcher_spark.operators.distinct import (
+        distinct_rolling_estimate,
+    )
+
+    # same single doc in every minute: rolling distinct stays 1 (overlap
+    # union, not addition); warm-up NULLs until 3 slots seen
+    rows = [("s", f"2024-01-01 00:0{m}:00", "docA") for m in range(5)]
+    df = spark.createDataFrame(rows, "source string, ts string, doc_id string").select(
+        "source", F.col("ts").cast("timestamp").alias("event_ts"), "doc_id"
+    )
+    sk = distinct_bucket(df, tier="1m", lgk=LGK)
+    out = {
+        str(r["bucket_ts"]): r
+        for r in distinct_rolling_estimate(sk, 3, "1m").collect()
+    }
+    assert out["2024-01-01 00:00:00"]["approx_distinct"] is None
+    assert out["2024-01-01 00:01:00"]["approx_distinct"] is None
+    for m in (2, 3, 4):
+        assert out[f"2024-01-01 00:0{m}:00"]["approx_distinct"] == 1.0

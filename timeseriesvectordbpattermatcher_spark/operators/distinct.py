@@ -86,3 +86,62 @@ def distinct_cascade(
 def distinct_estimate(sketches: DataFrame, out_col: str = "approx_distinct") -> DataFrame:
     """Read accessor: the HLL cardinality estimate (long)."""
     return sketches.withColumn(out_col, F.hll_sketch_estimate("dsk"))
+
+
+def distinct_rolling_estimate(
+    sketches: DataFrame,
+    window_buckets: int,
+    tier: str,
+    key_col: str = "source",
+    min_buckets: int | None = None,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Rolling distinct estimate over the TRAILING ``window_buckets``
+    CALENDAR slots of a sketch tier — "distinct doc_ids in the last 24
+    hourly buckets" from summaries, never raw. HLL union is
+    overlap-correct, so a value active in several slots of the window
+    still counts once, and every read sits inside the same published
+    error band as a single-bucket estimate (module docstring).
+
+    Window semantics match
+    :func:`~.quantiles.hist_rolling_quantiles`: calendar-ranged (a slot
+    with no summary contributes nothing; ``win_buckets`` reports how
+    many did), output rows only for slots present in the input, NULL
+    estimate below the ``min_buckets`` warm-up (default: the full
+    window). Physical shape: scatter each summary row to the <= k slots
+    it serves (bounded fan-out, narrow), then ONE Exchange on
+    (key, slot) for the ``hll_union_agg`` — tier-table-sized, never raw.
+    """
+    from .rollup import TIER_TRUNC  # noqa: F401  (tier names shared)
+
+    units = {"1m": "minute", "1h": "hour", "1d": "day"}
+    if tier not in units:
+        raise ValueError(f"tier must be one of {sorted(units)}, got {tier!r}")
+    if window_buckets < 1:
+        raise ValueError("window_buckets must be >= 1")
+    mb = window_buckets if min_buckets is None else min_buckets
+    unit = units[tier]
+    targets = F.expr(
+        f"sequence(bucket_ts, bucket_ts + interval {window_buckets - 1} {unit}, "
+        f"interval 1 {unit})"
+    )
+    ex = sketches.select(
+        key_col, "bucket_ts", "dsk", F.explode(targets).alias("_tgt")
+    )
+    out = (
+        ex.groupBy(key_col, "_tgt")
+        .agg(
+            F.hll_union_agg("dsk").alias("dsk"),
+            F.max(F.col("bucket_ts") == F.col("_tgt")).alias("_has_origin"),
+            F.size(F.collect_set("bucket_ts")).alias("win_buckets"),
+        )
+        .filter(F.col("_has_origin"))
+        .drop("_has_origin")
+        .withColumnRenamed("_tgt", "bucket_ts")
+    )
+    return out.withColumn(
+        out_col,
+        F.when(
+            F.col("win_buckets") >= F.lit(mb), F.hll_sketch_estimate("dsk")
+        ),
+    )
