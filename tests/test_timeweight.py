@@ -550,3 +550,53 @@ def test_gauge_reads_any_tier_and_counter_summaries(points):
     cb = gauge_delta(counter_bucket(mono, tier="1d"))
     row = cb.filter(F.col("resets") == 0).first()
     assert row is not None and row["delta"] == row["increase"]
+
+
+def test_candlestick_volume_vwap_matches_duckdb(points, duck):
+    """vol/pv sums + vwap accessor (candlestick_agg parity): DuckDB
+    recomputes per tier from raw; cascaded == direct exact; NULL-volume
+    rows shape the candle but add nothing to vol/pv."""
+    from timeseriesvectordbpattermatcher_spark.operators.timeweight import (
+        ohlc_bucket,
+        ohlc_cascade,
+        ohlc_read,
+    )
+
+    vpts = points.withColumn(
+        "volm",
+        F.when(F.col("val") % 11 == 3, F.lit(None)).otherwise(
+            (F.col("val") % 97) + 1
+        ),
+    )
+    duck.register("cs_pts", vpts.toPandas())
+    for tier, trunc in [("1m", "minute"), ("1d", "day")]:
+        got = (
+            ohlc_read(ohlc_bucket(vpts, tier=tier, vol_col="volm"))
+            .select("source", "bucket_ts", "open", "close", "low", "high",
+                    "vol", "vwap")
+            .toPandas()
+            .sort_values(["source", "bucket_ts"])
+            .reset_index(drop=True)
+        )
+        want = duck.sql(f"""
+            SELECT source, date_trunc('{trunc}', event_ts) AS bucket_ts,
+                   first(val ORDER BY event_ts) AS open,
+                   last(val ORDER BY event_ts) AS close,
+                   min(val) AS low, max(val) AS high,
+                   coalesce(sum(volm), 0) AS vol,
+                   CASE WHEN coalesce(sum(volm), 0) != 0
+                        THEN sum(val * volm) / sum(volm) END AS vwap
+            FROM cs_pts GROUP BY 1, 2 ORDER BY 1, 2
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)],
+            check_dtype=False, rtol=1e-9, atol=1e-12,
+        )
+    direct = ohlc_bucket(vpts, tier="1d", vol_col="volm")
+    casc = ohlc_cascade(
+        ohlc_cascade(ohlc_bucket(vpts, tier="1m", vol_col="volm"), "1h"),
+        "1d", from_tier="1h",
+    )
+    pd.testing.assert_frame_equal(
+        _flat(casc), _flat(direct), check_exact=True
+    )

@@ -383,6 +383,7 @@ def ohlc_bucket(
     key_col: str = "source",
     ts_col: str = "event_ts",
     val_col: str = "val",
+    vol_col: str | None = None,
 ) -> DataFrame:
     """Per-(key, bucket) candle summary ``(first, last, low, high, n)``. The
     rollup tiers (operators/rollup.py) carry min/max (= low/high) but not
@@ -392,7 +393,14 @@ def ohlc_bucket(
     bucket's open (``min(first)``), close the latest's close (``max(last)``),
     low/high plain min/max — so cascaded == direct holds exactly, ints and
     floats alike (no arithmetic, only selection). Same one-Exchange,
-    bucket-local shape as :func:`time_weight_bucket` minus the window."""
+    bucket-local shape as :func:`time_weight_bucket` minus the window.
+
+    ``vol_col`` adds the rest of TimescaleDB's ``candlestick_agg``: per-
+    bucket ``vol`` (sum) and ``pv`` (sum of price*volume), both plain
+    additive sums, so the cascade stays exact (2^53 integer caveat as
+    everywhere) and :func:`ohlc_read` can serve ``vwap = pv / vol``. A
+    NULL volume row still shapes the candle but contributes nothing to
+    vol/pv (SQL SUM semantics)."""
     if tier not in TIER_TRUNC:
         raise ValueError(f"tier must be in {list(TIER_TRUNC)}")
     pts = (
@@ -400,17 +408,22 @@ def ohlc_bucket(
         .withColumn("bucket_ts", F.date_trunc(TIER_TRUNC[tier], F.col(ts_col)))
     )
     val = F.col(val_col).cast("double")
-    return (
-        pts.select(key_col, "bucket_ts", _point_struct(ts_col, val_col).alias("_pt"), val.alias("_v"))
-        .groupBy(key_col, "bucket_ts")
-        .agg(
-            F.min("_pt").alias("first"),
-            F.max("_pt").alias("last"),
-            F.min("_v").alias("low"),
-            F.max("_v").alias("high"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
+    aggs = [
+        F.min("_pt").alias("first"),
+        F.max("_pt").alias("last"),
+        F.min("_v").alias("low"),
+        F.max("_v").alias("high"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    cols = [key_col, "bucket_ts", _point_struct(ts_col, val_col).alias("_pt"), val.alias("_v")]
+    if vol_col is not None:
+        vol = F.col(vol_col).cast("double")
+        cols.append(vol.alias("_vol"))
+        aggs += [
+            F.coalesce(F.sum("_vol"), F.lit(0.0)).alias("vol"),
+            F.coalesce(F.sum(F.col("_v") * F.col("_vol")), F.lit(0.0)).alias("pv"),
+        ]
+    return pts.select(*cols).groupBy(key_col, "bucket_ts").agg(*aggs)
 
 
 def ohlc_cascade(
@@ -419,23 +432,34 @@ def ohlc_cascade(
     from_tier: str = "1m",
     key_col: str = "source",
 ) -> DataFrame:
-    """Exact selection merge of fine candles into a coarser tier."""
+    """Exact selection merge of fine candles into a coarser tier (plus
+    additive vol/pv when the build carried a volume column)."""
     _check_tiers(from_tier, to_tier)
+    aggs = [
+        F.min("first").alias("first"),
+        F.max("last").alias("last"),
+        F.min("low").alias("low"),
+        F.max("high").alias("high"),
+        F.sum("n").alias("n"),
+    ]
+    if "vol" in o.columns:
+        aggs += [F.sum("vol").alias("vol"), F.sum("pv").alias("pv")]
     return (
         o.withColumn("bucket_ts", F.date_trunc(TIER_TRUNC[to_tier], F.col("bucket_ts")))
         .groupBy(key_col, "bucket_ts")
-        .agg(
-            F.min("first").alias("first"),
-            F.max("last").alias("last"),
-            F.min("low").alias("low"),
-            F.max("high").alias("high"),
-            F.sum("n").alias("n"),
-        )
+        .agg(*aggs)
     )
 
 
 def ohlc_read(o: DataFrame) -> DataFrame:
-    """Read accessor: unpack open/close from the endpoint structs."""
-    return o.withColumn("open", F.col("first")["val"]).withColumn(
+    """Read accessor: unpack open/close from the endpoint structs; when
+    the summary carries volume, also ``vwap = pv / vol`` (NULL on a
+    zero-volume bucket, matching TimescaleDB's ``vwap`` accessor)."""
+    out = o.withColumn("open", F.col("first")["val"]).withColumn(
         "close", F.col("last")["val"]
     )
+    if "vol" in o.columns:
+        out = out.withColumn(
+            "vwap", F.try_divide(F.col("pv"), F.nullif(F.col("vol"), F.lit(0.0)))
+        )
+    return out
