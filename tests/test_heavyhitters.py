@@ -392,3 +392,72 @@ def test_rollup_job_topk_plane_end_to_end(spark, seqs_2k, tmp_path):
     crashed.run(spark, seqs, topk=True, topk_cap=CAP)
     got2 = engine_flat(crashed.topk_tables["1d"].read(spark).drop("bucket_day"))
     pd.testing.assert_frame_equal(got2, want, check_exact=True)
+
+
+def test_rolling_topk_bound_and_exact_regime(seqs, tiers, duck):
+    """Rolling trailing-K calendar merge: every reported token's
+    [est, est + hh_err] brackets its DuckDB-exact windowed count, every
+    token whose true windowed count exceeds hh_err is present, hh_n is
+    exact, and at cap >= distinct tokens the read IS the exact counts."""
+    from timeseriesvectordbpattermatcher_spark.operators.heavyhitters import (
+        topk_rolling,
+    )
+
+    K = 5
+    got = topk_rolling(tiers["1h"], K, "1h", cap=CAP, min_buckets=1).toPandas()
+    duck.register("hh_raw", seqs.toPandas())
+    exact = duck.sql(f"""
+        WITH r AS (
+          SELECT source, date_trunc('hour', event_ts) AS b, unnest(tokens) AS tok
+          FROM hh_raw),
+        slots AS (SELECT DISTINCT source, b FROM r)
+        SELECT s.source, s.b AS bucket_ts, r.tok, count(*) AS true_cnt
+        FROM slots s JOIN r ON r.source = s.source
+         AND epoch(s.b) - epoch(r.b) BETWEEN 0 AND {(K - 1) * 3600}
+        GROUP BY 1, 2, 3
+    """).df()
+    tot = exact.groupby(["source", "bucket_ts"])["true_cnt"].sum().to_dict()
+    ex_map = {
+        (r.source, r.bucket_ts, r.tok): r.true_cnt for r in exact.itertuples()
+    }
+    assert len(got) > 0
+    for row in got.itertuples():
+        key = (row.source, row.bucket_ts)
+        assert row.hh_n == tot[key]
+        for tok, est in row.hh.items():
+            true = ex_map.get((row.source, row.bucket_ts, tok), 0)
+            assert est <= true <= est + row.hh_err, (key, tok, est, true, row.hh_err)
+        # completeness: true > hh_err must be reported
+        for (s, b, tok), true in ex_map.items():
+            if (s, b) == key and true > row.hh_err:
+                assert tok in row.hh, (key, tok, true, row.hh_err)
+    # exact regime: cap large enough -> rolling == exact windowed counts
+    big = topk_bucket(seqs, tier="1h", cap=1_000_000)
+    roll = topk_rolling(big, K, "1h", cap=1_000_000, min_buckets=1).toPandas()
+    for row in roll.itertuples():
+        assert row.hh_err == 0
+        want = {
+            tok: cnt for (s, b, tok), cnt in ex_map.items()
+            if (s, b) == (row.source, row.bucket_ts)
+        }
+        assert dict(row.hh) == want
+
+
+def test_rolling_topk_warmup_and_origin(spark):
+    from timeseriesvectordbpattermatcher_spark.operators.heavyhitters import (
+        topk_bucket,
+        topk_rolling,
+    )
+
+    rows = [("s", f"2024-01-01 0{h}:00:00", [1, 1, 2]) for h in range(3)]
+    df = spark.createDataFrame(
+        rows, "source string, ts string, tokens array<int>"
+    ).select("source", F.col("ts").cast("timestamp").alias("event_ts"), "tokens")
+    t = topk_bucket(df, tier="1h", cap=8)
+    out = {str(r["bucket_ts"]): r for r in topk_rolling(t, 2, "1h", cap=8).collect()}
+    assert len(out) == 3  # only real slots emit
+    first = out["2024-01-01 00:00:00"]
+    assert first["hh"] is None and first["hh_err"] is None  # warm-up
+    assert first["hh_n"] == 3 and first["win_buckets"] == 1
+    second = out["2024-01-01 01:00:00"]
+    assert second["win_buckets"] == 2 and second["hh"] == {1: 4, 2: 2}

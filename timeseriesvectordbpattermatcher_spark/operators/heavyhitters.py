@@ -59,6 +59,7 @@ __all__ = [
     "topk_bucket",
     "topk_cascade",
     "topk_read",
+    "topk_rolling",
 ]
 
 
@@ -428,4 +429,87 @@ def topk_read(
         F.col("_e.rank").alias("rank"),
         "hh_err",
         "hh_n",
+    )
+
+
+def topk_rolling(
+    df: DataFrame,
+    window_buckets: int,
+    tier: str,
+    cap: int = 64,
+    key_col: str = "source",
+    min_buckets: int | None = None,
+) -> DataFrame:
+    """Rolling heavy hitters over the TRAILING ``window_buckets``
+    calendar slots of a summary tier — "top tokens of the last 24
+    hourly buckets" from the cap-bounded summaries, never raw. The
+    merge is the cascade's: counter addition + one re-compress, so
+    every window read still carries ``est <= true <= est + hh_err``
+    (the window's summed input errors plus the re-compress threshold),
+    and any token whose true windowed count exceeds ``hh_err`` is
+    guaranteed present. ``cap`` must be the build's cap.
+
+    Window semantics match the other rolling reads
+    (:func:`~.quantiles.hist_rolling_quantiles`): calendar-ranged
+    trailing slots, output rows only for slots present in the input,
+    ``win_buckets`` reporting how many slots contributed, and — below
+    the ``min_buckets`` warm-up (default: the full window) — a NULL
+    ``hh``/``hh_err`` (``hh_n`` stays, it is exact). Physical shape:
+    bounded scatter of each summary to the <= k slots it serves, two
+    slot-keyed aggs + the compress join — everything tier-table-sized.
+    """
+    if tier not in TIER_TRUNC:
+        raise ValueError(f"tier must be one of {sorted(TIER_TRUNC)}, got {tier!r}")
+    if window_buckets < 1:
+        raise ValueError("window_buckets must be >= 1")
+    _check_cap(cap)
+    mb = window_buckets if min_buckets is None else min_buckets
+    unit = TIER_TRUNC[tier]
+    targets = F.expr(
+        f"sequence(bucket_ts, bucket_ts + interval {window_buckets - 1} {unit}, "
+        f"interval 1 {unit})"
+    )
+    base = df.select(key_col, "bucket_ts", "hh", "hh_err", "hh_n").withColumn(
+        "_tgt", F.explode(targets)
+    )
+    scalars = base.groupBy(key_col, "_tgt").agg(
+        F.sum("hh_err").cast("bigint").alias("_err_in"),
+        F.sum("hh_n").cast("bigint").alias("hh_n"),
+        F.max(F.col("bucket_ts") == F.col("_tgt")).alias("_has_origin"),
+        F.size(F.collect_set("bucket_ts")).alias("win_buckets"),
+    )
+    ex = base.select(key_col, "_tgt", F.explode_outer("hh").alias("_hv", "_hc"))
+    summed = (
+        ex.filter(F.col("_hv").isNotNull())
+        .groupBy(key_col, "_tgt", "_hv")
+        .agg(F.sum("_hc").alias("_hc"))
+    )
+    merged = summed.groupBy(key_col, "_tgt").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("_hv", "_hc")))
+        ).alias("_merged")
+    )
+    joined = scalars.join(merged, [key_col, "_tgt"], "left").withColumn(
+        "_merged",
+        F.coalesce(
+            F.col("_merged"),
+            F.map_from_entries(
+                F.array().cast("array<struct<_hv:int,_hc:bigint>>")
+            ),
+        ),
+    )
+    out = compress_summary(joined, "_merged", cap)
+    warm = F.col("win_buckets") >= F.lit(mb)
+    return (
+        out.filter(F.col("_has_origin"))
+        .select(
+            key_col,
+            F.col("_tgt").alias("bucket_ts"),
+            F.when(warm, F.col("hh")).alias("hh"),
+            F.when(warm, (F.col("_err_in") + F.col("_thr")).cast("bigint")).alias(
+                "hh_err"
+            ),
+            "hh_n",
+            "win_buckets",
+        )
     )
