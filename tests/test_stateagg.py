@@ -375,3 +375,50 @@ def test_rollup_job_hb_plane_end_to_end(spark, seqs_2k, tmp_path):
     crashed.run(spark, seqs, heartbeat=True, hb_period_sec=PERIOD)
     got2 = _flat_hb(crashed.hb_tables["1d"].read(spark).drop("bucket_day"))
     pd.testing.assert_frame_equal(got2, direct, check_exact=True)
+
+
+def test_hb_rolling_matches_python_union(spark, hb_points):
+    """Rolling trailing-K window liveness: merged islands + window-span
+    uptime equal a pure-python union replay over the window's
+    heartbeats; warm-up slots emit NULL payload."""
+    from timeseriesvectordbpattermatcher_spark.operators.stateagg import (
+        hb_rolling,
+        heartbeat_bucket,
+    )
+
+    K, STEP = 4, 3600
+    t1h = heartbeat_bucket(hb_points, PERIOD, tier="1h")
+    got = hb_rolling(t1h, K, "1h", min_buckets=1).toPandas()
+    pdf = hb_points.toPandas()
+    pdf["t"] = pdf["event_ts"].astype("int64") / 1e9
+    pdf["bucket"] = pdf["event_ts"].dt.floor("h")
+    checked = 0
+    for row in got.itertuples():
+        g = pdf[pdf["source"] == row.source]
+        b_end = row.bucket_ts.timestamp() + STEP
+        w_start = row.bucket_ts.timestamp() - (K - 1) * STEP
+        member = g[(g["bucket"].apply(lambda b: b.timestamp()) >= w_start)
+                   & (g["bucket"].apply(lambda b: b.timestamp()) < b_end)]
+        islands = _union([(t, t + PERIOD) for t in member["t"]])
+        assert row.n == len(member)
+        assert row.win_buckets == member["bucket"].nunique()
+        got_islands = [
+            (iv["s"].timestamp(), iv["e"].timestamp()) for iv in row.live
+        ]
+        assert len(got_islands) == len(islands)
+        for (gs, ge), (ws, we) in zip(got_islands, islands):
+            assert gs == pytest.approx(ws, abs=1e-6)
+            assert ge == pytest.approx(we, abs=1e-6)
+        assert row.uptime == pytest.approx(
+            _overlap(islands, w_start, b_end), abs=1e-6
+        )
+        assert row.downtime == pytest.approx(
+            (b_end - w_start) - row.uptime, abs=1e-6
+        )
+        checked += 1
+    assert checked > 0
+    # warm-up
+    strict = hb_rolling(t1h, K, "1h").toPandas()
+    cold = strict[strict["win_buckets"] < K]
+    assert cold["uptime"].isna().all() and cold["live"].isna().all()
+    assert cold["n"].notna().all()

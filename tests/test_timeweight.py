@@ -600,3 +600,110 @@ def test_candlestick_volume_vwap_matches_duckdb(points, duck):
     pd.testing.assert_frame_equal(
         _flat(casc), _flat(direct), check_exact=True
     )
+
+
+# ------------------------------------------------- rolling window reads
+
+def test_tw_rolling_matches_duckdb_window_integral(points, duck):
+    """Merged trailing-K summary == direct integral over the window's
+    raw points (consecutive-point segments; a gap slot contributes one
+    long bridge across it — same convention as the tier merge)."""
+    from timeseriesvectordbpattermatcher_spark.operators.timeweight import (
+        time_weight_bucket,
+        tw_average,
+        tw_rolling,
+    )
+
+    K = 4
+    t1h = time_weight_bucket(points, tier="1h")
+    got = (
+        tw_average(tw_rolling(t1h, K, "1h", min_buckets=1))
+        .select("source", "bucket_ts", "area", "n", "win_buckets", "twa")
+        .toPandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    duck.register("twr_pts", points.toPandas())
+    want = duck.sql(f"""
+        WITH p AS (
+          SELECT source, event_ts, val::DOUBLE AS val,
+                 date_trunc('hour', event_ts) AS b
+          FROM twr_pts WHERE event_ts IS NOT NULL AND val IS NOT NULL),
+        slots AS (SELECT DISTINCT source, b FROM p),
+        win AS (
+          SELECT s.source, s.b AS bucket_ts, p.event_ts, p.val, p.b AS src_b
+          FROM slots s JOIN p ON p.source = s.source
+           AND epoch(s.b) - epoch(p.b) BETWEEN 0 AND {(K - 1) * 3600}),
+        seg AS (
+          SELECT source, bucket_ts, val, src_b,
+                 epoch(lead(event_ts) OVER w) - epoch(event_ts) AS dt
+          FROM win WINDOW w AS (PARTITION BY source, bucket_ts
+                                ORDER BY event_ts, val))
+        SELECT source, bucket_ts,
+               coalesce(sum(val * dt), 0) AS area,
+               count(*) AS n,
+               count(DISTINCT src_b) AS win_buckets
+        FROM seg GROUP BY 1, 2 ORDER BY 1, 2
+    """).df().reset_index(drop=True)
+    m = got.merge(want, on=["source", "bucket_ts"], suffixes=("", "_w"))
+    assert len(m) == len(got) == len(want)
+    assert (m["n"] == m["n_w"]).all()
+    assert (m["win_buckets"] == m["win_buckets_w"]).all()
+    assert (m["area"] == m["area_w"]).all()  # int-valued: exact
+
+
+def test_ohlc_rolling_matches_duckdb(points, duck):
+    from timeseriesvectordbpattermatcher_spark.operators.timeweight import (
+        ohlc_bucket,
+        ohlc_read,
+        ohlc_rolling,
+    )
+
+    K = 6
+    t1h = ohlc_bucket(points, tier="1h")
+    got = (
+        ohlc_read(ohlc_rolling(t1h, K, "1h", min_buckets=1))
+        .select("source", "bucket_ts", "open", "close", "low", "high", "n")
+        .toPandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    duck.register("ohr_pts", points.toPandas())
+    want = duck.sql(f"""
+        WITH p AS (SELECT source, event_ts, val::DOUBLE val,
+                          date_trunc('hour', event_ts) b
+                   FROM ohr_pts),
+        slots AS (SELECT DISTINCT source, b FROM p),
+        win AS (SELECT s.source, s.b bucket_ts, p.event_ts, p.val
+                FROM slots s JOIN p ON p.source = s.source
+                 AND epoch(s.b) - epoch(p.b) BETWEEN 0 AND {(K - 1) * 3600})
+        SELECT source, bucket_ts,
+               first(val ORDER BY event_ts, val) AS open,
+               last(val ORDER BY event_ts, val) AS close,
+               min(val) AS low, max(val) AS high, count(*) AS n
+        FROM win GROUP BY 1, 2 ORDER BY 1, 2
+    """).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False, rtol=1e-12,
+    )
+
+
+def test_rolling_warmup_nulls(points):
+    from timeseriesvectordbpattermatcher_spark.operators.timeweight import (
+        ohlc_bucket,
+        ohlc_rolling,
+        time_weight_bucket,
+        tw_rolling,
+    )
+
+    K = 3
+    tw = tw_rolling(time_weight_bucket(points, tier="1d"), K, "1d").toPandas()
+    oh = ohlc_rolling(ohlc_bucket(points, tier="1d"), K, "1d").toPandas()
+    for df, payload in ((tw, "area"), (oh, "low")):
+        cold = df[df["win_buckets"] < K]
+        hot = df[df["win_buckets"] >= K]
+        assert cold[payload].isna().all()
+        if len(hot):
+            assert hot[payload].notna().all()
+        assert df["n"].notna().all()

@@ -60,6 +60,7 @@ __all__ = [
     "heartbeat_cascade",
     "heartbeat_read",
     "interpolated_uptime",
+    "hb_rolling",
 ]
 
 
@@ -426,3 +427,80 @@ def interpolated_uptime(
         F.greatest(F.lit(0.0), _seconds_between(b_start, carry_hi)),
     ).otherwise(F.lit(0.0))
     return hb.withColumn(out_col, F.least(own + carry, span))
+
+
+def hb_rolling(
+    hb: DataFrame,
+    window_buckets: int,
+    tier: str,
+    key_col: str = "source",
+    min_buckets: int | None = None,
+) -> DataFrame:
+    """Merged liveness summary over the TRAILING ``window_buckets``
+    calendar slots per present slot, plus window accessors: ``uptime`` /
+    ``downtime`` in seconds over the WINDOW SPAN ``[slot_start -
+    (k-1) steps, slot_end)`` via the clamped island fold — "uptime over
+    the last 24 hourly buckets as of each hour". Island interval-union
+    is associative and order-free, so the window merge is exact; a slot
+    with no summary simply contributes no islands (``win_buckets``
+    reports contributors, same convention as the other rolling reads).
+    Accessors and the merged ``live`` array are NULL below the
+    ``min_buckets`` warm-up (default: the full window); ``n`` stays."""
+    if tier not in _TIER_INTERVAL:
+        raise ValueError(f"tier must be in {list(_TIER_INTERVAL)}")
+    if window_buckets < 1:
+        raise ValueError("window_buckets must be >= 1")
+    mb = window_buckets if min_buckets is None else min_buckets
+    unit = TIER_TRUNC[tier]
+    targets = F.expr(
+        f"sequence(bucket_ts, bucket_ts + interval {window_buckets - 1} {unit}, "
+        f"interval 1 {unit})"
+    )
+    sc = hb.select(key_col, "bucket_ts", "first_hb", "last_hb", "live", "n") \
+        .withColumn("_tgt", F.explode(targets))
+    agg = sc.groupBy(key_col, "_tgt").agg(
+        F.min("first_hb").alias("first_hb"),
+        F.max("last_hb").alias("last_hb"),
+        F.array_sort(F.flatten(F.collect_list("live"))).alias("_flat"),
+        F.sum("n").alias("n"),
+        F.max(F.col("bucket_ts") == F.col("_tgt")).alias("_has_origin"),
+        F.size(F.collect_set("bucket_ts")).alias("win_buckets"),
+    )
+    win_start = (
+        F.col("_tgt")
+        - F.expr(f"interval {window_buckets - 1} {unit}")
+    )
+    win_end = F.col("_tgt") + F.expr(_TIER_INTERVAL[tier])
+    span = _seconds_between(win_start, win_end)
+    merged = agg.filter(F.col("_has_origin")).select(
+        key_col,
+        F.col("_tgt").alias("bucket_ts"),
+        "first_hb",
+        "last_hb",
+        _merge_islands(F.col("_flat")).alias("live"),
+        "n",
+        "win_buckets",
+        win_start.alias("_lo"),
+        win_end.alias("_hi"),
+        span.alias("_span"),
+    )
+    up = F.aggregate(
+        F.col("live"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.greatest(
+            F.lit(0.0),
+            _seconds_between(
+                F.greatest(x["s"], F.col("_lo")), F.least(x["e"], F.col("_hi"))
+            ),
+        ),
+    )
+    warm = F.col("win_buckets") >= F.lit(mb)
+    return (
+        merged.withColumn("uptime", F.when(warm, up))
+        .withColumn("downtime", F.when(warm, F.col("_span") - F.col("uptime")))
+        .withColumn("live", F.when(warm, F.col("live")))
+        .withColumn("first_hb", F.when(warm, F.col("first_hb")))
+        .withColumn("last_hb", F.when(warm, F.col("last_hb")))
+        .drop("_lo", "_hi", "_span")
+    )

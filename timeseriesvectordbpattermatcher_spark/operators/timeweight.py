@@ -463,3 +463,126 @@ def ohlc_read(o: DataFrame) -> DataFrame:
             "vwap", F.try_divide(F.col("pv"), F.nullif(F.col("vol"), F.lit(0.0)))
         )
     return out
+
+
+# --- rolling (trailing-k calendar slots) reads ------------------------------
+
+def _scatter(df: DataFrame, window_buckets: int, tier: str) -> DataFrame:
+    """Bounded scatter shared by the rolling reads: each summary row is
+    copied to the <= k trailing calendar slots it serves (narrow, no
+    shuffle); the caller aggregates per (key, ``_tgt``)."""
+    if tier not in TIER_TRUNC:
+        raise ValueError(f"tier must be in {list(TIER_TRUNC)}")
+    if window_buckets < 1:
+        raise ValueError("window_buckets must be >= 1")
+    unit = TIER_TRUNC[tier]
+    targets = F.expr(
+        f"sequence(bucket_ts, bucket_ts + interval {window_buckets - 1} {unit}, "
+        f"interval 1 {unit})"
+    )
+    return df.withColumn("_tgt", F.explode(targets))
+
+
+def tw_rolling(
+    tw: DataFrame,
+    window_buckets: int,
+    tier: str,
+    key_col: str = "source",
+    method: str = "locf",
+    min_buckets: int | None = None,
+) -> DataFrame:
+    """Merged time-weight summary over the TRAILING ``window_buckets``
+    calendar slots per present slot — "time-weighted average of the last
+    24 hourly buckets" via :func:`tw_average`/:func:`gauge_delta` on the
+    output, which has the standard summary schema plus ``win_buckets``.
+    The merge is the cascade's: member areas + the bridge segments
+    between CONSECUTIVE members (a calendar gap inside the window
+    contributes one long bridge across it, exactly the raw segment that
+    crossed the gap — same convention as the tier merge). ``method``
+    must match the build's. Payload columns are NULL below the
+    ``min_buckets`` warm-up (default: the full window); ``n`` stays."""
+    _check_method(method)
+    mb = window_buckets if min_buckets is None else min_buckets
+    sc = _scatter(
+        tw.select(key_col, "bucket_ts", "first", "last", "area", "n"),
+        window_buckets, tier,
+    )
+    w = Window.partitionBy(key_col, "_tgt").orderBy("bucket_ts", "first")
+    stepped = sc.withColumn(
+        "_bridge",
+        F.when(
+            F.lead("first").over(w).isNotNull(),
+            _bridge(method, F.col("last"), F.lead("first").over(w)),
+        ),
+    )
+    agg = stepped.groupBy(key_col, "_tgt").agg(
+        F.min("first").alias("first"),
+        F.max("last").alias("last"),
+        (F.sum("area") + F.coalesce(F.sum("_bridge"), F.lit(0.0))).alias("area"),
+        F.sum("n").alias("n"),
+        F.max(F.col("bucket_ts") == F.col("_tgt")).alias("_has_origin"),
+        F.size(F.collect_set("bucket_ts")).alias("win_buckets"),
+    )
+    warm = F.col("win_buckets") >= F.lit(mb)
+    return (
+        agg.filter(F.col("_has_origin"))
+        .select(
+            key_col,
+            F.col("_tgt").alias("bucket_ts"),
+            F.when(warm, F.col("first")).alias("first"),
+            F.when(warm, F.col("last")).alias("last"),
+            F.when(warm, F.col("area")).alias("area"),
+            "n",
+            "win_buckets",
+        )
+    )
+
+
+def ohlc_rolling(
+    o: DataFrame,
+    window_buckets: int,
+    tier: str,
+    key_col: str = "source",
+    min_buckets: int | None = None,
+) -> DataFrame:
+    """Merged candle over the TRAILING ``window_buckets`` calendar slots
+    per present slot — "the 24-hour candle as of each hour". Selection
+    merge (min first / max last / min low / max high) plus additive
+    vol/pv when present, so the window candle equals a direct build over
+    the window's raw rows exactly. Read with :func:`ohlc_read`. Payload
+    NULL below ``min_buckets`` (default: full window); ``n`` stays."""
+    mb = window_buckets if min_buckets is None else min_buckets
+    has_vol = "vol" in o.columns
+    cols = [key_col, "bucket_ts", "first", "last", "low", "high", "n"] + (
+        ["vol", "pv"] if has_vol else []
+    )
+    sc = _scatter(o.select(*cols), window_buckets, tier)
+    aggs = [
+        F.min("first").alias("first"),
+        F.max("last").alias("last"),
+        F.min("low").alias("low"),
+        F.max("high").alias("high"),
+        F.sum("n").alias("n"),
+        F.max(F.col("bucket_ts") == F.col("_tgt")).alias("_has_origin"),
+        F.size(F.collect_set("bucket_ts")).alias("win_buckets"),
+    ]
+    if has_vol:
+        aggs += [F.sum("vol").alias("vol"), F.sum("pv").alias("pv")]
+    agg = sc.groupBy(key_col, "_tgt").agg(*aggs)
+    warm = F.col("win_buckets") >= F.lit(mb)
+    sel = [
+        key_col,
+        F.col("_tgt").alias("bucket_ts"),
+        F.when(warm, F.col("first")).alias("first"),
+        F.when(warm, F.col("last")).alias("last"),
+        F.when(warm, F.col("low")).alias("low"),
+        F.when(warm, F.col("high")).alias("high"),
+        "n",
+        "win_buckets",
+    ]
+    if has_vol:
+        sel += [
+            F.when(warm, F.col("vol")).alias("vol"),
+            F.when(warm, F.col("pv")).alias("pv"),
+        ]
+    return agg.filter(F.col("_has_origin")).select(*sel)
