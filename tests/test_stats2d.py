@@ -413,3 +413,61 @@ def test_realtime_stats2_equals_full_recompute(spark, seqs_2k, tmp_path, tier):
     )
     view = realtime_stats2(job, spark, corpus, tier=tier, x_col="xv")
     pd.testing.assert_frame_equal(_sorted(view), _sorted(full), check_exact=True)
+
+
+@pytest.mark.parametrize("tier", ["1m", "1d"])
+def test_slope_inference_matches_explicit_sql(duck, raw_pdf, tiers, tier):
+    """slope_stderr / slope_t (classical OLS inference): DuckDB computes
+    sigma^2 = (Myy - Mxy^2/Mxx)/(n-2), se = sigma/sqrt(Mxx) from raw
+    with its own centered aggregates."""
+    duck.register("raw_s2", raw_pdf)
+    oracle = duck.sql(f"""
+        SELECT source, date_trunc('{TRUNC[tier]}', event_ts) AS bucket_ts,
+               CASE WHEN count(*) > 2 AND var_pop(x) > 0 THEN
+                 sqrt(greatest(0,
+                     (var_pop(y) - pow(covar_pop(y, x), 2) / var_pop(x))
+                     * count(*))
+                   / ((count(*) - 2) * var_pop(x) * count(*)))
+               END AS slope_stderr,
+               CASE WHEN count(*) > 2 AND var_pop(x) > 0 THEN
+                 regr_slope(y, x) /
+                 nullif(sqrt(greatest(0,
+                     (var_pop(y) - pow(covar_pop(y, x), 2) / var_pop(x))
+                     * count(*))
+                   / ((count(*) - 2) * var_pop(x) * count(*))), 0)
+               END AS slope_t
+        FROM raw_s2 GROUP BY 1, 2
+    """).df()
+    got = stats2_read(
+        tiers[tier], accessors=("slope_stderr", "slope_t")
+    ).select("source", "bucket_ts", "slope_stderr", "slope_t")
+    left = _sorted(got)
+    right = oracle.sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+    right = right[sorted(right.columns)]
+    pd.testing.assert_frame_equal(left, right, check_dtype=False, rtol=1e-6, atol=1e-9)
+
+
+def test_slope_inference_degenerate(spark):
+    # perfect line: residuals 0 -> stderr 0 -> t NULL (division guard);
+    # n=2 line: saturated -> stderr NULL
+    rows = [
+        ("line", "2024-01-01 00:00:01", 1.0, 3.0),
+        ("line", "2024-01-01 00:00:02", 2.0, 5.0),
+        ("line", "2024-01-01 00:00:03", 3.0, 7.0),
+        ("two", "2024-01-01 00:00:01", 1.0, 3.0),
+        ("two", "2024-01-01 00:00:02", 2.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "source string, ts string, x double, y double").select(
+        "source", F.col("ts").cast("timestamp").alias("event_ts"), "x", "y"
+    )
+    got = {
+        r["source"]: r
+        for r in stats2_read(
+            stats2_bucket(df, tier="1d", y_col="y", x_col="x"),
+            accessors=("slope", "slope_stderr", "slope_t"),
+        ).collect()
+    }
+    assert got["line"]["slope"] == 2.0
+    assert got["line"]["slope_stderr"] == 0.0
+    assert got["line"]["slope_t"] is None
+    assert got["two"]["slope_stderr"] is None and got["two"]["slope_t"] is None

@@ -129,3 +129,50 @@ def test_guards(spark, corpus):
         mann_kendall(corpus, alpha=1.5)
     with pytest.raises(Exception, match="max_points"):
         mann_kendall(corpus, max_points=10).toPandas()
+
+
+def test_seasonal_mk_matches_duckdb_and_beats_plain_on_seasonal_trend(spark, duck):
+    from timeseriesvectordbpattermatcher_spark.operators.trendtest import (
+        seasonal_mann_kendall,
+    )
+
+    rng = np.random.default_rng(3)
+    t = np.arange(144)
+    y = 0.05 * t + 8.0 * np.sin(2 * np.pi * t / 12) + rng.normal(0, 0.8, 144)
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(t * STEP, unit="s")
+    df = spark.createDataFrame(
+        pd.DataFrame({"source": "s", "bucket_ts": ts, "val": np.round(y, 6)})
+    )
+    P = 12
+    got = seasonal_mann_kendall(df, P).toPandas().iloc[0]
+    # DuckDB recomputes S' with its own within-season pairwise join
+    duck.register("smk", df.toPandas())
+    want_s = duck.sql(f"""
+        WITH s AS (
+          SELECT epoch(bucket_ts)::DOUBLE t, val::DOUBLE x,
+                 (row_number() OVER (ORDER BY bucket_ts) - 1) % {P} AS g
+          FROM smk)
+        SELECT sum(sign(b.x - a.x))::BIGINT
+        FROM s a JOIN s b ON b.g = a.g AND b.t > a.t
+    """).df().iloc[0, 0]
+    assert got["s_stat"] == want_s
+    # python replay of Var' = sum of per-season tie-corrected variances
+    var_tot = 0.0
+    for g in range(P):
+        xg = y[g::P]
+        n = len(xg)
+        _, c = np.unique(xg, return_counts=True)
+        c = c[c > 1].astype(float)
+        var_tot += (n * (n - 1) * (2 * n + 5)
+                    - float((c * (c - 1) * (2 * c + 5)).sum())) / 18.0
+    assert got["var_s"] == pytest.approx(var_tot, rel=1e-12)
+    z = ((got["s_stat"] - 1) / math.sqrt(var_tot) if got["s_stat"] > 0
+         else (got["s_stat"] + 1) / math.sqrt(var_tot) if got["s_stat"] < 0
+         else 0.0)
+    assert got["z"] == pytest.approx(z, rel=1e-12)
+    assert got["trend"] == "increasing"
+    # the within-season Sen slope recovers the planted trend despite the
+    # 160x-larger seasonal swing
+    assert got["sen_slope"] * STEP == pytest.approx(0.05, rel=0.35)
+    with pytest.raises(ValueError, match="period"):
+        seasonal_mann_kendall(df, 1)

@@ -222,6 +222,7 @@ ACCESSORS = (
     "stddev_pop_x", "stddev_samp_x", "stddev_pop_y", "stddev_samp_y",
     "slope", "intercept", "x_intercept",
     "corr", "r2", "covar_pop", "covar_samp",
+    "slope_stderr", "slope_t",
     "skewness_y", "kurtosis_y",
 )
 
@@ -270,6 +271,18 @@ def _accessor_cols(n: Column, sx: Column, sy: Column, sxx: Column,
         ),
         "covar_pop": mxy / nd,
         "covar_samp": F.try_divide(mxy, nm1),
+        # classical OLS inference on the fit: residual SS = Myy - Mxy^2/Mxx,
+        # sigma^2 = RSS/(n-2), se(slope) = sigma/sqrt(Mxx); NULL when the
+        # fit is undefined (Mxx=0) or saturated (n<=2). slope_t is the
+        # t-statistic with n-2 dof — the read is the statistic itself (a
+        # p-value needs the t CDF; compare against the caller's critical
+        # value, ~2 for the usual alpha=0.05 at moderate n).
+        "slope_stderr": F.sqrt(
+            F.try_divide(
+                F.greatest(F.lit(0.0), myy - F.try_divide(mxy * mxy, F.nullif(mxx, F.lit(0.0)))),
+                F.nullif((nd - 2.0) * mxx, F.lit(0.0)),
+            )
+        ),
         # population method (TimescaleDB stats_agg default): NULL on
         # zero variance, matching its NaN-free contract here
         "skewness_y": F.try_divide(
@@ -279,6 +292,9 @@ def _accessor_cols(n: Column, sx: Column, sy: Column, sxx: Column,
             m4 / nd, F.nullif(var_pop_y * var_pop_y, F.lit(0.0))
         ),
     }
+    out["slope_t"] = F.try_divide(
+        out["slope"], F.nullif(out["slope_stderr"], F.lit(0.0))
+    )
     return out
 
 

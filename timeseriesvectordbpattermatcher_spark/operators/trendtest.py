@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["mann_kendall"]
+__all__ = ["mann_kendall", "seasonal_mann_kendall"]
 
 
 def _mk_kernel(t: np.ndarray, x: np.ndarray, alpha: float) -> dict:
@@ -149,6 +149,101 @@ def mann_kendall(
         pdf = pdf.sort_values(["t", "x"], kind="mergesort")
         out = _mk_kernel(pdf["t"].to_numpy(), pdf["x"].to_numpy(), alpha)
         return pd.DataFrame([{"key": pdf["key"].iloc[0], **out}])
+
+    return pts.groupBy("key").applyInPandas(run, schema=schema).withColumnRenamed(
+        "key", key_col
+    )
+
+
+def seasonal_mann_kendall(
+    points: DataFrame,
+    period: int,
+    key_col: str = "source",
+    ts_col: str = "bucket_ts",
+    val_col: str = "val",
+    alpha: float = 0.05,
+    max_points: int = 5000,
+) -> DataFrame:
+    """Seasonal Mann–Kendall (Hirsch & Slack 1984): the MK statistic
+    computed WITHIN each of ``period`` seasons (sample i belongs to
+    season ``i mod period`` in time order) and summed — so a strong
+    seasonal cycle no longer masks (or fakes) a monotone trend.
+    S' = sum_g S_g, Var' = sum_g Var_g (independent-seasons form; the
+    serial-correlation covariance correction is out of scope and
+    documented), Z/p as in :func:`mann_kendall`; the Sen slope is the
+    median of WITHIN-season pairwise slopes. Same per-key grouped
+    kernel, guard, and output schema (plus ``period``)."""
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    pts = points.filter(
+        F.col(ts_col).isNotNull() & F.col(val_col).isNotNull()
+    ).select(
+        F.col(key_col).cast("string").alias("key"),
+        (F.unix_micros(F.col(ts_col)) / F.lit(1_000_000.0)).alias("t"),
+        F.col(val_col).cast("double").alias("x"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("period", T.IntegerType()),
+            T.StructField("n", T.IntegerType()),
+            T.StructField("s_stat", T.LongType()),
+            T.StructField("var_s", T.DoubleType()),
+            T.StructField("z", T.DoubleType()),
+            T.StructField("p_value", T.DoubleType()),
+            T.StructField("sen_slope", T.DoubleType()),
+            T.StructField("trend", T.StringType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_points:
+            raise ValueError(
+                f"seasonal_mann_kendall: key {pdf['key'].iloc[0]!r} has "
+                f"{len(pdf)} points > max_points={max_points}"
+            )
+        pdf = pdf.sort_values(["t", "x"], kind="mergesort")
+        t = pdf["t"].to_numpy()
+        x = pdf["x"].to_numpy()
+        n = len(x)
+        s_tot, var_tot = 0, 0.0
+        slopes: list[np.ndarray] = []
+        any_season = False
+        for g in range(period):
+            xg, tg = x[g::period], t[g::period]
+            if len(xg) < 3:
+                continue
+            r = _mk_kernel(tg, xg, alpha)
+            if r["s_stat"] is None or r["var_s"] is None:
+                continue
+            any_season = True
+            s_tot += r["s_stat"]
+            var_tot += r["var_s"]
+            for i in range(len(xg) - 1):
+                d = xg[i + 1:] - xg[i]
+                dt = tg[i + 1:] - tg[i]
+                ok = dt != 0
+                if ok.any():
+                    slopes.append(d[ok] / dt[ok])
+        if not any_season or var_tot <= 0:
+            out = dict(n=n, s_stat=None, var_s=None, z=None, p_value=None,
+                       sen_slope=None, trend=None)
+        else:
+            if s_tot > 0:
+                z = (s_tot - 1) / math.sqrt(var_tot)
+            elif s_tot < 0:
+                z = (s_tot + 1) / math.sqrt(var_tot)
+            else:
+                z = 0.0
+            p = math.erfc(abs(z) / math.sqrt(2.0))
+            all_slopes = np.concatenate(slopes) if slopes else np.array([])
+            sen = float(np.median(all_slopes)) if len(all_slopes) else None
+            trend = ("increasing" if s_tot > 0 else "decreasing") if p < alpha else "no_trend"
+            out = dict(n=n, s_stat=int(s_tot), var_s=var_tot, z=z, p_value=p,
+                       sen_slope=sen, trend=trend)
+        return pd.DataFrame([{"key": pdf["key"].iloc[0], "period": period, **out}])
 
     return pts.groupBy("key").applyInPandas(run, schema=schema).withColumnRenamed(
         "key", key_col
