@@ -1,0 +1,150 @@
+"""Arbitrary-width bucket reads served from committed tiers
+(rollup.width_bucket / cascade_width, quantiles.hist_cascade_width,
+ddsketch.dds_cascade_width).
+
+Oracles: DuckDB recomputes each width bucket straight from RAW rows
+(floor-epoch bucketing with the same origin) — stats incl. token-level
+sums via unnest, exact type-1 quantiles for the histogram plane, exact
+quantiles bounding the dds plane within alpha.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from timeseriesvectordbpattermatcher_spark.operators.ddsketch import (
+    dds_bucket,
+    dds_cascade_width,
+    dds_quantiles,
+)
+from timeseriesvectordbpattermatcher_spark.operators.quantiles import (
+    add_hist_quantiles,
+    hist_1m,
+    hist_cascade_width,
+)
+from timeseriesvectordbpattermatcher_spark.operators.rollup import (
+    cascade_width,
+    derive_event_ts,
+    rollup_1m,
+    width_bucket,
+)
+
+ORIGIN = "2020-01-01 00:00:00"
+
+
+@pytest.fixture(scope="module")
+def raw(spark, seqs_2k):
+    df = derive_event_ts(seqs_2k).filter(F.col("event_ts").isNotNull()).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _bucket_sql(width):
+    return (
+        f"to_timestamp(floor((epoch(event_ts) - epoch(TIMESTAMP '{ORIGIN}'))"
+        f" / {width}) * {width} + epoch(TIMESTAMP '{ORIGIN}'))"
+    )
+
+
+@pytest.mark.parametrize("width", [300, 900, 4 * 3600, 7 * 86400])
+def test_cascade_width_matches_duckdb_raw_recompute(duck, raw, width):
+    t1m = rollup_1m(raw)
+    got = (
+        cascade_width(t1m, width, origin=ORIGIN)
+        .toPandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    duck.register("wb_raw", raw.select("source", "event_ts", "n_tok", "tokens").toPandas())
+    want = duck.sql(f"""
+        WITH b AS (
+          SELECT source, {_bucket_sql(width)} AS bucket_ts, n_tok, tokens
+          FROM wb_raw),
+        tok AS (
+          SELECT source, bucket_ts, min(t) tok_min, max(t) tok_max, sum(t) tok_sum
+          FROM (SELECT source, bucket_ts, unnest(tokens) AS t FROM b)
+          GROUP BY 1, 2)
+        SELECT b.source, b.bucket_ts, count(*) AS cnt,
+               sum(n_tok) AS sum_n_tok, min(n_tok) AS min_n_tok,
+               max(n_tok) AS max_n_tok,
+               tok.tok_min, tok.tok_max, tok.tok_sum,
+               sum(n_tok)::DOUBLE / count(*) AS avg_n_tok
+        FROM b LEFT JOIN tok USING (source, bucket_ts)
+        GROUP BY 1, 2, tok.tok_min, tok.tok_max, tok.tok_sum
+        ORDER BY 1, 2
+    """).df().reset_index(drop=True)
+    cols = sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        got[cols], want[cols], check_dtype=False, rtol=1e-12
+    )
+
+
+def test_hist_width_quantiles_exact(duck, raw):
+    W = 900
+    got = (
+        add_hist_quantiles(hist_cascade_width(hist_1m(raw), W, origin=ORIGIN),
+                           qs={"p90": 0.9})
+        .select("source", "bucket_ts", "p90", "hist_n")
+        .toPandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    duck.register("wb_raw2", raw.select("source", "event_ts", "n_tok").toPandas())
+    want = duck.sql(f"""
+        WITH b AS (SELECT source, {_bucket_sql(W)} AS bucket_ts, n_tok FROM wb_raw2),
+        r AS (SELECT source, bucket_ts, n_tok,
+                     row_number() OVER (PARTITION BY source, bucket_ts ORDER BY n_tok) rnk,
+                     count(*) OVER (PARTITION BY source, bucket_ts) tot
+              FROM b)
+        SELECT source, bucket_ts,
+               min(CASE WHEN rnk >= greatest(1, ceil(tot * 0.9)) THEN n_tok END) AS p90,
+               max(tot) AS hist_n
+        FROM r GROUP BY 1, 2 ORDER BY 1, 2
+    """).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+
+
+def test_dds_width_within_alpha(duck, raw):
+    W, ALPHA = 1800, 0.01
+    pts = raw.withColumn("fv", F.col("n_tok") * 2.5 + 0.75)
+    got = dds_quantiles(
+        dds_cascade_width(dds_bucket(pts, alpha=ALPHA, value_col="fv"), W, origin=ORIGIN),
+        alpha=ALPHA, qs={"p95": 0.95},
+    ).select("source", "bucket_ts", "p95").toPandas()
+    duck.register("wb_raw3", pts.select("source", "event_ts", "fv").toPandas())
+    want = duck.sql(f"""
+        WITH b AS (SELECT source, {_bucket_sql(W)} AS bucket_ts, fv FROM wb_raw3),
+        r AS (SELECT source, bucket_ts, fv,
+                     row_number() OVER (PARTITION BY source, bucket_ts ORDER BY fv) rnk,
+                     count(*) OVER (PARTITION BY source, bucket_ts) tot
+              FROM b)
+        SELECT source, bucket_ts,
+               min(CASE WHEN rnk >= greatest(1, ceil(tot * 0.95)) THEN fv END) AS exact
+        FROM r GROUP BY 1, 2
+    """).df()
+    for d in (got, want):
+        b = pd.to_datetime(d["bucket_ts"])
+        if b.dt.tz is not None:
+            b = b.dt.tz_convert("UTC").dt.tz_localize(None)
+        d["bucket_ts"] = b.astype("datetime64[us]")
+    m = got.merge(want, on=["source", "bucket_ts"])
+    assert len(m) == len(got) == len(want)
+    rel = (m["p95"] - m["exact"]).abs() / m["exact"].abs()
+    assert (rel <= ALPHA).all(), rel.max()
+
+
+def test_width_bucket_origin_and_guards(spark, raw):
+    # an origin mid-grid shifts the boundaries: a 2h bucket anchored at
+    # 00:30 puts 00:00-00:29 in the PREVIOUS bucket
+    row = spark.range(1).select(
+        width_bucket(F.lit("2024-01-01 01:00:00").cast("timestamp"), 7200,
+                     origin="2020-01-01 00:30:00").alias("b")
+    ).first()
+    assert str(row["b"]) == "2024-01-01 00:30:00"
+    with pytest.raises(ValueError, match="width_sec"):
+        cascade_width(rollup_1m(raw), 0)

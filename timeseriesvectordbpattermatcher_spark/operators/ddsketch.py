@@ -68,6 +68,7 @@ __all__ = [
     "dds_cascade",
     "dds_quantiles",
     "dds_rolling_quantiles",
+    "dds_cascade_width",
 ]
 
 #: separates the negative / zero / positive key ranges; indices are
@@ -203,3 +204,22 @@ def dds_rolling_quantiles(
     for name in qs:
         out = out.withColumn(name, dds_decode(F.col(name), alpha))
     return out
+
+
+def dds_cascade_width(
+    sketches: DataFrame,
+    width_sec: int,
+    key_col: str = "source",
+    sketch_col: str = "dds",
+    origin: str = "2020-01-01 00:00:00",
+) -> DataFrame:
+    """Merge a DDSketch tier into ARBITRARY fixed-width buckets
+    (``time_bucket`` semantics) — approx quantiles per 15 minutes from
+    the 1m tier, same exact count-addition merge as :func:`dds_cascade`;
+    the alpha guarantee is untouched (error enters at decode only).
+    Source-width/alignment contract as :func:`~.rollup.cascade_width`."""
+    from .quantiles import hist_cascade_width
+
+    return hist_cascade_width(
+        sketches, width_sec, key_col=key_col, hist_col=sketch_col, origin=origin
+    )

@@ -112,6 +112,30 @@ def hist_cascade(
     if tier not in TIER_TRUNC:
         raise ValueError(f"tier must be one of {sorted(TIER_TRUNC)}, got {tier!r}")
     coarse = F.date_trunc(TIER_TRUNC[tier], F.col("bucket_ts")).alias("bucket_ts")
+    return _hist_merge(df, coarse, key_col, hist_col)
+
+
+def hist_cascade_width(
+    df: DataFrame,
+    width_sec: int,
+    key_col: str = "source",
+    hist_col: str = "hist",
+    origin: str = "2020-01-01 00:00:00",
+) -> DataFrame:
+    """Merge a histogram tier into ARBITRARY fixed-width buckets
+    (TimescaleDB ``time_bucket`` semantics via
+    :func:`~.rollup.width_bucket`) — "p99 per 15 minutes" from the 1m
+    tier without a raw rescan. Histogram addition is exact, so the
+    width read equals a raw recompute whenever the source tier's width
+    divides ``width_sec`` and aligns to the grid (caller's contract,
+    same as :func:`~.rollup.cascade_width`)."""
+    from .rollup import width_bucket
+
+    coarse = width_bucket(F.col("bucket_ts"), width_sec, origin).alias("bucket_ts")
+    return _hist_merge(df, coarse, key_col, hist_col)
+
+
+def _hist_merge(df: DataFrame, coarse, key_col: str, hist_col: str) -> DataFrame:
     exploded = df.select(
         key_col, coarse, F.explode_outer(hist_col).alias("_hv", "_hc")
     )

@@ -489,3 +489,39 @@ def rollup_all_tiers(
     tiers["1h"] = cascade(tiers["1m"], "1h", key_col=key_col)
     tiers["1d"] = cascade(tiers["1h"], "1d", key_col=key_col)
     return tiers
+
+
+def width_bucket(ts: Column, width_sec: int, origin: str = "2020-01-01 00:00:00") -> Column:
+    """Floor ``ts`` onto a fixed-width grid anchored at ``origin``
+    (TimescaleDB ``time_bucket(width, ts, origin)`` semantics) — the
+    general form of the calendar ``date_trunc`` the tiers use, for
+    widths the tier set does not carry (5m, 15m, 4h, weeks, ...)."""
+    if width_sec < 1:
+        raise ValueError(f"width_sec must be >= 1, got {width_sec}")
+    o = F.unix_micros(F.lit(origin).cast("timestamp"))
+    t = F.unix_micros(ts)
+    w = F.lit(int(width_sec) * 1_000_000).cast("long")
+    return F.timestamp_micros((F.floor((t - o) / w) * w + o).cast("long"))
+
+
+def cascade_width(
+    rollup: DataFrame,
+    width_sec: int,
+    key_col: str = "source",
+    origin: str = "2020-01-01 00:00:00",
+) -> DataFrame:
+    """Re-aggregate a tier into ARBITRARY fixed-width buckets (partial ->
+    final, exact — the same merge algebra as :func:`cascade`): "15-minute
+    rollups" served from the committed 1m tier with one tier-table-sized
+    groupBy, never a raw rescan. The source tier's width must divide
+    ``width_sec`` and its buckets must align to the grid (1m input: any
+    whole-minute width with a whole-minute origin) — otherwise a source
+    bucket would straddle two output buckets, which a summary cannot
+    split; this is the caller's contract exactly as ``to_tier`` ordering
+    is for :func:`cascade`."""
+    out = (
+        rollup.withColumn("bucket_ts", width_bucket(F.col("bucket_ts"), width_sec, origin))
+        .groupBy(key_col, "bucket_ts")
+        .agg(*_merge_aggs())
+    )
+    return _with_avg(out)
