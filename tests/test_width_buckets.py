@@ -148,3 +148,64 @@ def test_width_bucket_origin_and_guards(spark, raw):
     assert str(row["b"]) == "2024-01-01 00:30:00"
     with pytest.raises(ValueError, match="width_sec"):
         cascade_width(rollup_1m(raw), 0)
+
+
+def test_tw_and_ohlc_width_match_direct(raw, duck):
+    """Width merges of tw/candle summaries equal direct builds at the
+    same grid: for tw, a direct build = bucketing raw by the width grid
+    then running time_weight_bucket's algebra — realized here by DuckDB
+    integrating consecutive-point segments per width bucket; candles by
+    windowed first/last/min/max."""
+    from timeseriesvectordbpattermatcher_spark.operators.timeweight import (
+        ohlc_bucket,
+        ohlc_cascade_width,
+        ohlc_read,
+        time_weight_bucket,
+        time_weight_cascade_width,
+    )
+
+    W = 2 * 3600
+    pts = raw.groupBy("source", "event_ts").agg(F.max("n_tok").alias("val"))
+    duck.register("wtw", pts.toPandas())
+    tw = time_weight_cascade_width(
+        time_weight_bucket(pts, tier="1m"), W, origin=ORIGIN
+    ).select("source", "bucket_ts", "area", "n").toPandas() \
+        .sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+    want = duck.sql(f"""
+        WITH p AS (SELECT source, event_ts, val::DOUBLE val,
+                          {_bucket_sql(W)} AS b FROM wtw),
+        seg AS (SELECT source, b, val,
+                       epoch(lead(event_ts) OVER w) - epoch(event_ts) dt
+                FROM p WINDOW w AS (PARTITION BY source, b ORDER BY event_ts, val))
+        SELECT source, b AS bucket_ts, coalesce(sum(val*dt),0) AS area, count(*) AS n
+        FROM seg GROUP BY 1,2 ORDER BY 1,2
+    """).df().reset_index(drop=True)
+    for d in (tw, want):
+        b = pd.to_datetime(d["bucket_ts"])
+        if b.dt.tz is not None:
+            b = b.dt.tz_convert("UTC").dt.tz_localize(None)
+        d["bucket_ts"] = b.astype("datetime64[us]")
+    pd.testing.assert_frame_equal(
+        tw[sorted(tw.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+
+    oc = ohlc_read(ohlc_cascade_width(ohlc_bucket(pts, tier="1m"), W, origin=ORIGIN)) \
+        .select("source", "bucket_ts", "open", "close", "low", "high", "n").toPandas() \
+        .sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+    wc = duck.sql(f"""
+        WITH p AS (SELECT source, event_ts, val::DOUBLE val,
+                          {_bucket_sql(W)} AS b FROM wtw)
+        SELECT source, b AS bucket_ts,
+               first(val ORDER BY event_ts, val) AS "open",
+               last(val ORDER BY event_ts, val) AS "close",
+               min(val) AS low, max(val) AS high, count(*) AS n
+        FROM p GROUP BY 1,2 ORDER BY 1,2
+    """).df().reset_index(drop=True)
+    for d in (oc, wc):
+        b = pd.to_datetime(d["bucket_ts"])
+        if b.dt.tz is not None:
+            b = b.dt.tz_convert("UTC").dt.tz_localize(None)
+        d["bucket_ts"] = b.astype("datetime64[us]")
+    pd.testing.assert_frame_equal(
+        oc[sorted(oc.columns)], wc[sorted(wc.columns)], check_dtype=False
+    )

@@ -465,6 +465,70 @@ def ohlc_read(o: DataFrame) -> DataFrame:
     return out
 
 
+def time_weight_cascade_width(
+    tw: DataFrame,
+    width_sec: int,
+    key_col: str = "source",
+    method: str = "locf",
+    origin: str = "2020-01-01 00:00:00",
+) -> DataFrame:
+    """Merge time-weight summaries onto an ARBITRARY fixed-width grid
+    (``time_bucket`` semantics via :func:`~.rollup.width_bucket`) — the
+    width companion to :func:`time_weight_cascade`, same bridge re-add
+    per coarse bucket, exact under the same source-width-divides-target
+    alignment contract as :func:`~.rollup.cascade_width`."""
+    from .rollup import width_bucket
+
+    _check_method(method)
+    coarse = width_bucket(F.col("bucket_ts"), width_sec, origin)
+    w = Window.partitionBy(key_col, "_coarse").orderBy("bucket_ts", "first")
+    stepped = tw.withColumn("_coarse", coarse).withColumn(
+        "_bridge",
+        F.when(
+            F.lead("first").over(w).isNotNull(),
+            _bridge(method, F.col("last"), F.lead("first").over(w)),
+        ),
+    )
+    return (
+        stepped.groupBy(key_col, "_coarse")
+        .agg(
+            F.min("first").alias("first"),
+            F.max("last").alias("last"),
+            (F.sum("area") + F.coalesce(F.sum("_bridge"), F.lit(0.0))).alias("area"),
+            F.sum("n").alias("n"),
+        )
+        .withColumnRenamed("_coarse", "bucket_ts")
+    )
+
+
+def ohlc_cascade_width(
+    o: DataFrame,
+    width_sec: int,
+    key_col: str = "source",
+    origin: str = "2020-01-01 00:00:00",
+) -> DataFrame:
+    """Merge candles onto an ARBITRARY fixed-width grid — "4-hour
+    candles from the 1m tier". Selection + additive merge, so the width
+    candle equals a direct raw build exactly under the alignment
+    contract of :func:`~.rollup.cascade_width`."""
+    from .rollup import width_bucket
+
+    aggs = [
+        F.min("first").alias("first"),
+        F.max("last").alias("last"),
+        F.min("low").alias("low"),
+        F.max("high").alias("high"),
+        F.sum("n").alias("n"),
+    ]
+    if "vol" in o.columns:
+        aggs += [F.sum("vol").alias("vol"), F.sum("pv").alias("pv")]
+    return (
+        o.withColumn("bucket_ts", width_bucket(F.col("bucket_ts"), width_sec, origin))
+        .groupBy(key_col, "bucket_ts")
+        .agg(*aggs)
+    )
+
+
 # --- rolling (trailing-k calendar slots) reads ------------------------------
 
 def _scatter(df: DataFrame, window_buckets: int, tier: str) -> DataFrame:
