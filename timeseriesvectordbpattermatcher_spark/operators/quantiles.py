@@ -343,3 +343,118 @@ def hist_rolling_quantiles(
             name, F.when(F.col("win_buckets") >= F.lit(mb), F.col(name))
         )
     return out
+
+
+def hist_merge_all(
+    df: DataFrame,
+    key_col: str = "source",
+    hist_col: str = "hist",
+) -> DataFrame:
+    """Collapse a histogram tier to ONE merged map per key (map
+    addition over every bucket) — the range aggregation feeding
+    :func:`hist_drift`; restrict the input first (``read_range`` /
+    a bucket_ts filter) to scope the window."""
+    exploded = df.select(key_col, F.explode_outer(hist_col).alias("_hv", "_hc"))
+    summed = (
+        exploded.filter(F.col("_hv").isNotNull())
+        .groupBy(key_col, "_hv")
+        .agg(F.sum("_hc").alias("_hc"))
+    )
+    merged = summed.groupBy(key_col).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("_hv", "_hc")))
+        ).alias(hist_col)
+    )
+    empties = (
+        exploded.groupBy(key_col)
+        .agg(F.max(F.col("_hv").isNotNull()).alias("_any"))
+        .filter(~F.col("_any"))
+        .select(
+            key_col,
+            F.map_from_entries(
+                F.array().cast("array<struct<_hv:int,_hc:bigint>>")
+            ).alias(hist_col),
+        )
+    )
+    return merged.unionByName(empties)
+
+
+def hist_drift(
+    hist_a: DataFrame,
+    hist_b: DataFrame,
+    key_col: str = "source",
+    hist_col: str = "hist",
+    psi_eps: float = 1e-6,
+) -> DataFrame:
+    """Distribution drift between two histogram sets per key, EXACTLY
+    from the tier summaries (no raw rescan):
+
+    - ``ks`` — the two-sample Kolmogorov–Smirnov statistic
+      ``max_v |CDF_a(v) - CDF_b(v)|`` over the union of observed
+      values (exact for integer-binned histograms; the test STATISTIC,
+      not a p-value — compare against the caller's threshold or
+      c(alpha)*sqrt((n_a+n_b)/(n_a*n_b)) per the published asymptotic
+      form).
+    - ``psi`` — the Population Stability Index
+      ``sum_v (p_a - p_b) * ln(p_a / p_b)`` with additive smoothing
+      ``psi_eps`` on each bin's probability (the standard guard for
+      bins present on one side only; the credit-scoring rule of thumb
+      reads < 0.1 stable, 0.1-0.25 shifted, > 0.25 drifted).
+
+    Keys present on only one side get NULL stats (nothing to compare);
+    all-empty sides likewise. Physical shape: explode both maps, one
+    full-outer merge per (key, value), one cumsum window per key — all
+    codegen'd, rows bounded by keys x domain.
+    """
+    a = hist_a.select(key_col, F.explode_outer(hist_col).alias("_hv", "_ca"))
+    b = hist_b.select(key_col, F.explode_outer(hist_col).alias("_hv", "_cb"))
+    av = a.filter(F.col("_hv").isNotNull()).groupBy(key_col, "_hv").agg(
+        F.sum("_ca").alias("_ca")
+    )
+    bv = b.filter(F.col("_hv").isNotNull()).groupBy(key_col, "_hv").agg(
+        F.sum("_cb").alias("_cb")
+    )
+    keys_a = a.select(key_col).distinct()
+    keys_b = b.select(key_col).distinct()
+    both = keys_a.join(keys_b, key_col)  # only comparable keys emit stats
+    grid = (
+        av.join(bv, [key_col, "_hv"], "full_outer")
+        .join(both, key_col, "left_semi")
+        .select(
+            key_col, "_hv",
+            F.coalesce("_ca", F.lit(0)).alias("_ca"),
+            F.coalesce("_cb", F.lit(0)).alias("_cb"),
+        )
+    )
+    w_all = Window.partitionBy(key_col)
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy("_hv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    na = F.sum("_ca").over(w_all)
+    nb = F.sum("_cb").over(w_all)
+    cda = F.sum("_ca").over(w_cum) / na
+    cdb = F.sum("_cb").over(w_cum) / nb
+    # smoothed bin probabilities for PSI; |bins| is the key's union grid
+    nbins = F.count(F.lit(1)).over(w_all)
+    pa = (F.col("_ca") + F.lit(psi_eps)) / (na + nbins * F.lit(psi_eps))
+    pb = (F.col("_cb") + F.lit(psi_eps)) / (nb + nbins * F.lit(psi_eps))
+    scored = grid.select(
+        key_col,
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.abs(cda - cdb).alias("_gap"),
+        ((pa - pb) * F.log(pa / pb)).alias("_psi_term"),
+    )
+    out = scored.groupBy(key_col).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("_gap").alias("ks"),
+        F.sum("_psi_term").alias("psi"),
+    )
+    return out.withColumn(
+        "ks", F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("ks"))
+    ).withColumn(
+        "psi", F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("psi"))
+    )
