@@ -461,3 +461,70 @@ def test_rolling_topk_warmup_and_origin(spark):
     assert first["hh_n"] == 3 and first["win_buckets"] == 1
     second = out["2024-01-01 01:00:00"]
     assert second["win_buckets"] == 2 and second["hh"] == {1: 4, 2: 2}
+
+
+def test_topk_drift_exact_regime_and_bounds(spark, seqs, duck):
+    """Exact regime (cap >= vocab): drift deltas equal DuckDB's exact
+    rate differences between the two halves; MG regime: the
+    [delta_lo, delta_hi] bracket contains the exact delta for every
+    reported token; a planted emerging token ranks first."""
+    from timeseriesvectordbpattermatcher_spark.operators.heavyhitters import (
+        topk_drift,
+        topk_merge_all,
+    )
+
+    mid = seqs.agg(
+        F.percentile_approx("event_ts", 0.5, 10000).alias("m")
+    ).first()["m"]
+    a = seqs.filter(F.col("event_ts") <= F.lit(mid.isoformat()))
+    # plant: token 77 injected 5x into every late-half doc of one source
+    b = seqs.filter(F.col("event_ts") > F.lit(mid.isoformat())).withColumn(
+        "tokens",
+        F.when(
+            F.col("source") == "web",
+            F.concat("tokens", F.array(*[F.lit(77)] * 5)),
+        ).otherwise(F.col("tokens")),
+    )
+    duck.register("tda", a.toPandas())
+    duck.register("tdb", b.toPandas())
+    exact = duck.sql("""
+        WITH ca AS (SELECT source, tok, count(*) c FROM
+                    (SELECT source, unnest(tokens) tok FROM tda) GROUP BY 1,2),
+        cb AS (SELECT source, tok, count(*) c FROM
+                    (SELECT source, unnest(tokens) tok FROM tdb) GROUP BY 1,2),
+        na AS (SELECT source, sum(c) n FROM ca GROUP BY 1),
+        nb AS (SELECT source, sum(c) n FROM cb GROUP BY 1)
+        SELECT coalesce(ca.source, cb.source) source,
+               coalesce(ca.tok, cb.tok) tok,
+               coalesce(ca.c,0)::DOUBLE / na.n rate_a,
+               coalesce(cb.c,0)::DOUBLE / nb.n rate_b
+        FROM ca FULL OUTER JOIN cb ON ca.source=cb.source AND ca.tok=cb.tok
+        JOIN na ON na.source = coalesce(ca.source, cb.source)
+        JOIN nb ON nb.source = coalesce(ca.source, cb.source)
+    """).df()
+    ex = {(r.source, r.tok): (r.rate_a, r.rate_b) for r in exact.itertuples()}
+
+    BIG = 1_000_000
+    sa = topk_merge_all(topk_bucket(a, tier="1h", cap=BIG), cap=BIG)
+    sb = topk_merge_all(topk_bucket(b, tier="1h", cap=BIG), cap=BIG)
+    drift = topk_drift(sa, sb, n=10).toPandas()
+    assert len(drift) > 0
+    for r in drift.itertuples():
+        ra, rb = ex.get((r.source, r.token), (0.0, 0.0))
+        assert r.rate_a == pytest.approx(ra, rel=1e-12)
+        assert r.rate_b == pytest.approx(rb, rel=1e-12)
+        assert r.delta_lo <= r.delta <= r.delta_hi
+    top_web = drift[(drift["source"] == "web") & (drift["rank"] == 1)].iloc[0]
+    assert top_web["token"] == 77 and top_web["delta"] > 0
+
+    # MG regime: bracket must contain the exact delta
+    s8a = topk_merge_all(topk_bucket(a, tier="1h", cap=CAP), cap=CAP)
+    s8b = topk_merge_all(topk_bucket(b, tier="1h", cap=CAP), cap=CAP)
+    d8 = topk_drift(s8a, s8b, n=None).toPandas()
+    assert len(d8) > 0
+    for r in d8.itertuples():
+        ra, rb = ex.get((r.source, r.token), (0.0, 0.0))
+        true_delta = rb - ra
+        assert r.delta_lo - 1e-12 <= true_delta <= r.delta_hi + 1e-12, (
+            r.source, r.token
+        )

@@ -48,7 +48,7 @@ the RollupJob's changed-partition recompute protocol applies unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .rollup import TIER_TRUNC
@@ -60,6 +60,8 @@ __all__ = [
     "topk_cascade",
     "topk_read",
     "topk_rolling",
+    "topk_merge_all",
+    "topk_drift",
 ]
 
 
@@ -513,3 +515,118 @@ def topk_rolling(
             "win_buckets",
         )
     )
+
+
+def topk_merge_all(
+    df: DataFrame,
+    cap: int = 64,
+    key_col: str = "source",
+) -> DataFrame:
+    """Collapse a summary tier to ONE summary per key (counter addition
+    over every bucket + a single re-compress — the cascade's merge with
+    the calendar axis dropped). Scope the window by filtering
+    ``bucket_ts`` first; feeds :func:`topk_drift`."""
+    _check_cap(cap)
+    scalars = df.groupBy(key_col).agg(
+        F.sum("hh_err").cast("bigint").alias("_err_in"),
+        F.sum("hh_n").cast("bigint").alias("hh_n"),
+    )
+    ex = df.select(key_col, F.explode_outer("hh").alias("_hv", "_hc"))
+    summed = (
+        ex.filter(F.col("_hv").isNotNull())
+        .groupBy(key_col, "_hv")
+        .agg(F.sum("_hc").alias("_hc"))
+    )
+    merged = summed.groupBy(key_col).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("_hv", "_hc")))
+        ).alias("_merged")
+    )
+    joined = scalars.join(merged, [key_col], "left").withColumn(
+        "_merged",
+        F.coalesce(
+            F.col("_merged"),
+            F.map_from_entries(
+                F.array().cast("array<struct<_hv:int,_hc:bigint>>")
+            ),
+        ),
+    )
+    out = compress_summary(joined, "_merged", cap)
+    return out.select(
+        key_col, "hh",
+        (F.col("_err_in") + F.col("_thr")).cast("bigint").alias("hh_err"),
+        "hh_n",
+    )
+
+
+def topk_drift(
+    summary_a: DataFrame,
+    summary_b: DataFrame,
+    n: int | None = 20,
+    key_col: str = "source",
+) -> DataFrame:
+    """Which tokens' frequency RATES moved most between two windows,
+    from the cap-bounded summaries alone. For every token reported in
+    either side's summary (per shared key):
+
+    - ``rate_a``/``rate_b`` — the point estimates ``est / hh_n`` (an
+      absent token's est point-estimates 0; its true count is bounded
+      by that side's ``hh_err``).
+    - ``delta`` = rate_b - rate_a (point estimate), with the GUARANTEED
+      bracket [``delta_lo``, ``delta_hi``] from the MG bounds:
+      true delta is in [est_b/n_b - (est_a + err_a)/n_a,
+      (est_b + err_b)/n_b - est_a/n_a] — callers should treat a bracket
+      containing 0 as "no reliable drift".
+    - ranked by |delta| descending (ties: token asc); ``n`` keeps the
+      top movers per key (None = all).
+
+    Keys present on only one side emit nothing (nothing to compare).
+    Bounded everywhere: <= 2*cap tokens per key enter the join."""
+    if n is not None and n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    a = summary_a.select(
+        key_col, F.col("hh_err").alias("_ea"), F.col("hh_n").alias("_na"),
+        F.explode_outer("hh").alias("_tok", "_ca"),
+    )
+    b = summary_b.select(
+        key_col, F.col("hh_err").alias("_eb"), F.col("hh_n").alias("_nb"),
+        F.explode_outer("hh").alias("_tok", "_cb"),
+    )
+    scal_a = a.select(key_col, "_ea", "_na").distinct()
+    scal_b = b.select(key_col, "_eb", "_nb").distinct()
+    toks = (
+        a.filter(F.col("_tok").isNotNull()).select(key_col, "_tok", "_ca")
+        .join(
+            b.filter(F.col("_tok").isNotNull()).select(key_col, "_tok", "_cb"),
+            [key_col, "_tok"], "full_outer",
+        )
+        .join(scal_a, key_col)
+        .join(scal_b, key_col)
+    )
+    ca = F.coalesce("_ca", F.lit(0)).cast("double")
+    cb = F.coalesce("_cb", F.lit(0)).cast("double")
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    rate_a = F.try_divide(ca, F.nullif(na, F.lit(0.0)))
+    rate_b = F.try_divide(cb, F.nullif(nb, F.lit(0.0)))
+    delta = rate_b - rate_a
+    lo = F.try_divide(cb, F.nullif(nb, F.lit(0.0))) - F.try_divide(
+        ca + F.col("_ea"), F.nullif(na, F.lit(0.0))
+    )
+    hi = F.try_divide(cb + F.col("_eb"), F.nullif(nb, F.lit(0.0))) - F.try_divide(
+        ca, F.nullif(na, F.lit(0.0))
+    )
+    scored = toks.select(
+        key_col,
+        F.col("_tok").alias("token"),
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        delta.alias("delta"),
+        lo.alias("delta_lo"),
+        hi.alias("delta_hi"),
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.abs(F.col("delta")).desc(), F.col("token")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    return ranked if n is None else ranked.filter(F.col("rank") <= n)
