@@ -110,3 +110,75 @@ def test_identical_and_one_sided(spark):
     other = hist_merge_all(hist_1m(df.withColumn("source", F.lit("t"))))
     out = hist_drift(h, other).count()
     assert out == 0  # no shared keys -> nothing comparable
+
+
+def test_embedding_drift_matches_numpy(spark):
+    """Exact numpy replay of centroid cosine + dispersion on planted
+    clusters: a rotated source drifts, a stable source does not, a
+    one-sided key emits nothing, zero-norm centroids go NULL."""
+    from timeseriesvectordbpattermatcher_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    rng = np.random.default_rng(9)
+
+    def cloud(center, n, spread):
+        return center + rng.normal(0, spread, (n, len(center)))
+
+    ca = np.array([1.0, 0.0, 0.0, 0.5])
+    cb = np.array([0.0, 1.0, 0.0, 0.5])       # rotated centroid for "mov"
+    rows_a, rows_b = [], []
+    for v in cloud(ca, 40, 0.05):
+        rows_a.append(("mov", [float(x) for x in v]))
+        rows_b.append(("sta", [float(x) for x in v]))
+    for v in cloud(cb, 50, 0.05):
+        rows_b.append(("mov", [float(x) for x in v]))
+    for v in cloud(ca, 45, 0.05):
+        rows_a.append(("sta", [float(x) for x in v]))
+    rows_a.append(("only_a", [1.0, 2.0, 3.0, 4.0]))
+    # zero-norm plant: two cancelling vectors
+    rows_a += [("zero", [1.0, 0.0, 0.0, 0.0]), ("zero", [-1.0, 0.0, 0.0, 0.0])]
+    rows_b += [("zero", [0.0, 1.0, 0.0, 0.0])]
+    schema = "source string, embedding array<double>"
+    da = spark.createDataFrame(rows_a, schema)
+    db = spark.createDataFrame(rows_b, schema)
+    got = {r["source"]: r for r in embedding_drift(da, db).collect()}
+
+    assert "only_a" not in got
+    for k in ("mov", "sta"):
+        va = np.array([v for s, v in rows_a if s == k])
+        vb = np.array([v for s, v in rows_b if s == k])
+        ma, mb = va.mean(0), vb.mean(0)
+        cos = ma @ mb / (np.linalg.norm(ma) * np.linalg.norm(mb))
+        disp_a = float(np.mean(1 - (va @ ma) / (np.linalg.norm(va, axis=1)
+                                                * np.linalg.norm(ma))))
+        disp_b = float(np.mean(1 - (vb @ mb) / (np.linalg.norm(vb, axis=1)
+                                                * np.linalg.norm(mb))))
+        r = got[k]
+        assert r["n_a"] == len(va) and r["n_b"] == len(vb)
+        assert r["centroid_cos"] == pytest.approx(cos, rel=1e-12)
+        assert r["disp_a"] == pytest.approx(disp_a, rel=1e-9)
+        assert r["disp_b"] == pytest.approx(disp_b, rel=1e-9)
+    # sta's two windows are different DRAWS around the same center, so
+    # its drift is tiny but not zero
+    assert got["mov"]["drift"] > 0.3 > got["sta"]["drift"]
+    assert got["sta"]["drift"] < 1e-3
+    assert got["zero"]["centroid_cos"] is None  # zero-norm a-centroid
+
+
+def test_embedding_drift_on_driver_table(spark):
+    """Smoke over the real embeddings.parquet surface: same table both
+    sides -> drift exactly 0 per key."""
+    from timeseriesvectordbpattermatcher_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = emb.select(
+        (F.col("vec_id") % 4).alias("source"),
+        F.col("embedding"),
+    )
+    out = embedding_drift(df, df).toPandas()
+    assert len(out) == 4
+    assert (out["drift"].abs() < 1e-12).all()
+    assert (out["disp_a"] == out["disp_b"]).all()

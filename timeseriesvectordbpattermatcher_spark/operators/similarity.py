@@ -493,3 +493,98 @@ def semantic_dedup(
     return df.filter(F.col(vec_col).isNull()).unionByName(
         with_vec.join(losers, id_col, "left_anti")
     )
+
+
+def embedding_drift(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    key_col: str = "source",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift between two corpus windows per key — the
+    vector companion to the scalar drift reads (``quantiles.hist_drift``,
+    ``heavyhitters.topk_drift``): did a source's embedding distribution
+    MOVE (centroid shift) or SPREAD (dispersion change) between last
+    week's crawl and this week's?
+
+    Per shared key:
+
+    - ``centroid_cos`` / ``drift`` — cosine similarity between the two
+      windows' mean vectors and ``1 - cos`` (0 = no directional shift).
+    - ``disp_a`` / ``disp_b`` — mean cosine DISTANCE of each window's
+      vectors to its own centroid (higher = more spread; a rise without
+      centroid shift means the source got more heterogeneous).
+    - ``n_a`` / ``n_b`` — vector counts.
+
+    Execution shape: centroids via ``posexplode`` + one (key, dim) agg
+    (shuffle bounded by keys x dim, never corpus rows beyond the narrow
+    explode); dispersion joins the broadcast centroids back and folds
+    each row's cosine with ``aggregate``/``zip_with`` exprs — zero
+    Python. NULL/empty vectors are dropped; keys present on one side
+    only emit nothing; a zero-norm centroid (cancelling vectors) yields
+    NULL cosine, never NaN."""
+
+    def _prep(df: DataFrame, tag: str) -> tuple[DataFrame, DataFrame]:
+        rows = df.filter(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+        ).select(key_col, F.col(vec_col).cast("array<double>").alias("_v"))
+        cent = (
+            rows.select(key_col, F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy(key_col, "_pos")
+            .agg(F.avg("_x").alias("_m"), F.count(F.lit(1)).alias("_n"))
+            .groupBy(key_col)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", "_m"))
+                ).alias("_entries"),
+                F.max("_n").alias(f"n_{tag}"),
+            )
+            .select(
+                key_col,
+                F.transform("_entries", lambda e: e["_m"]).alias(f"c_{tag}"),
+                f"n_{tag}",
+            )
+        )
+        return rows, cent
+
+    rows_a, cent_a = _prep(corpus_a, "a")
+    rows_b, cent_b = _prep(corpus_b, "b")
+
+    def _dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _norm(u):
+        return F.sqrt(_dot(u, u))
+
+    def _cos(u, v):
+        return F.try_divide(
+            _dot(u, v), F.nullif(_norm(u) * _norm(v), F.lit(0.0))
+        )
+
+    def _disp(rows: DataFrame, cent: DataFrame, tag: str) -> DataFrame:
+        c = F.col(f"c_{tag}")
+        return (
+            rows.join(F.broadcast(cent), key_col)
+            .select(key_col, (1.0 - _cos(F.col("_v"), c)).alias("_d"))
+            .groupBy(key_col)
+            .agg(F.avg("_d").alias(f"disp_{tag}"))
+        )
+
+    disp_a = _disp(rows_a, cent_a, "a")
+    disp_b = _disp(rows_b, cent_b, "b")
+    cos = _cos(F.col("c_a"), F.col("c_b"))
+    return (
+        cent_a.join(cent_b, key_col)  # inner: only comparable keys
+        .join(disp_a, key_col, "left")
+        .join(disp_b, key_col, "left")
+        .select(
+            key_col, "n_a", "n_b",
+            cos.alias("centroid_cos"),
+            (1.0 - cos).alias("drift"),
+            "disp_a", "disp_b",
+        )
+    )
