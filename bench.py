@@ -211,9 +211,38 @@ def main() -> None:
             F.sum("uptime"), F.sum("num_gaps")
         ).collect()[0][0]
 
+    # ---- session-6 reads: stats2 plane + rolling p99 from tier maps
+    from timeseriesvectordbpattermatcher_spark.operators.quantiles import (
+        hist_rolling_quantiles,
+    )
+    from timeseriesvectordbpattermatcher_spark.operators.stats2d import (
+        stats2_bucket,
+        stats2_cascade,
+        stats2_read,
+    )
+
+    def stats2_once():
+        day = stats2_cascade(
+            stats2_cascade(stats2_bucket(seqs), "1h"), "1d", from_tier="1h"
+        )
+        return stats2_read(day, accessors=("slope", "corr", "r2")).agg(
+            F.sum("slope"), F.sum("corr"), F.sum("n")
+        ).collect()[0][0]
+
+    def rollq_once():
+        # weekly p99 as of each day — the intended large-window rolling
+        # read (cost scales with slots x window x value-domain, so the
+        # coarser tier is the right source for wide windows)
+        t1d = hist_cascade(hist_cascade(hist_1m(seqs), "1h"), "1d")
+        return hist_rolling_quantiles(
+            t1d, 7, "1d", qs={"p99": 0.99}, min_buckets=1
+        ).agg(F.sum("p99"), F.sum("hist_n")).collect()[0][0]
+
     for qname, fn in (("dds_quantiles_1d", dds_once),
                       ("cms_tokenfreq_1d", cms_once),
-                      ("heartbeat_1d", hb_once)):
+                      ("heartbeat_1d", hb_once),
+                      ("stats2_plane_1d", stats2_once),
+                      ("rolling_p99_7d", rollq_once)):
         fn()
         best = None
         for _ in range(3):

@@ -281,6 +281,12 @@ def hist_rolling_quantiles(
     (default: ``window_buckets`` — the repo's warm-up convention); pass
     ``min_buckets=1`` for gap-tolerant reads.
 
+    Cost shape: the scatter fans every map entry to <= k slots, so the
+    walk processes ~ slots x window x value-domain rows — pick the
+    SOURCE TIER to match the window (weekly windows from the 1d tier,
+    not 24 x 1h), exactly as you would for any rollup read; wide
+    windows over a fine tier pay the fan-out.
+
     Physical shape (10^12-safe because inputs are TIER tables, already
     calendar-bounded): explode maps -> scatter each entry to the <=
     ``window_buckets`` future slots it serves (bounded fan-out, narrow)
