@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyspark.sql.functions as F
 import pytest
 
 from timeseriesvectordbpattermatcher_spark.operators.forecast import (
@@ -197,3 +198,112 @@ def test_fit_skips_short_series(spark):
         "avg_n_tok": np.arange(2 * P - 1, dtype=float),
     })
     assert holt_winters_fit(spark.createDataFrame(pdf), P).count() == 0
+
+
+# ------------------------------------------------ evaluation + intervals
+
+def test_forecast_accuracy_matches_duckdb(spark, duck):
+    """In-sample and out-of-sample metrics vs a DuckDB recompute of the
+    same published formulas (incl. the seasonal-naive MASE scale)."""
+    from timeseriesvectordbpattermatcher_spark.operators.forecast import (
+        forecast_accuracy,
+        holt_winters,
+    )
+
+    rng = np.random.default_rng(19)
+    t = np.arange(96)
+    frames = []
+    for k, amp in (("p", 6.0), ("q", 3.0)):
+        y = 50 + 0.3 * t + amp * np.sin(2 * np.pi * t / 12) + rng.normal(0, 1.0, 96)
+        ts = pd.Timestamp("2024-04-01") + pd.to_timedelta(t * 3600, unit="s")
+        frames.append(pd.DataFrame({"source": k, "bucket_ts": ts,
+                                    "val": np.round(y, 6)}))
+    pdf = pd.concat(frames, ignore_index=True)
+    train = pdf.groupby("source").head(84)
+    hold = pdf.groupby("source").tail(12).rename(columns={"bucket_ts": "ts",
+                                                          "val": "y"})
+    res = holt_winters(
+        spark.createDataFrame(train), period=12, horizon=12,
+        ts_col="bucket_ts", value_col="val",
+    ).cache()
+    fit_pdf = res.filter(F.col("kind") == "fit").toPandas()
+    duck.register("fa_fit", fit_pdf)
+
+    got_in = forecast_accuracy(res, season_length=12).toPandas().set_index("source")
+    want_in = duck.sql("""
+        WITH s AS (SELECT source, ts, y, yhat,
+                          lag(y, 12) OVER (PARTITION BY source ORDER BY ts) AS ylag
+                   FROM fa_fit)
+        SELECT source, count(*) n, avg(abs(y - yhat)) mae,
+               sqrt(avg(pow(y - yhat, 2))) rmse,
+               avg(CASE WHEN abs(y)+abs(yhat) > 0
+                        THEN 2*abs(y-yhat)/(abs(y)+abs(yhat)) ELSE 0 END) smape,
+               avg(abs(y - yhat)) / avg(abs(y - ylag)) FILTER (ylag IS NOT NULL) mase_den_hack
+        FROM s GROUP BY 1
+    """).df()
+    # compute the DuckDB mase properly (two aggregates)
+    scale = duck.sql("""
+        SELECT source, avg(abs(y - ylag)) sc FROM (
+          SELECT source, y, lag(y, 12) OVER (PARTITION BY source ORDER BY ts) ylag
+          FROM fa_fit) WHERE ylag IS NOT NULL GROUP BY 1
+    """).df().set_index("source")
+    want_in = want_in.set_index("source")
+    for k in ("p", "q"):
+        assert got_in.loc[k, "mae"] == pytest.approx(want_in.loc[k, "mae"], rel=1e-9)
+        assert got_in.loc[k, "rmse"] == pytest.approx(want_in.loc[k, "rmse"], rel=1e-9)
+        assert got_in.loc[k, "smape"] == pytest.approx(want_in.loc[k, "smape"], rel=1e-9)
+        assert got_in.loc[k, "mase"] == pytest.approx(
+            want_in.loc[k, "mae"] / scale.loc[k, "sc"], rel=1e-9
+        )
+
+    got_out = forecast_accuracy(
+        res, actuals=spark.createDataFrame(hold[["source", "ts", "y"]]),
+        season_length=12,
+    ).toPandas().set_index("source")
+    fc_pdf = res.filter(F.col("kind") == "forecast").toPandas()
+    duck.register("fa_fc", fc_pdf)
+    duck.register("fa_hold", hold[["source", "ts", "y"]])
+    want_out = duck.sql("""
+        SELECT f.source, count(*) n, avg(abs(h.y - f.yhat)) mae
+        FROM fa_fc f JOIN fa_hold h ON h.source = f.source AND h.ts = f.ts
+        GROUP BY 1
+    """).df().set_index("source")
+    for k in ("p", "q"):
+        assert got_out.loc[k, "n"] == 12 == want_out.loc[k, "n"]
+        assert got_out.loc[k, "mae"] == pytest.approx(want_out.loc[k, "mae"], rel=1e-9)
+        # the seasonal model should handily beat seasonal-naive in-sample
+        assert got_in.loc[k, "mase"] < 1.0
+    res.unpersist()
+
+
+def test_forecast_intervals_conformal(spark):
+    """lo/hi = yhat -/+ the finite-sample conformal residual quantile;
+    a python replay recomputes the rank-based quantile, and in-sample
+    coverage of the calibration residuals is >= 1 - alpha."""
+    from timeseriesvectordbpattermatcher_spark.operators.forecast import (
+        forecast_intervals,
+        holt_winters,
+    )
+
+    rng = np.random.default_rng(23)
+    t = np.arange(120)
+    y = 20 + 4 * np.sin(2 * np.pi * t / 12) + rng.normal(0, 0.8, 120)
+    ts = pd.Timestamp("2024-05-01") + pd.to_timedelta(t * 3600, unit="s")
+    df = spark.createDataFrame(
+        pd.DataFrame({"source": "s", "bucket_ts": ts, "val": np.round(y, 6)})
+    )
+    ALPHA = 0.1
+    res = holt_winters(df, period=12, horizon=6, ts_col="bucket_ts",
+                       value_col="val").cache()
+    out = forecast_intervals(res, alpha=ALPHA).toPandas().sort_values("ts")
+    resid = np.abs(res.filter(F.col("kind") == "fit").toPandas()["resid"].to_numpy())
+    n = len(resid)
+    q = np.sort(resid)[min(n, int(np.ceil((n + 1) * (1 - ALPHA)))) - 1]
+    assert len(out) == 6
+    assert np.allclose(out["yhat"] - out["lo"], q, rtol=1e-12)
+    assert np.allclose(out["hi"] - out["yhat"], q, rtol=1e-12)
+    # calibration-set coverage of the same construction
+    assert (resid <= q).mean() >= 1 - ALPHA
+    with pytest.raises(ValueError, match="alpha"):
+        forecast_intervals(res, alpha=1.0)
+    res.unpersist()

@@ -39,10 +39,10 @@ rows (ts extrapolated at the series' median step, yhat) for h steps.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["holt_winters", "holt_winters_fit"]
+__all__ = ["holt_winters", "holt_winters_fit", "forecast_accuracy", "forecast_intervals"]
 
 
 def _hw_states(y, period: int, alpha: float, beta: float, gamma: float):
@@ -294,3 +294,110 @@ def holt_winters_fit(
         )
     )
     return best
+
+
+def forecast_accuracy(
+    results: DataFrame,
+    actuals: DataFrame | None = None,
+    key_col: str = "source",
+    ts_col: str = "ts",
+    season_length: int | None = None,
+) -> DataFrame:
+    """Per-key forecast accuracy (the standard Hyndman & Koehler 2006
+    set) over :func:`holt_winters` output:
+
+    - with ``actuals=None``: in-sample accuracy of the ``kind='fit'``
+      rows (y vs one-step-ahead yhat).
+    - with ``actuals`` (a ``(key, ts, y)`` frame of later
+      observations): out-of-sample accuracy of the ``kind='forecast'``
+      rows joined to actuals on (key, ts) — unmatched forecasts drop
+      (reported as ``n`` vs the horizon).
+
+    Metrics: ``mae``, ``rmse``, ``smape`` (the symmetric form
+    ``mean(2|e| / (|y| + |yhat|))``, NULL-safe on zero denominators),
+    and ``mase`` — |e| scaled by the in-sample one-step NAIVE error
+    (seasonal naive when ``season_length`` is given), the
+    scale-free metric that makes keys comparable; NULL when the
+    scaling series is degenerate (constant training data)."""
+    fit = results.filter(F.col("kind") == "fit").select(
+        key_col, ts_col, "y", "yhat"
+    )
+    if actuals is None:
+        scored = fit
+    else:
+        fc = results.filter(F.col("kind") == "forecast").select(
+            key_col, ts_col, F.col("yhat")
+        )
+        scored = fc.join(
+            actuals.select(key_col, ts_col, "y"), [key_col, ts_col]
+        )
+    err = F.col("y") - F.col("yhat")
+    sden = F.abs("y") + F.abs("yhat")
+    # MASE scale: mean |y_t - y_{t-m}| over the FIT span (m = 1 or season)
+    m = 1 if season_length is None else int(season_length)
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    scale = (
+        fit.withColumn("_lag", F.lag("y", m).over(w))
+        .filter(F.col("_lag").isNotNull())
+        .groupBy(key_col)
+        .agg(F.avg(F.abs(F.col("y") - F.col("_lag"))).alias("_scale"))
+    )
+    per = scored.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.abs(err)).alias("mae"),
+        F.sqrt(F.avg(err * err)).alias("rmse"),
+        F.avg(
+            F.when(sden > 0, 2.0 * F.abs(err) / sden).otherwise(F.lit(0.0))
+        ).alias("smape"),
+    )
+    return per.join(scale, key_col, "left").withColumn(
+        "mase", F.try_divide(F.col("mae"), F.nullif(F.col("_scale"), F.lit(0.0)))
+    ).drop("_scale")
+
+
+def forecast_intervals(
+    results: DataFrame,
+    alpha: float = 0.05,
+    key_col: str = "source",
+) -> DataFrame:
+    """Split-conformal prediction intervals for the ``kind='forecast'``
+    rows: the per-key ``(1 - alpha)`` empirical quantile of the
+    in-sample |residual| (the fit rows are the calibration set) widens
+    each forecast symmetrically — ``lo = yhat - q``, ``hi = yhat + q``.
+    The standard distribution-free construction (split conformal,
+    Vovk et al.; finite-sample rank ``ceil((n+1)(1-alpha))`` so
+    coverage >= 1 - alpha under exchangeability of residuals —
+    h-step-ahead residuals grow with h, so these are honest for short
+    horizons and conservative-or-not for long ones; documented, not
+    hidden). NULL bounds when a key has no fit rows."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    fit = results.filter(
+        (F.col("kind") == "fit") & F.col("resid").isNotNull()
+    ).select(key_col, F.abs("resid").alias("_ar"))
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy("_ar")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(key_col)
+    ranked = (
+        fit.withColumn("_rn", F.sum(F.lit(1)).over(w_cum))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+    )
+    target = F.least(
+        F.col("_n"),
+        F.ceil((F.col("_n") + 1) * F.lit(1.0 - alpha)).cast("long"),
+    )
+    q = (
+        ranked.filter(F.col("_rn") >= target)
+        .groupBy(key_col)
+        .agg(F.min("_ar").alias("_q"))
+    )
+    fc = results.filter(F.col("kind") == "forecast")
+    return (
+        fc.join(q, key_col, "left")
+        .withColumn("lo", F.col("yhat") - F.col("_q"))
+        .withColumn("hi", F.col("yhat") + F.col("_q"))
+        .drop("_q")
+    )
