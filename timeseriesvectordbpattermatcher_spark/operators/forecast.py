@@ -39,10 +39,13 @@ rows (ts extrapolated at the series' median step, yhat) for h steps.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-__all__ = ["holt_winters", "holt_winters_fit", "forecast_accuracy", "forecast_intervals"]
+__all__ = ["holt_winters", "holt_winters_fit", "forecast_accuracy", "forecast_intervals", "holt_winters_backtest"]
 
 
 def _hw_states(y, period: int, alpha: float, beta: float, gamma: float):
@@ -400,4 +403,92 @@ def forecast_intervals(
         .withColumn("lo", F.col("yhat") - F.col("_q"))
         .withColumn("hi", F.col("yhat") + F.col("_q"))
         .drop("_q")
+    )
+
+
+def holt_winters_backtest(
+    series: DataFrame,
+    period: int,
+    horizon: int,
+    n_origins: int = 5,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.1,
+    key_col: str = "source",
+    ts_col: str = "bucket_ts",
+    value_col: str = "val",
+    min_train: int | None = None,
+) -> DataFrame:
+    """Rolling-origin (expanding-window) backtest — Hyndman's time-series
+    cross-validation protocol: for each of ``n_origins`` cut points per
+    key (evenly spaced over the eligible range, each leaving >= horizon
+    points after it and >= ``min_train`` (default ``3 * period``) before
+    it), refit the Holt-Winters recursion on the data up to the cut and
+    score the next ``horizon`` actuals. Output one row per
+    (key, origin_ts, h): ``(key, origin_ts, h, ts, y, yhat, err)`` —
+    aggregate over origins per h for the per-lead-time error profile
+    the single-split ``forecast_accuracy`` cannot give.
+
+    Per-key grouped kernel re-running the O(n) recursion per origin
+    (O(origins * n) per key; the distribution axis is the key count).
+    Keys too short for even one origin emit nothing. Uses the SAME
+    recursion (:func:`_hw_states`) as the fit/search paths, so the
+    backtest can never disagree with deployment."""
+    if period < 2 or horizon < 1 or n_origins < 1:
+        raise ValueError("need period >= 2, horizon >= 1, n_origins >= 1")
+    mt = 3 * period if min_train is None else int(min_train)
+    if mt < 2 * period:
+        raise ValueError(f"min_train must be >= 2*period, got {mt}")
+    pts = series.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("origin_ts", pts.schema["ts"].dataType),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("ts", pts.schema["ts"].dataType),
+            T.StructField("y", T.DoubleType()),
+            T.StructField("yhat", T.DoubleType()),
+            T.StructField("err", T.DoubleType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "x"], kind="mergesort").reset_index(drop=True)
+        y = pdf["x"].to_numpy()
+        n = len(y)
+        lo, hi = mt, n - horizon  # train size t in [lo, hi]
+        if hi < lo:
+            return pd.DataFrame(
+                {c.name: pd.Series([], dtype="object") for c in schema}
+            )
+        cuts = sorted({int(round(v)) for v in np.linspace(lo, hi, min(n_origins, hi - lo + 1))})
+        rows = []
+        for cut in cuts:
+            _, _, _, _, level, trend, season = _hw_states(
+                y[:cut], period, alpha, beta, gamma
+            )
+            for h in range(1, horizon + 1):
+                s = season[(cut + h - 1) % period]
+                yhat = level + h * trend + s
+                rows.append(
+                    {
+                        "key": pdf["key"].iloc[0],
+                        "origin_ts": pdf["ts"].iloc[cut - 1],
+                        "h": h,
+                        "ts": pdf["ts"].iloc[cut + h - 1],
+                        "y": float(y[cut + h - 1]),
+                        "yhat": float(yhat),
+                        "err": float(y[cut + h - 1] - yhat),
+                    }
+                )
+        return pd.DataFrame(rows)
+
+    return pts.groupBy("key").applyInPandas(run, schema=schema).withColumnRenamed(
+        "key", key_col
     )
