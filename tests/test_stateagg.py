@@ -422,3 +422,48 @@ def test_hb_rolling_matches_python_union(spark, hb_points):
     cold = strict[strict["win_buckets"] < K]
     assert cold["uptime"].isna().all() and cold["live"].isna().all()
     assert cold["n"].notna().all()
+
+
+def test_state_rolling_matches_python_replay(spark, st_points):
+    """Rolling trailing-K duration-in-state: a python replay computes
+    locf segment durations over each window's member readings (segments
+    between consecutive readings, both endpoints inside the window's
+    member buckets — gaps bridged in the last member's closing state);
+    warm-up slots NULL the payload, n stays exact."""
+    from timeseriesvectordbpattermatcher_spark.operators.stateagg import (
+        state_bucket,
+        state_rolling,
+    )
+
+    K, STEP = 4, 3600
+    t1h = state_bucket(st_points, tier="1h")
+    got = state_rolling(t1h, K, "1h", min_buckets=1).toPandas()
+    pdf = st_points.toPandas()
+    pdf["t"] = pdf["event_ts"].astype("int64") / 1e9
+    pdf["b"] = pdf["event_ts"].dt.floor("h")
+    checked = 0
+    for row in got.itertuples():
+        g = pdf[pdf["source"] == row.source]
+        b_end = row.bucket_ts.timestamp() + STEP
+        w_start = row.bucket_ts.timestamp() - (K - 1) * STEP
+        bsec = g["b"].astype("int64") / 1e9
+        mem = g[(bsec >= w_start) & (bsec < b_end)].sort_values(["t", "state"])
+        assert row.n == len(mem)
+        assert row.win_buckets == mem["b"].nunique()
+        durs = {}
+        ts = mem["t"].to_numpy()
+        sts = mem["state"].to_numpy()
+        for i in range(len(ts) - 1):
+            durs[sts[i]] = durs.get(sts[i], 0.0) + (ts[i + 1] - ts[i])
+        want = {k: v for k, v in durs.items() if v > 0 or k in durs}
+        got_durs = dict(row.durs) if row.durs is not None else None
+        assert got_durs is not None
+        assert set(got_durs) == set(want), (row.source, row.bucket_ts)
+        for k, v in want.items():
+            assert got_durs[k] == pytest.approx(v, abs=1e-6), (row.source, k)
+        checked += 1
+    assert checked > 0
+    # warm-up
+    strict = state_rolling(t1h, K, "1h").toPandas()
+    cold = strict[strict["win_buckets"] < K]
+    assert cold["durs"].isna().all() and cold["n"].notna().all()

@@ -61,6 +61,7 @@ __all__ = [
     "heartbeat_read",
     "interpolated_uptime",
     "hb_rolling",
+    "state_rolling",
 ]
 
 
@@ -503,4 +504,104 @@ def hb_rolling(
         .withColumn("first_hb", F.when(warm, F.col("first_hb")))
         .withColumn("last_hb", F.when(warm, F.col("last_hb")))
         .drop("_lo", "_hi", "_span")
+    )
+
+
+def state_rolling(
+    sa: DataFrame,
+    window_buckets: int,
+    tier: str,
+    key_col: str = "source",
+    min_buckets: int | None = None,
+) -> DataFrame:
+    """Merged duration-in-state summary over the TRAILING
+    ``window_buckets`` calendar slots per present slot — "seconds per
+    state over the last 24 hourly buckets" read with
+    :func:`duration_in` on the output. The merge is the cascade's:
+    per-state sums plus the locf bridge between consecutive window
+    members (a calendar gap contributes one long bridge in the last
+    member's closing state, exactly the tier-merge convention). Same
+    scatter shape, ``win_buckets`` gap reporting, and ``min_buckets``
+    warm-up NULLs as the other rolling reads (``n`` stays exact)."""
+    if tier not in TIER_TRUNC:
+        raise ValueError(f"tier must be in {list(TIER_TRUNC)}")
+    if window_buckets < 1:
+        raise ValueError("window_buckets must be >= 1")
+    mb = window_buckets if min_buckets is None else min_buckets
+    unit = TIER_TRUNC[tier]
+    targets = F.expr(
+        f"sequence(bucket_ts, bucket_ts + interval {window_buckets - 1} {unit}, "
+        f"interval 1 {unit})"
+    )
+    sc = sa.select(key_col, "bucket_ts", "first", "last", "durs", "n") \
+        .withColumn("_tgt", F.explode(targets))
+    w = Window.partitionBy(key_col, "_tgt").orderBy("bucket_ts", "first")
+    nxt_first = F.lead("first").over(w)
+    bridge = F.when(
+        nxt_first.isNotNull(),
+        F.array(
+            F.struct(
+                F.col("last")["state"].alias("_st"),
+                _seconds_between(F.col("last")["ts"], nxt_first["ts"]).alias("_dsum"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<_st:string,_dsum:double>>"))
+    entries = F.concat(
+        F.transform(
+            F.map_entries("durs"),
+            lambda e: F.struct(e["key"].alias("_st"), e["value"].alias("_dsum")),
+        ),
+        F.col("_bridge"),
+    )
+    stepped = (
+        sc.withColumn("_bridge", bridge)
+        .select(
+            key_col,
+            "_tgt",
+            "bucket_ts",
+            "first",
+            "last",
+            "n",
+            F.posexplode_outer(entries).alias("_pos", "_e"),
+        )
+    )
+    once = F.col("_pos").isNull() | (F.col("_pos") == 0)
+    per_state = stepped.groupBy(
+        key_col, "_tgt", F.col("_e")["_st"].alias("_st")
+    ).agg(
+        F.sum(F.col("_e")["_dsum"]).alias("_dsum"),
+        F.min("first").alias("_minpt"),
+        F.max("last").alias("_maxpt"),
+        F.sum(F.when(once, F.col("n"))).alias("_n"),
+        F.max(F.when(once & (F.col("bucket_ts") == F.col("_tgt")), True)).alias("_orig"),
+        F.collect_set(F.when(once, F.col("bucket_ts"))).alias("_srcs"),
+    )
+    agg = per_state.groupBy(key_col, "_tgt").agg(
+        F.min("_minpt").alias("first"),
+        F.max("_maxpt").alias("last"),
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_st").isNotNull(), F.struct("_st", "_dsum"))
+                )
+            )
+        ).alias("durs"),
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n"),
+        F.max(F.coalesce(F.col("_orig"), F.lit(False))).alias("_has_origin"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("_srcs")))).alias(
+            "win_buckets"
+        ),
+    )
+    warm = F.col("win_buckets") >= F.lit(mb)
+    return (
+        agg.filter(F.col("_has_origin"))
+        .select(
+            key_col,
+            F.col("_tgt").alias("bucket_ts"),
+            F.when(warm, F.col("first")).alias("first"),
+            F.when(warm, F.col("last")).alias("last"),
+            F.when(warm, F.col("durs")).alias("durs"),
+            "n",
+            "win_buckets",
+        )
     )
