@@ -209,3 +209,94 @@ def test_tw_and_ohlc_width_match_direct(raw, duck):
     pd.testing.assert_frame_equal(
         oc[sorted(oc.columns)], wc[sorted(wc.columns)], check_dtype=False
     )
+
+
+def test_sketch_width_cascades(raw, duck):
+    """distinct/cms/topk width merges: HLL estimate per 2h grid inside
+    the published band of exact COUNT DISTINCT; CMS estimates bound
+    exact token counts per grid; topk keeps the est<=true<=est+err
+    bracket per grid (spot-checked via DuckDB exact counts)."""
+    import math
+
+    from timeseriesvectordbpattermatcher_spark.operators.cms import (
+        cms_bucket,
+        cms_cascade_width,
+        cms_estimate,
+    )
+    from timeseriesvectordbpattermatcher_spark.operators.distinct import (
+        distinct_bucket,
+        distinct_cascade_width,
+        distinct_estimate,
+    )
+    from timeseriesvectordbpattermatcher_spark.operators.heavyhitters import (
+        topk_bucket,
+        topk_cascade_width,
+    )
+
+    W = 2 * 3600
+    duck.register("wsk_raw", raw.select("source", "event_ts", "doc_id", "tokens").toPandas())
+
+    # distinct
+    d = distinct_estimate(
+        distinct_cascade_width(distinct_bucket(raw, col="doc_id", tier="1m"), W,
+                               origin=ORIGIN)
+    ).toPandas()
+    exact_d = duck.sql(f"""
+        SELECT source, {_bucket_sql(W)} bucket_ts, count(DISTINCT doc_id) ex
+        FROM wsk_raw GROUP BY 1,2
+    """).df()
+    for df_ in (d, exact_d):
+        b = pd.to_datetime(df_["bucket_ts"])
+        if b.dt.tz is not None:
+            b = b.dt.tz_convert("UTC").dt.tz_localize(None)
+        df_["bucket_ts"] = b.astype("datetime64[us]")
+    m = d.merge(exact_d, on=["source", "bucket_ts"])
+    assert len(m) == len(d) == len(exact_d)
+    rse = 1.04 / math.sqrt(2 ** 12)
+    rel = (m["approx_distinct"] - m["ex"]).abs() / m["ex"].clip(lower=1)
+    assert (rel <= 5 * rse).all()
+
+    # cms: estimates of a few tokens bound their exact per-grid counts
+    cm = cms_cascade_width(cms_bucket(raw), W, origin=ORIGIN)
+    toks = [0, 7, 101]
+    est = cm.select(
+        "source", "bucket_ts",
+        *[cms_estimate("cms", t).alias(f"e{t}") for t in toks],
+    ).toPandas()
+    exact_t = duck.sql(f"""
+        SELECT source, {_bucket_sql(W)} bucket_ts, tok, count(*) c
+        FROM (SELECT source, event_ts, unnest(tokens) tok FROM wsk_raw)
+        WHERE tok IN (0, 7, 101) GROUP BY 1,2,3
+    """).df()
+    key = {}
+    for r in exact_t.itertuples():
+        ts = pd.Timestamp(r.bucket_ts)
+        if ts.tz is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        key[(r.source, ts, r.tok)] = r.c
+    for r in est.itertuples():
+        ts = pd.Timestamp(r.bucket_ts)
+        for t in toks:
+            true = key.get((r.source, ts, t), 0)
+            assert getattr(r, f"e{t}") >= true  # CMS never underestimates
+
+    # topk bracket per grid
+    tk = topk_cascade_width(topk_bucket(raw, tier="1m", cap=8), W, cap=8,
+                            origin=ORIGIN).toPandas()
+    exact_all = duck.sql(f"""
+        SELECT source, {_bucket_sql(W)} bucket_ts, tok, count(*) c
+        FROM (SELECT source, event_ts, unnest(tokens) tok FROM wsk_raw)
+        GROUP BY 1,2,3
+    """).df()
+    ek = {}
+    for r in exact_all.itertuples():
+        ts = pd.Timestamp(r.bucket_ts)
+        if ts.tz is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        ek[(r.source, ts, r.tok)] = r.c
+    assert len(tk) > 0
+    for r in tk.itertuples():
+        ts = pd.Timestamp(r.bucket_ts)
+        for tok, est_c in r.hh.items():
+            true = ek.get((r.source, ts, tok), 0)
+            assert est_c <= true <= est_c + r.hh_err, (r.source, ts, tok)

@@ -533,3 +533,45 @@ def cms_estimates_for(
             f"tok_{t}", cms_estimate(sketch_col, int(t), width, depth)
         )
     return out
+
+
+def cms_cascade_width(
+    sketches: DataFrame,
+    width_sec: int,
+    key_col: str = "source",
+    origin: str = "2020-01-01 00:00:00",
+) -> DataFrame:
+    """Merge Count-Min grids onto an ARBITRARY fixed-width time grid —
+    plain cell addition over OPAQUE cell keys, which is exact when every
+    input summary shares one build config (unlike :func:`cms_cascade`,
+    no stride widening is applied here, so do not mix builds).
+    Alignment contract as :func:`~.rollup.cascade_width`."""
+    from .rollup import width_bucket
+
+    ex = sketches.select(
+        key_col,
+        width_bucket(F.col("bucket_ts"), width_sec, origin).alias("bucket_ts"),
+        F.explode_outer("cms").alias("_cell", "_cnt"),
+    )
+    summed = (
+        ex.filter(F.col("_cell").isNotNull())
+        .groupBy(key_col, "bucket_ts", "_cell")
+        .agg(F.sum("_cnt").alias("_cnt"))
+    )
+    merged = summed.groupBy(key_col, "bucket_ts").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("_cell", "_cnt")))
+        ).alias("cms")
+    )
+    empties = (
+        ex.groupBy(key_col, "bucket_ts")
+        .agg(F.max(F.col("_cell").isNotNull()).alias("_any"))
+        .filter(~F.col("_any"))
+        .select(
+            key_col, "bucket_ts",
+            F.map_from_entries(
+                F.array().cast("array<struct<_cell:int,_cnt:bigint>>")
+            ).alias("cms"),
+        )
+    )
+    return merged.unionByName(empties)

@@ -145,3 +145,25 @@ def distinct_rolling_estimate(
             F.col("win_buckets") >= F.lit(mb), F.hll_sketch_estimate("dsk")
         ),
     )
+
+
+def distinct_cascade_width(
+    sketches: DataFrame,
+    width_sec: int,
+    key_col: str = "source",
+    origin: str = "2020-01-01 00:00:00",
+) -> DataFrame:
+    """Merge HLL sketch summaries onto an ARBITRARY fixed-width grid
+    (``time_bucket`` semantics) — distinct-per-15-minutes from the 1m
+    tier; register-max union, overlap-correct, same estimator caveats
+    and error band as the tier cascade. Alignment contract as
+    :func:`~.rollup.cascade_width`."""
+    from .rollup import width_bucket
+
+    return (
+        sketches.withColumn(
+            "bucket_ts", width_bucket(F.col("bucket_ts"), width_sec, origin)
+        )
+        .groupBy(key_col, "bucket_ts")
+        .agg(F.hll_union_agg("dsk").alias("dsk"))
+    )

@@ -630,3 +630,55 @@ def topk_drift(
     )
     ranked = scored.withColumn("rank", F.row_number().over(w))
     return ranked if n is None else ranked.filter(F.col("rank") <= n)
+
+
+def topk_cascade_width(
+    df: DataFrame,
+    width_sec: int,
+    cap: int = 64,
+    key_col: str = "source",
+    origin: str = "2020-01-01 00:00:00",
+) -> DataFrame:
+    """Merge heavy-hitter summaries onto an ARBITRARY fixed-width time
+    grid — counter addition + one re-compress per width bucket, exactly
+    :func:`topk_cascade`'s algebra, so est <= true <= est + hh_err
+    holds per width bucket. ``cap`` must be the build's; alignment
+    contract as :func:`~.rollup.cascade_width`."""
+    from .rollup import width_bucket
+
+    _check_cap(cap)
+    coarse = width_bucket(F.col("bucket_ts"), width_sec, origin).alias("bucket_ts")
+    scalars = (
+        df.select(key_col, coarse, "hh_err", "hh_n")
+        .groupBy(key_col, "bucket_ts")
+        .agg(
+            F.sum("hh_err").cast("bigint").alias("_err_in"),
+            F.sum("hh_n").cast("bigint").alias("hh_n"),
+        )
+    )
+    ex = df.select(key_col, coarse, F.explode_outer("hh").alias("_hv", "_hc"))
+    summed = (
+        ex.filter(F.col("_hv").isNotNull())
+        .groupBy(key_col, "bucket_ts", "_hv")
+        .agg(F.sum("_hc").alias("_hc"))
+    )
+    merged = summed.groupBy(key_col, "bucket_ts").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("_hv", "_hc")))
+        ).alias("_merged")
+    )
+    joined = scalars.join(merged, [key_col, "bucket_ts"], "left").withColumn(
+        "_merged",
+        F.coalesce(
+            F.col("_merged"),
+            F.map_from_entries(
+                F.array().cast("array<struct<_hv:int,_hc:bigint>>")
+            ),
+        ),
+    )
+    out = compress_summary(joined, "_merged", cap)
+    return out.select(
+        key_col, "bucket_ts", "hh",
+        (F.col("_err_in") + F.col("_thr")).cast("bigint").alias("hh_err"),
+        "hh_n",
+    )
