@@ -69,6 +69,7 @@ __all__ = [
     "cms_estimate",
     "cms_n",
     "cms_estimates_for",
+    "cms_cascade_width",
 ]
 
 
