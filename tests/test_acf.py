@@ -161,3 +161,32 @@ def test_acf_guards(spark, corpus):
     two = corpus.filter(F.col("source") == "sin12").limit(1)
     out = acf(two, 3, ts_col="bucket_ts", step_sec=STEP).toPandas()
     assert out[out["lag"] == 0]["acf"].isna().all()  # n < 2 -> undefined
+
+
+def test_pacf_nulls_from_first_lag_gap(spark):
+    """A grid whose points sit 2*STEP apart but is read at step_sec=STEP
+    has zero aligned pairs at every odd lag, so acf() emits no row for
+    them. pacf's Durbin-Levinson kernel indexes the ACF positionally;
+    it must detect the non-contiguous lag axis and emit NULL from the
+    first gap instead of silently shifting r[2] into the lag-1 slot."""
+    rng = np.random.default_rng(7)
+    y = np.round(np.sin(2 * np.pi * np.arange(100) / 10)
+                 + rng.normal(0, 0.1, 100), 6)
+    ts = pd.Timestamp("2024-03-01") + pd.to_timedelta(
+        np.arange(100) * 2 * STEP, unit="s"
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"source": "gappy", "bucket_ts": ts, "val": y})
+    )
+    a = acf(df, 8, ts_col="bucket_ts", step_sec=STEP)
+    got = pacf(a).toPandas().sort_values("lag")
+    assert got["lag"].tolist() == [0, 2, 4, 6, 8]  # odd lags absent
+    assert got[got["lag"] == 0]["pacf"].iloc[0] == pytest.approx(1.0)
+    assert got[got["lag"] > 0]["pacf"].isna().all()
+
+    # control: the same data read at its TRUE step (2*STEP) is
+    # contiguous and every pacf value is finite
+    a2 = acf(df, 8, ts_col="bucket_ts", step_sec=2 * STEP)
+    got2 = pacf(a2).toPandas().sort_values("lag")
+    assert got2["lag"].tolist() == list(range(9))
+    assert got2["pacf"].notna().all()

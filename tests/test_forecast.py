@@ -236,8 +236,8 @@ def test_forecast_accuracy_matches_duckdb(spark, duck):
                    FROM fa_fit)
         SELECT source, count(*) n, avg(abs(y - yhat)) mae,
                sqrt(avg(pow(y - yhat, 2))) rmse,
-               avg(CASE WHEN abs(y)+abs(yhat) > 0
-                        THEN 2*abs(y-yhat)/(abs(y)+abs(yhat)) ELSE 0 END) smape,
+               avg(2*abs(y-yhat)/(abs(y)+abs(yhat)))
+                   FILTER (abs(y)+abs(yhat) > 0) smape,
                avg(abs(y - yhat)) / avg(abs(y - ylag)) FILTER (ylag IS NOT NULL) mase_den_hack
         FROM s GROUP BY 1
     """).df()
@@ -350,3 +350,29 @@ def test_backtest_matches_python_replay(spark):
     assert prof.loc[H] >= prof.loc[1] * 0.5  # sanity: profile exists
     with pytest.raises(ValueError, match="min_train"):
         holt_winters_backtest(df, period=P, horizon=H, min_train=P)
+
+
+def test_smape_drops_zero_denominator_pairs(spark):
+    """Conventional sMAPE: pairs with y=0 and yhat=0 (a perfect zero
+    forecast) are excluded from the average, not counted as 0.0; a key
+    whose every pair is zero-denominator yields NULL."""
+    from timeseriesvectordbpattermatcher_spark.operators.forecast import (
+        forecast_accuracy,
+    )
+
+    rows = [
+        # key "m": two real pairs + one (0,0) pair that must be dropped
+        ("m", 1, 10.0, 8.0, "fit"),
+        ("m", 2, 0.0, 0.0, "fit"),
+        ("m", 3, 4.0, 6.0, "fit"),
+        # key "z": all pairs zero-denominator -> smape NULL
+        ("z", 1, 0.0, 0.0, "fit"),
+        ("z", 2, 0.0, 0.0, "fit"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "ts", "y", "yhat", "kind"])
+    ).withColumn("resid", F.col("y") - F.col("yhat"))
+    got = forecast_accuracy(df).toPandas().set_index("source")
+    want_m = (2 * 2.0 / 18.0 + 2 * 2.0 / 10.0) / 2.0  # only 2 pairs count
+    assert got.loc["m", "smape"] == pytest.approx(want_m, rel=1e-12)
+    assert pd.isna(got.loc["z", "smape"])

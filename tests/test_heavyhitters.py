@@ -528,3 +528,24 @@ def test_topk_drift_exact_regime_and_bounds(spark, seqs, duck):
         assert r.delta_lo - 1e-12 <= true_delta <= r.delta_hi + 1e-12, (
             r.source, r.token
         )
+
+
+def test_topk_drift_raises_on_multi_row_summary(spark, seqs):
+    """Contract guard: feeding a multi-bucket tier table (more than one
+    summary row per key) to topk_drift must raise loudly instead of
+    fanning the scalar join out into duplicated drift rows."""
+    from pyspark.errors import SparkRuntimeException
+
+    from timeseriesvectordbpattermatcher_spark.operators.heavyhitters import (
+        topk_drift,
+        topk_merge_all,
+    )
+
+    tier = topk_bucket(seqs, tier="1h", cap=CAP)  # many buckets per key
+    ok = topk_merge_all(tier, cap=CAP)
+    with pytest.raises(Exception, match="multiple rows"):
+        topk_drift(tier, ok).collect()
+    with pytest.raises(Exception, match="multiple rows"):
+        topk_drift(ok, tier).collect()
+    # merged-per-key inputs still work
+    assert topk_drift(ok, ok, n=5).count() > 0

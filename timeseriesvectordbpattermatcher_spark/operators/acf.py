@@ -141,12 +141,21 @@ def pacf(acf_df: DataFrame, key_col: str = "source") -> DataFrame:
         lags = pdf["lag"].to_numpy()
         r = pdf["acf"].to_numpy(dtype=float)
         out = np.full(len(r), np.nan)
-        if len(r) and lags[0] == 0 and np.isfinite(r[0]):
+        # Durbin-Levinson indexes r positionally as r[lag]; acf() emits no
+        # row for a lag with zero aligned pairs (gappy grids), so only the
+        # contiguous prefix lags[k] == k is usable — NULL from the first gap
+        # instead of silently shifting every later PACF to the wrong lag.
+        n_contig = len(r)
+        for k in range(len(lags)):
+            if lags[k] != k:
+                n_contig = k
+                break
+        if n_contig and lags[0] == 0 and np.isfinite(r[0]):
             out[0] = 1.0
             # Durbin-Levinson: phi[k][j]; r is indexed by lag
             phi_prev: np.ndarray = np.zeros(0)
             v = 1.0  # innovation variance ratio
-            for k in range(1, len(r)):
+            for k in range(1, n_contig):
                 if not np.isfinite(r[k]) or v <= 0:
                     break
                 num = r[k] - float(phi_prev @ r[k - 1:0:-1]) if k > 1 else r[1]

@@ -317,7 +317,10 @@ def forecast_accuracy(
       (reported as ``n`` vs the horizon).
 
     Metrics: ``mae``, ``rmse``, ``smape`` (the symmetric form
-    ``mean(2|e| / (|y| + |yhat|))``, NULL-safe on zero denominators),
+    ``mean(2|e| / (|y| + |yhat|))``; zero-denominator pairs — y and
+    yhat both exactly 0, a perfect forecast of a zero — are DROPPED
+    from the average, the conventional treatment; a key whose every
+    pair is zero-denominator gets NULL),
     and ``mase`` — |e| scaled by the in-sample one-step NAIVE error
     (seasonal naive when ``season_length`` is given), the
     scale-free metric that makes keys comparable; NULL when the
@@ -350,7 +353,7 @@ def forecast_accuracy(
         F.avg(F.abs(err)).alias("mae"),
         F.sqrt(F.avg(err * err)).alias("rmse"),
         F.avg(
-            F.when(sden > 0, 2.0 * F.abs(err) / sden).otherwise(F.lit(0.0))
+            F.when(sden > 0, 2.0 * F.abs(err) / sden)
         ).alias("smape"),
     )
     return per.join(scale, key_col, "left").withColumn(

@@ -581,19 +581,47 @@ def topk_drift(
       top movers per key (None = all).
 
     Keys present on only one side emit nothing (nothing to compare).
-    Bounded everywhere: <= 2*cap tokens per key enter the join."""
+    Bounded everywhere: <= 2*cap tokens per key enter the join.
+
+    Contract: each side must hold ONE summary row per key (the shape
+    :func:`topk_merge_all` emits). A multi-bucket tier table would
+    silently fan the scalar join out into duplicated drift rows, so a
+    key with more than one row on either side RAISES at execution."""
     if n is not None and n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+
+    def scalars(side_df: DataFrame, side: str, e: str, nn: str) -> DataFrame:
+        g = side_df.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.first("hh_err").alias(e),
+            F.first("hh_n").alias(nn),
+        )
+        guarded = F.when(
+            F.col("_cnt") > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"topk_drift: summary_{side} has multiple rows for"
+                        " key "
+                    ),
+                    F.col(key_col).cast("string"),
+                    F.lit(
+                        " — pass a one-summary-per-key table"
+                        " (topk_merge_all output), not a bucket tier"
+                    ),
+                )
+            ),
+        ).otherwise(F.col(e))
+        return g.select(key_col, guarded.alias(e), nn)
+
     a = summary_a.select(
-        key_col, F.col("hh_err").alias("_ea"), F.col("hh_n").alias("_na"),
-        F.explode_outer("hh").alias("_tok", "_ca"),
+        key_col, F.explode_outer("hh").alias("_tok", "_ca"),
     )
     b = summary_b.select(
-        key_col, F.col("hh_err").alias("_eb"), F.col("hh_n").alias("_nb"),
-        F.explode_outer("hh").alias("_tok", "_cb"),
+        key_col, F.explode_outer("hh").alias("_tok", "_cb"),
     )
-    scal_a = a.select(key_col, "_ea", "_na").distinct()
-    scal_b = b.select(key_col, "_eb", "_nb").distinct()
+    scal_a = scalars(summary_a, "a", "_ea", "_na")
+    scal_b = scalars(summary_b, "b", "_eb", "_nb")
     toks = (
         a.filter(F.col("_tok").isNotNull()).select(key_col, "_tok", "_ca")
         .join(

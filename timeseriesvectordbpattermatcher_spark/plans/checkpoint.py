@@ -312,9 +312,12 @@ class RollupJob:
           entries per bucket with the per-token overcount bound carried
           as ``hh_err`` (est <= true <= est + hh_err at every tier).
         - ``stats2``: mergeable regression/correlation moment sums of
-          ``stats2_y`` against ``stats2_x`` (None = time since the grid
-          origin) per bucket (operators/stats2d.py) — per-tier slope /
-          corr / r2 / skew reads without rescanning raw."""
+          ``stats2_y`` against ``stats2_x`` (None = time in seconds from
+          each row's OWN bucket start, so slope is per second and
+          intercept / x_intercept are fit values at the bucket start;
+          cascaded tiers re-originate via the shift identity in
+          operators/stats2d.py) per bucket — per-tier slope / corr / r2
+          / skew reads without rescanning raw."""
         run_id = run_id or uuid.uuid4().hex[:12]
         t0 = time.time()
 
