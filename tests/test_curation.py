@@ -354,7 +354,12 @@ def test_incremental_broadcast_probe_parity(spark):
     with pytest.raises(ValueError, match="probe"):
         incremental_exact_dedup(b2, d1, probe="nope")
     with pytest.raises(ValueError, match="broadcast"):
-        incremental_exact_dedup(b2, d1, bloom_words=words)
+        incremental_exact_dedup(b2, d1, probe="shuffle", bloom_words=words)
+    # probe='auto' + bloom resolves to broadcast (no raise), same rows
+    s_a, _ = incremental_exact_dedup(
+        b2, d1, bloom_words=words, bloom_m_bits=m_bits, bloom_k=k,
+    )
+    assert sorted(r["doc_id"] for r in s_a.collect()) == want
 
 
 def test_incremental_broadcast_skip_scan_when_clean(spark):

@@ -354,3 +354,52 @@ def test_timeweight_one_exchange_per_step_and_bucket_local_windows(spark):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan_casc):
         keys = spec.split(" ASC")[0]
         assert keys.count("#") >= 2, f"window not bucket-local: {spec}"
+
+
+def test_incremental_dedup_auto_routes_by_store_size(spark, tmp_path):
+    """probe='auto' (the default) must pick the plan whose cost does not
+    grow with history: a store above AUTO_SMALL_STORE_MAX_BYTES takes the
+    broadcast probe — the store is scanned but NEVER hash-partitioned —
+    while a small parquet store takes the single-join shuffle plan. A
+    naive caller folding increments against a huge digest store can no
+    longer re-shuffle it by accident."""
+    from timeseriesvectordbpattermatcher_spark.operators.curation import (
+        AUTO_SMALL_STORE_MAX_BYTES,
+        _plan_size_bytes,
+        choose_probe,
+        incremental_exact_dedup,
+    )
+
+    # pure routing rule
+    assert choose_probe(None) == "broadcast"          # unsized -> scale-safe
+    assert choose_probe(AUTO_SMALL_STORE_MAX_BYTES) == "shuffle"
+    assert choose_probe(AUTO_SMALL_STORE_MAX_BYTES + 1) == "broadcast"
+
+    batch = spark.createDataFrame(
+        [("x", "some text"), ("y", "other text")], "doc_id string, text string"
+    )
+    big = spark.range(1_500_000).select(
+        F.md5(F.col("id").cast("string")).alias("digest")
+    )
+    assert _plan_size_bytes(big) > AUTO_SMALL_STORE_MAX_BYTES
+    small_dir = str(tmp_path / "small_store")
+    spark.createDataFrame([("a" * 32,)], "digest string").write.parquet(small_dir)
+    small = spark.read.parquet(small_dir)
+    assert _plan_size_bytes(small) <= AUTO_SMALL_STORE_MAX_BYTES
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fresh, _ = incremental_exact_dedup(batch, big)  # default probe
+        plan = _plan(fresh)
+        assert "Exchange hashpartitioning(digest" not in plan, plan[:3000]
+        assert "Exchange hashpartitioning(_dg" not in plan, plan[:3000]
+        assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+
+        fresh_s, _ = incremental_exact_dedup(batch, small)  # default probe
+        plan_s = _plan(fresh_s)
+        # the small store took the plain anti join (one _dg join, no
+        # broadcast-probe double hop)
+        assert "Exchange hashpartitioning(_dg" in plan_s, plan_s[:3000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)

@@ -525,12 +525,54 @@ def bloom_might_contain(
     )
 
 
+# Store size below which the plain anti join is fine: Spark's planner
+# broadcasts the store side of the left_anti join under its own
+# autoBroadcastJoinThreshold (default 10 MB), so the store never shuffles
+# there either and the single-job plan wins. Mirrors Spark's default.
+AUTO_SMALL_STORE_MAX_BYTES = 10 << 20
+
+
+def choose_probe(
+    store_size_bytes: int | None,
+    small_store_max_bytes: int = AUTO_SMALL_STORE_MAX_BYTES,
+) -> str:
+    """Pick the store-probe strategy from the store's size (pure,
+    unit-testable — the incremental-dedup analogue of
+    ``matcher.choose_strategy``).
+
+    shuffle   : small (or unsized) store — one plain anti join; under
+                Spark's broadcast threshold the planner broadcasts the
+                store side itself, so nothing big moves.
+    broadcast : big store — two-phase probe that scans but NEVER shuffles
+                the store; the broadcast is the batch's digests, whose
+                size the caller controls.
+
+    An unknown size (no plan stats) resolves to ``broadcast``: at the
+    scales where this operator matters the store dwarfs the batch, and
+    broadcast only risks an extra small job when the store was tiny —
+    the safe default is the one whose cost does not grow with history."""
+    if store_size_bytes is not None and store_size_bytes <= small_store_max_bytes:
+        return "shuffle"
+    return "broadcast"
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Optimizer size estimate for ``df`` (bytes) — file-listing cheap for
+    parquet-backed stores, exact for local relations; None when the py4j
+    surface is unavailable (then callers fall back to the scale-safe
+    choice)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def incremental_exact_dedup(
     new_docs: DataFrame,
     seen_digests: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
-    probe: str = "shuffle",
+    probe: str = "auto",
     bloom_words: list[int] | None = None,
     bloom_m_bits: int = 1 << 23,
     bloom_k: int = 5,
@@ -559,7 +601,15 @@ def incremental_exact_dedup(
     ``probe`` picks the physical store-probe strategy (identical output,
     parity-pinned in tests/test_curation.py):
 
-    - ``'shuffle'`` (default) — plain left-anti join. Spark cannot
+    - ``'auto'`` (default) — route by the store's optimizer size estimate
+      via :func:`choose_probe`: stores at or under
+      ``AUTO_SMALL_STORE_MAX_BYTES`` (Spark's own broadcast threshold)
+      take the single-job ``shuffle`` plan — where the planner broadcasts
+      the small store side itself — and anything larger (or unsized)
+      takes ``broadcast``, whose cost does not grow with the store. The
+      default is scale-safe: a naive caller folding increments against a
+      100 TB-era digest store never re-shuffles history by accident.
+    - ``'shuffle'`` — plain left-anti join. Spark cannot
       broadcast the LEFT side of an anti join, so this sort-merge joins:
       the ENTIRE digest store re-shuffles on every increment. Fine while
       the store is modest; the wrong shape once the store dwarfs the
@@ -586,10 +636,17 @@ def incremental_exact_dedup(
     """
     digest = F.md5(F.col(text_col))
     batch = exact_dedup(new_docs, text_col=text_col, id_col=id_col)
-    if probe not in ("shuffle", "broadcast"):
-        raise ValueError(f"probe must be 'shuffle' or 'broadcast', got {probe!r}")
-    if bloom_words is not None and probe != "broadcast":
+    if probe not in ("auto", "shuffle", "broadcast"):
+        raise ValueError(
+            f"probe must be 'auto', 'shuffle' or 'broadcast', got {probe!r}"
+        )
+    if bloom_words is not None and probe == "shuffle":
         raise ValueError("bloom_words requires probe='broadcast'")
+    if probe == "auto":
+        if bloom_words is not None:
+            probe = "broadcast"  # the bloom prunes the broadcast probe
+        elif seen_digests is not None:
+            probe = choose_probe(_plan_size_bytes(seen_digests))
     if seen_digests is not None and probe == "broadcast":
         tagged = batch.withColumn("_dg", digest)
         if bloom_words is not None:

@@ -55,8 +55,9 @@ def curation_sink(
     the curated rows and the survivor store (digests for ``method='exact'``,
     minhash signatures for ``method='minhash'``). ``dedup_kw`` forwards to
     the incremental dedup operator (threshold/num_perm/... for minhash;
-    ``probe='broadcast'`` switches the exact store probe to the
-    store-shuffle-free form).
+    the exact store probe defaults to ``probe='auto'``, which routes
+    big stores to the store-shuffle-free broadcast form by size — see
+    ``curation.choose_probe``).
 
     ``bloom_m_bits`` (exact method only) maintains a bloom filter over the
     store ACROSS micro-batches: each batch's store delta contributes its
@@ -83,7 +84,7 @@ def curation_sink(
     if bloom_m_bits is not None:
         if method != "exact":
             raise ValueError("bloom_m_bits requires method='exact'")
-        if dedup_kw.setdefault("probe", "broadcast") != "broadcast":
+        if dedup_kw.setdefault("probe", "broadcast") not in ("auto", "broadcast"):
             raise ValueError("bloom_m_bits requires probe='broadcast'")
     if method == "exact":
         dedup = incremental_exact_dedup
