@@ -449,3 +449,71 @@ def test_semantic_dedup_matches_exact_oracle(spark):
     want = sorted((set(X) - drop) | {null_id})
     assert got == want, (got, want)
     assert len(drop) > 0  # the planted groups actually deduped
+
+
+def test_semantic_dedup_max_cluster_guard(spark):
+    """Runaway-cluster guard: with n_lists=1 every row lands in one list,
+    so max_cluster below the corpus size must (a) raise loudly by
+    default, (b) under on_oversize='split' sub-quantize the hot list and
+    still reproduce the exact all-pairs oracle (the planted groups are
+    well-separated, so one finer level fully separates them), and (c)
+    raise from the split path when more than max_cluster identical
+    embeddings make splitting impossible."""
+    import numpy as np
+
+    from timeseriesvectordbpattermatcher_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(5)
+    base = np.eye(8)[:4]
+    rows, vid = [], 0
+    for c in range(4):
+        for _k in range(6):  # 6 near-identical copies per orthogonal seed
+            vv = base[c] + 0.001 * rng.standard_normal(8)
+            rows.append((vid, [float(x) for x in vv]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    with pytest.raises(ValueError, match="exceed max_cluster"):
+        semantic_dedup(df, tau=0.999, n_lists=1, max_cluster=10)
+    with pytest.raises(ValueError, match="on_oversize"):
+        semantic_dedup(df, tau=0.999, n_lists=1, max_cluster=10,
+                       on_oversize="nope")
+    with pytest.raises(ValueError, match="max_cluster"):
+        semantic_dedup(df, tau=0.999, n_lists=1, max_cluster=0)
+
+    # split path == exact numpy all-pairs oracle on the survivors
+    got = sorted(
+        r.vec_id
+        for r in semantic_dedup(
+            df, tau=0.999, n_lists=1, max_cluster=10, on_oversize="split"
+        ).collect()
+    )
+    X = {i: np.asarray(v) for i, v in rows}
+    drop = set()
+    for i in sorted(X):
+        for j in sorted(X):
+            if i < j and X[i] @ X[j] / (
+                np.linalg.norm(X[i]) * np.linalg.norm(X[j])
+            ) >= 0.999:
+                drop.add(j)
+    want = sorted(set(X) - drop)
+    assert got == want, (got, want)
+    assert len(drop) == 20  # every copy after the first per seed dropped
+
+    # unsplittable: > max_cluster IDENTICAL embeddings
+    same = spark.createDataFrame(
+        [(i, [1.0] + [0.0] * 7) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="still exceed"):
+        semantic_dedup(same, tau=0.999, n_lists=1, max_cluster=5,
+                       on_oversize="split")
+
+    # guard off (default None): unchanged behavior — one list, no cap,
+    # the pair join is the exact all-pairs rule
+    base_out = sorted(
+        r.vec_id for r in semantic_dedup(df, tau=0.999, n_lists=1).collect()
+    )
+    assert base_out == want

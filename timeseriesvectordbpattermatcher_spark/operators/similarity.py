@@ -433,6 +433,114 @@ def ivf_probe_index(
     )
 
 
+# bounded re-cut attempts before the split path gives up loudly; each
+# round re-draws the sub-quantizer init, so only a genuinely inseparable
+# (near-identical) cluster survives all of them
+_SPLIT_ROUNDS = 4
+
+
+def _guard_cluster_sizes(
+    assigned: DataFrame,
+    max_cluster: int,
+    on_oversize: str,
+    tau: float,
+    n_lists: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Enforce ``semantic_dedup``'s per-cluster pair-cost bound: one
+    count per list (<= n_lists rows to the driver), then raise on — or
+    sub-quantize — every list larger than ``max_cluster``. Returns the
+    (possibly re-keyed) assignment; list ids stay unique across original
+    lists, so splitting never merges two coarse clusters."""
+    out = assigned.withColumn("list_id", F.col("list_id").cast("long"))
+    for rnd in range(_SPLIT_ROUNDS + 1):
+        hot = sorted(
+            (r["list_id"], r["_n"])
+            for r in out.groupBy("list_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_cluster)
+            .collect()
+        )
+        if not hot:
+            return out
+        desc = ", ".join(f"list {l}={n} rows" for l, n in hot[:10])
+        more = ", ..." if len(hot) > 10 else ""
+        if on_oversize == "raise":
+            raise ValueError(
+                f"semantic_dedup: {len(hot)} cluster(s) exceed "
+                f"max_cluster={max_cluster} ({desc}{more}); the pair join "
+                "would go quadratic on them — raise n_lists, raise "
+                "max_cluster, or pass on_oversize='split'"
+            )
+        if rnd == _SPLIT_ROUNDS:
+            raise ValueError(
+                f"semantic_dedup: {len(hot)} cluster(s) still exceed "
+                f"max_cluster={max_cluster} after {_SPLIT_ROUNDS} split "
+                f"rounds ({desc}{more}) — likely more than max_cluster "
+                "near-identical embeddings, which no quantizer separates; "
+                "raise max_cluster or dedup exact duplicates first"
+            )
+        hot_ids = [l for l, _ in hot]
+        total_hot = sum(n for _, n in hot)
+        # enough sub-lists that an even split lands well under the cap;
+        # a fresh seed per round re-draws the centroid init, so a merge
+        # the previous draw happened to leave is re-cut next round
+        n_sub = min(1024, max(2, -(-2 * total_hot // max_cluster)))
+        hot_rows = out.filter(F.col("list_id").isin(hot_ids))
+        sub_cents = train_ivf_centroids(
+            hot_rows.select(id_col, vec_col),
+            n_lists=n_sub,
+            seed=seed + 1 + rnd,
+            vec_col=vec_col,
+        )
+        # merge sub-centroids that are themselves tau-close: a cut
+        # between two such centroids could strand a tau-duplicate pair
+        # on opposite sides, so those sub-lists collapse back into one
+        # before assignment (union-find over <= n_sub^2 driver-side dots)
+        sim = sub_cents @ sub_cents.T
+        parent = list(range(len(sub_cents)))
+
+        def _find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i in range(len(sub_cents)):
+            for j in range(i + 1, len(sub_cents)):
+                if sim[i, j] >= tau:
+                    parent[_find(i)] = _find(j)
+        roots = sorted({_find(i) for i in range(len(sub_cents))})
+        labels = np.array(
+            [roots.index(_find(i)) for i in range(len(sub_cents))],
+            dtype=np.int32,
+        )
+        n_slots = len(roots)
+
+        @F.pandas_udf(T.IntegerType())
+        def assign_sub(vecs: pd.Series) -> pd.Series:
+            m = np.stack(vecs.to_numpy()).astype(np.float64)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            return pd.Series(labels[np.argmax(m @ sub_cents.T, axis=1)])
+
+        refined = hot_rows.withColumn("_sub", assign_sub(F.col(vec_col)))
+        cold = out.filter(~F.col("list_id").isin(hot_ids)).withColumn(
+            "_sub", F.lit(0)
+        )
+        # (list, sub) re-keyed injectively: splitting can only refine a
+        # list, never merge rows across different original lists
+        out = cold.unionByName(refined).select(
+            F.col(id_col),
+            F.col(vec_col),
+            (
+                F.col("list_id") * F.lit(int(n_slots)) + F.col("_sub")
+            ).alias("list_id"),
+        )
+    raise AssertionError("unreachable")
+
+
 def semantic_dedup(
     df: DataFrame,
     tau: float = 0.95,
@@ -440,6 +548,8 @@ def semantic_dedup(
     seed: int = 37,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster: int | None = None,
+    on_oversize: str = "raise",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     embeddings with the IVF coarse quantizer, find cosine >= ``tau`` pairs
@@ -461,7 +571,31 @@ def semantic_dedup(
     candidate join is cluster-bucketed (shuffle on ``list_id``), so the
     pair count is sum over lists of n_l^2 rather than N^2 — the SemDeDup
     pitch. The drop itself is a left_anti join on the id.
+
+    ``max_cluster`` guards the one way that pitch fails: a runaway hot
+    list (skewed corpus, too-coarse quantizer) silently turning one
+    reducer quadratic. When set, a cheap per-list count (<= n_lists
+    rows) checks every list before the pair join:
+
+    - ``on_oversize='raise'`` (default when guarded) — ``ValueError``
+      naming the hot lists and sizes, so the failure is loud instead of
+      a multi-hour straggler; remedies: raise ``n_lists``, raise
+      ``max_cluster``, or switch to ``'split'``.
+    - ``on_oversize='split'`` — re-quantize JUST the hot lists' rows
+      with a finer sub-quantizer (sub-list count sized from the overflow
+      ratio) and pair within (list, sub-list) intersections. Splitting
+      never ADDS candidate pairs across original lists; it can only drop
+      pairs that straddle a sub-boundary — same recall caveat as the
+      coarse quantizer itself, one level finer. If a sub-list still
+      exceeds ``max_cluster`` (e.g. more than ``max_cluster`` identical
+      embeddings, which no quantizer can separate), it raises.
     """
+    if on_oversize not in ("raise", "split"):
+        raise ValueError(
+            f"on_oversize must be 'raise' or 'split', got {on_oversize!r}"
+        )
+    if max_cluster is not None and max_cluster < 1:
+        raise ValueError(f"max_cluster must be >= 1, got {max_cluster}")
     with_vec = df.filter(F.col(vec_col).isNotNull())
     cents = train_ivf_centroids(with_vec, n_lists=n_lists, seed=seed, vec_col=vec_col)
     if cents is None:
@@ -476,6 +610,11 @@ def semantic_dedup(
     assigned = with_vec.select(
         F.col(id_col), F.col(vec_col), assign_list(F.col(vec_col)).alias("list_id")
     )
+    if max_cluster is not None:
+        assigned = _guard_cluster_sizes(
+            assigned, max_cluster, on_oversize, tau, n_lists, seed,
+            id_col, vec_col
+        )
     a = assigned.select(
         F.col("list_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
     )
