@@ -300,3 +300,176 @@ def test_sketch_width_cascades(raw, duck):
         for tok, est_c in r.hh.items():
             true = ek.get((r.source, ts, tok), 0)
             assert est_c <= true <= est_c + r.hh_err, (r.source, ts, tok)
+
+
+@pytest.mark.parametrize("width", [300, 4 * 3600])
+def test_stats2_width_accessors_match_duckdb(duck, raw, width):
+    """stats2_cascade_width xy-mode: width-merged moment sums must read
+    back DuckDB's regr_*/corr recomputed straight from raw rows grouped
+    on the same floor-epoch grid."""
+    from timeseriesvectordbpattermatcher_spark.operators.stats2d import (
+        stats2_bucket,
+        stats2_cascade_width,
+        stats2_read,
+    )
+
+    points = raw.withColumn("y", F.col("n_tok")).withColumn(
+        "x", (F.col("n_tok") * 7 + F.crc32(F.col("doc_id")) % 89) % 101
+    )
+    t1m = stats2_bucket(points, tier="1m", y_col="y", x_col="x")
+    got = (
+        stats2_read(stats2_cascade_width(t1m, width, origin=ORIGIN))
+        .select("source", "bucket_ts", "n", "avg_x", "avg_y", "slope",
+                "intercept", "corr", "r2", "covar_pop")
+        .toPandas().sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+    )
+    duck.register("wb_s2", points.select("source", "event_ts", "x", "y").toPandas())
+    want = duck.sql(f"""
+        SELECT source, {_bucket_sql(width)} AS bucket_ts,
+               regr_count(y, x)::BIGINT AS n,
+               avg(x) AS avg_x, avg(y) AS avg_y,
+               regr_slope(y, x) AS slope,
+               regr_intercept(y, x) AS intercept,
+               corr(y, x) AS corr, regr_r2(y, x) AS r2,
+               covar_pop(y, x) AS covar_pop
+        FROM wb_s2 GROUP BY 1, 2 ORDER BY 1, 2
+    """).df().reset_index(drop=True)
+    cols = sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        got[cols], want[cols], check_dtype=False, rtol=1e-9, atol=1e-9
+    )
+
+
+@pytest.mark.parametrize("width", [900, 7 * 86400])
+def test_stats2_time_mode_width_reorigin_matches_duckdb(duck, raw, width):
+    """Time mode through a width merge: the shift identities must
+    re-origin x to each WIDTH bucket's start, so slope/intercept agree
+    with DuckDB regressing against (epoch(ts) - epoch(width_bucket))."""
+    from timeseriesvectordbpattermatcher_spark.operators.stats2d import (
+        stats2_bucket,
+        stats2_cascade_width,
+        stats2_read,
+    )
+
+    points = raw.withColumn("y", F.col("n_tok"))
+    t1m = stats2_bucket(points, tier="1m", y_col="y")
+    got = (
+        stats2_read(stats2_cascade_width(t1m, width, origin=ORIGIN))
+        .select("source", "bucket_ts", "n", "slope", "intercept", "corr", "r2")
+        .toPandas().sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+    )
+    duck.register("wb_s2t", points.select("source", "event_ts", "y").toPandas())
+    b = _bucket_sql(width)
+    want = duck.sql(f"""
+        SELECT source, {b} AS bucket_ts,
+               count(*)::BIGINT AS n,
+               regr_slope(y, epoch(event_ts) - epoch({b})) AS slope,
+               regr_intercept(y, epoch(event_ts) - epoch({b})) AS intercept,
+               corr(y, epoch(event_ts)) AS corr,
+               regr_r2(y, epoch(event_ts)) AS r2
+        FROM wb_s2t GROUP BY 1, 2 ORDER BY 1, 2
+    """).df().reset_index(drop=True)
+    cols = sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        got[cols], want[cols], check_dtype=False, rtol=1e-6, atol=1e-9
+    )
+    assert (got["corr"].abs().dropna() <= 1.0 + 1e-12).all()
+
+
+@pytest.mark.parametrize("width", [900, 4 * 3600])
+def test_state_width_durations_match_duckdb(duck, raw, width):
+    """state_cascade_width: per-state seconds in each width bucket equal
+    DuckDB summing consecutive-reading segments whose BOTH endpoints land
+    in the bucket (bridge segments between fine buckets included —
+    that's the cascade's own merge rule applied at the width grid)."""
+    from timeseriesvectordbpattermatcher_spark.operators.stateagg import (
+        state_bucket,
+        state_cascade_width,
+    )
+
+    pts = raw.withColumn(
+        "state", F.concat(F.lit("s"), (F.col("n_tok") % 3).cast("string"))
+    )
+    s1m = state_bucket(pts, tier="1m")
+    merged = state_cascade_width(s1m, width, origin=ORIGIN)
+    got = (
+        merged.select(
+            "source", "bucket_ts", "n",
+            F.explode(F.map_entries("durs")).alias("e"),
+        )
+        .select("source", "bucket_ts", "n",
+                F.col("e")["key"].alias("state"),
+                F.col("e")["value"].alias("dur"))
+        .toPandas().sort_values(["source", "bucket_ts", "state"])
+        .reset_index(drop=True)
+    )
+    duck.register(
+        "wb_st", pts.select("source", "event_ts", "state").toPandas()
+    )
+    b = _bucket_sql(width)
+    want = duck.sql(f"""
+        WITH p AS (
+          SELECT source, event_ts, state, {b} AS bucket_ts,
+                 lead(event_ts) OVER (PARTITION BY source
+                                      ORDER BY event_ts, state) AS nxt
+          FROM wb_st),
+        seg AS (
+          SELECT source, bucket_ts, state,
+                 CASE WHEN nxt IS NOT NULL
+                       AND {b.replace("event_ts", "nxt")} = bucket_ts
+                      THEN epoch(nxt) - epoch(event_ts) ELSE 0 END AS d
+          FROM p)
+        SELECT source, bucket_ts, state, sum(d) AS dur,
+               sum(count(*)) OVER (PARTITION BY source, bucket_ts) AS n
+        FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """).df().reset_index(drop=True)
+    cols = sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        got[cols], want[cols], check_dtype=False, rtol=1e-9
+    )
+
+
+@pytest.mark.parametrize("width", [900, 4 * 3600])
+def test_heartbeat_width_uptime_matches_duckdb(duck, raw, width):
+    """heartbeat_cascade_width + heartbeat_read(width): uptime per width
+    bucket equals DuckDB's sweep-line union of [hb, hb+period) intervals
+    clipped to the bucket (in-bucket islands only, spill-in excluded —
+    heartbeat_read's documented contract)."""
+    from timeseriesvectordbpattermatcher_spark.operators.stateagg import (
+        heartbeat_bucket,
+        heartbeat_cascade_width,
+        heartbeat_read,
+    )
+
+    PERIOD = 90.0
+    h1m = heartbeat_bucket(raw, PERIOD, tier="1m")
+    got = (
+        heartbeat_read(heartbeat_cascade_width(h1m, width, origin=ORIGIN), width)
+        .select("source", "bucket_ts", "n", "uptime", "downtime")
+        .toPandas().sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+    )
+    duck.register("wb_hb", raw.select("source", "event_ts").toPandas())
+    b = _bucket_sql(width)
+    want = duck.sql(f"""
+        WITH h AS (SELECT source, {b} AS bucket_ts, event_ts FROM wb_hb),
+        o AS (SELECT source, bucket_ts, event_ts,
+                     max(epoch(event_ts) + {PERIOD}) OVER (
+                       PARTITION BY source, bucket_ts ORDER BY event_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS prev_end
+              FROM h)
+        SELECT source, bucket_ts, count(*)::BIGINT AS n,
+               sum(greatest(0.0,
+                   least(epoch(event_ts) + {PERIOD}, epoch(bucket_ts) + {width})
+                   - greatest(epoch(event_ts), coalesce(prev_end, 0.0))
+               )) AS uptime,
+               {width} - sum(greatest(0.0,
+                   least(epoch(event_ts) + {PERIOD}, epoch(bucket_ts) + {width})
+                   - greatest(epoch(event_ts), coalesce(prev_end, 0.0))
+               )) AS downtime
+        FROM o GROUP BY 1, 2 ORDER BY 1, 2
+    """).df().reset_index(drop=True)
+    cols = sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        got[cols], want[cols], check_dtype=False, rtol=1e-9
+    )

@@ -135,6 +135,29 @@ def state_cascade(
     no reading lies between them, by construction)."""
     _check_tiers(from_tier, to_tier)
     coarse = F.date_trunc(TIER_TRUNC[to_tier], F.col("bucket_ts"))
+    return _state_merge(sa, coarse, key_col)
+
+
+def state_cascade_width(
+    sa: DataFrame,
+    width_sec: int,
+    key_col: str = "source",
+    origin: str = "2020-01-01 00:00:00",
+) -> DataFrame:
+    """Merge a state tier into ARBITRARY fixed-width buckets
+    (TimescaleDB ``time_bucket`` semantics via
+    :func:`~.rollup.width_bucket`) — "duration-in-state per 4 hours"
+    from the committed 1m tier, bridge segments between consecutive fine
+    buckets included, without a raw rescan. Exact whenever the source
+    tier's width divides ``width_sec`` and aligns to the grid (caller's
+    contract, same as :func:`~.rollup.cascade_width`)."""
+    from .rollup import width_bucket
+
+    coarse = width_bucket(F.col("bucket_ts"), width_sec, origin)
+    return _state_merge(sa, coarse, key_col)
+
+
+def _state_merge(sa: DataFrame, coarse, key_col: str) -> DataFrame:
     w = Window.partitionBy(key_col, "_coarse").orderBy("bucket_ts", "first")
     nxt_first = F.lead("first").over(w)
     bridge = F.when(
@@ -202,7 +225,7 @@ def duration_in(sa: DataFrame, state: str, out_col: str = "dur") -> DataFrame:
 def interpolated_duration_in(
     sa: DataFrame,
     state: str,
-    tier: str,
+    tier: str | int,
     key_col: str = "source",
     out_col: str = "idur",
 ) -> DataFrame:
@@ -222,12 +245,11 @@ def interpolated_duration_in(
     compose with operators/gapfill.py for a dense grid. The bare-``key_col``
     window is safe at any corpus size: summary rows are calendar-bounded.
     """
-    if tier not in _TIER_INTERVAL:
-        raise ValueError(f"tier must be in {list(_TIER_INTERVAL)}")
+    _bucket_len(tier)  # validate early
     w = Window.partitionBy(key_col).orderBy("bucket_ts")
     prev_last = F.lag("last").over(w)
     b_start = F.col("bucket_ts")
-    b_end = F.col("bucket_ts") + F.expr(_TIER_INTERVAL[tier])
+    b_end = F.col("bucket_ts") + _bucket_len(tier)
     head = F.when(
         prev_last.isNotNull() & (prev_last["state"] == F.lit(state)),
         _seconds_between(b_start, F.col("first")["ts"]),
@@ -342,6 +364,30 @@ def heartbeat_cascade(
     exactly."""
     _check_tiers(from_tier, to_tier)
     coarse = F.date_trunc(TIER_TRUNC[to_tier], F.col("bucket_ts"))
+    return _hb_merge(hb, coarse, key_col)
+
+
+def heartbeat_cascade_width(
+    hb: DataFrame,
+    width_sec: int,
+    key_col: str = "source",
+    origin: str = "2020-01-01 00:00:00",
+) -> DataFrame:
+    """Merge a liveness tier into ARBITRARY fixed-width buckets
+    (TimescaleDB ``time_bucket`` semantics via
+    :func:`~.rollup.width_bucket`) — "uptime per 4 hours" from the 1m
+    tier without a raw rescan. Interval-union merge is associative and
+    islands carry their overhang, so the width read is exact under the
+    same divides-and-aligns contract as :func:`~.rollup.cascade_width`.
+    Read the result with the width (in seconds) as the ``tier`` argument
+    of :func:`heartbeat_read` / :func:`interpolated_uptime`."""
+    from .rollup import width_bucket
+
+    coarse = width_bucket(F.col("bucket_ts"), width_sec, origin)
+    return _hb_merge(hb, coarse, key_col)
+
+
+def _hb_merge(hb: DataFrame, coarse, key_col: str) -> DataFrame:
     merged = hb.withColumn("_coarse", coarse).groupBy(key_col, "_coarse").agg(
         F.min("first_hb").alias("first_hb"),
         F.max("last_hb").alias("last_hb"),
@@ -358,6 +404,20 @@ def heartbeat_cascade(
     )
 
 
+def _bucket_len(tier) -> Column:
+    """Bucket length as an interval: a tier name from the calendar set,
+    or an int width in seconds (the ``*_cascade_width`` grids)."""
+    if isinstance(tier, int):
+        if tier < 1:
+            raise ValueError(f"width must be >= 1 second, got {tier}")
+        return F.expr(f"INTERVAL {int(tier)} SECONDS")
+    if tier not in _TIER_INTERVAL:
+        raise ValueError(
+            f"tier must be an int width in seconds or in {list(_TIER_INTERVAL)}"
+        )
+    return F.expr(_TIER_INTERVAL[tier])
+
+
 def _clamped_live_seconds(lo: Column, hi: Column) -> Column:
     """Sum of island overlap with ``[lo, hi)`` in seconds."""
     return F.aggregate(
@@ -371,17 +431,15 @@ def _clamped_live_seconds(lo: Column, hi: Column) -> Column:
     )
 
 
-def heartbeat_read(hb: DataFrame, tier: str) -> DataFrame:
+def heartbeat_read(hb: DataFrame, tier: str | int) -> DataFrame:
     """Read accessors from the bucket's OWN heartbeats: ``uptime`` =
     live seconds within ``[bucket_ts, bucket_end)``, ``downtime`` = bucket
     span - uptime, ``num_gaps`` = dead stretches inside the bucket (before
     the first island, between islands, after the last island's in-bucket
     end). Liveness spilling in from the previous bucket is the
     interpolated accessor's job (:func:`interpolated_uptime`)."""
-    if tier not in _TIER_INTERVAL:
-        raise ValueError(f"tier must be in {list(_TIER_INTERVAL)}")
     b_start = F.col("bucket_ts")
-    b_end = F.col("bucket_ts") + F.expr(_TIER_INTERVAL[tier])
+    b_end = F.col("bucket_ts") + _bucket_len(tier)
     span = _seconds_between(b_start, b_end)
     up = _clamped_live_seconds(b_start, b_end)
     # islands are sorted + merged and all start inside the bucket; gaps =
@@ -401,7 +459,7 @@ def heartbeat_read(hb: DataFrame, tier: str) -> DataFrame:
 
 def interpolated_uptime(
     hb: DataFrame,
-    tier: str,
+    tier: str | int,
     key_col: str = "source",
     out_col: str = "iuptime",
 ) -> DataFrame:
@@ -413,12 +471,11 @@ def interpolated_uptime(
     carry-in is exactly ``[bucket_start, min(prev_e, bucket_end,
     first_own_island_start))``. Calendar-bounded bare-key window, same
     safety argument as :func:`interpolated_duration_in`."""
-    if tier not in _TIER_INTERVAL:
-        raise ValueError(f"tier must be in {list(_TIER_INTERVAL)}")
+    _bucket_len(tier)  # validate early
     w = Window.partitionBy(key_col).orderBy("bucket_ts")
     prev_e = F.lag(F.element_at("live", -1)["e"]).over(w)
     b_start = F.col("bucket_ts")
-    b_end = F.col("bucket_ts") + F.expr(_TIER_INTERVAL[tier])
+    b_end = F.col("bucket_ts") + _bucket_len(tier)
     span = _seconds_between(b_start, b_end)
     own = F.least(_clamped_live_seconds(b_start, b_end), span)
     first_s = F.element_at("live", 1)["s"]
@@ -433,7 +490,7 @@ def interpolated_uptime(
 def hb_rolling(
     hb: DataFrame,
     window_buckets: int,
-    tier: str,
+    tier: str | int,
     key_col: str = "source",
     min_buckets: int | None = None,
 ) -> DataFrame:

@@ -198,6 +198,30 @@ def stats2_cascade(
     partial merge used by the real-time views (shift distance 0)."""
     _check_tiers(from_tier, to_tier)
     coarse = F.date_trunc(TIER_TRUNC[to_tier], F.col("bucket_ts"))
+    return _stats2_merge(stats, coarse, key_col)
+
+
+def stats2_cascade_width(
+    stats: DataFrame,
+    width_sec: int,
+    key_col: str = "source",
+    origin: str = "2020-01-01 00:00:00",
+) -> DataFrame:
+    """Merge a stats2 tier into ARBITRARY fixed-width buckets
+    (TimescaleDB ``time_bucket`` semantics via
+    :func:`~.rollup.width_bucket`) — "slope per 4 hours" served from the
+    committed 1m tier without a raw rescan. Time-mode moments re-origin
+    to each width bucket's start via the exact shift identities, so the
+    read equals a direct raw build whenever the source tier's width
+    divides ``width_sec`` and aligns to the grid (caller's contract,
+    same as :func:`~.rollup.cascade_width`)."""
+    from .rollup import width_bucket
+
+    coarse = width_bucket(F.col("bucket_ts"), width_sec, origin)
+    return _stats2_merge(stats, coarse, key_col)
+
+
+def _stats2_merge(stats: DataFrame, coarse, key_col: str) -> DataFrame:
     d = F.when(F.col("x0").isNotNull(), _seconds_between(coarse, F.col("x0"))).otherwise(F.lit(0.0))
     sh = _shifted(d)
     projected = stats.select(
