@@ -377,33 +377,53 @@ class SnapshotTable:
     ) -> dict[str, dict]:
         """Per-partition inventory of a finished commit-dir write: file
         lists, byte/row totals, and (when ``stats_cols``) per-file column
-        min/max from the parquet footers the row count already opens."""
+        min/max from the parquet footers the row count already opens.
+        Footer reads fan out over a thread pool — they are tiny
+        IO-latency-bound reads, and serializing them made the commit's
+        fixed overhead grow linearly with file count."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
-        new_parts: dict[str, dict] = {}
+        from urllib.parse import unquote
+
+        def _file_meta(f: str):
+            md = pq.read_metadata(os.path.join(self.root, f))
+            fs = _footer_minmax(md, stats_cols) if stats_cols else None
+            return f, md.num_rows, fs
+
+        part_files: dict[str, list[str]] = {}
         for entry in os.listdir(out_path):
             if not entry.startswith("_pk="):
                 continue
             # Spark percent-escapes special chars ('/', ':') in partition dirs
-            from urllib.parse import unquote
-
             pk = unquote(entry[len("_pk=") :])
             pdir = os.path.join(out_path, entry)
-            files = [
+            part_files[pk] = [
                 os.path.join(commit_dir, entry, f)
                 for f in os.listdir(pdir)
                 if f.endswith(".parquet")
             ]
+        all_files = [f for fs in part_files.values() for f in fs]
+        if len(all_files) > 4:
+            with ThreadPoolExecutor(max_workers=min(16, len(all_files))) as ex:
+                metas = dict(
+                    (f, (rows, fs)) for f, rows, fs in ex.map(_file_meta, all_files)
+                )
+        else:
+            metas = dict(
+                (f, (rows, fs)) for f, rows, fs in map(_file_meta, all_files)
+            )
+        new_parts: dict[str, dict] = {}
+        for pk, files in part_files.items():
             nbytes = sum(os.path.getsize(os.path.join(self.root, f)) for f in files)
             nrows = 0
             stats: dict[str, dict] = {}
             for f in files:
-                md = pq.read_metadata(os.path.join(self.root, f))
-                nrows += md.num_rows
-                if stats_cols:
-                    fs = _footer_minmax(md, stats_cols)
-                    if fs:
-                        stats[f] = fs
+                rows, fs = metas[f]
+                nrows += rows
+                if fs:
+                    stats[f] = fs
             new_parts[pk] = {"files": files, "bytes": nbytes, "rows": nrows}
             if stats:
                 new_parts[pk]["stats"] = stats
