@@ -321,3 +321,74 @@ def test_bcast_respects_explicit_store_dir_and_guard_wired(spark, vec_tables, tm
     )
     assert key(got) == key(want)
     assert any(d.startswith("gen_") for d in os.listdir(store))
+
+
+def test_match_pipeline_persisted_index_route(spark, vec_tables, tmp_path):
+    """match_pipeline(index_table=...): the persisted-IVF serving path
+    runs the SAME E2 filters and, at nprobe = n_lists (full-recall IVF),
+    returns exactly the per-call join strategy's results. Guards: both
+    sources, explicit strategy, and a wrong-schema index all raise."""
+    from timeseriesvectordbpattermatcher_spark.operators.similarity import (
+        build_ivf_index,
+    )
+    from timeseriesvectordbpattermatcher_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    # unique segment ids (vec_tables' ids collide past i=45, and the
+    # probe path dedups ids where the join path scores every row — that
+    # fixture artifact would mask the routing comparison)
+    rng = np.random.default_rng(9)
+    refs_df = spark.createDataFrame(
+        [
+            (f"av_TK{i % 5:02d}_202001{1 + i // 5:02d}_202002{1 + i // 5:02d}",
+             rng.normal(size=8).tolist())
+            for i in range(40)
+        ],
+        "segment_id string, features array<float>",
+    )
+    q_df = vec_tables[0]
+    queries = q_df.withColumn("query_start", F.lit("2020-03-01").cast("date"))
+    index = SnapshotTable(str(tmp_path / "seg_ivf"))
+    build_ivf_index(
+        refs_df, index, n_lists=4, seed=37,
+        ref_id="segment_id", ref_vec="features",
+    )
+
+    # full recall at nprobe=n_lists: identical to the exact join route
+    a = (
+        match_pipeline(queries, None, index_table=index, nprobe=4)
+        .orderBy("query_id", "rank").collect()
+    )
+    b = (
+        match_pipeline(queries, refs_df, strategy="join")
+        .orderBy("query_id", "rank").collect()
+    )
+    assert [(r["query_id"], r["rank"], r["segment_id"]) for r in a] == [
+        (r["query_id"], r["rank"], r["segment_id"]) for r in b
+    ]
+    assert len(a) > 0
+
+    # reduced nprobe keeps the E2 invariants (contiguous ranks, one per
+    # series, historical-only) even when recall drops
+    pdf = match_pipeline(queries, None, index_table=index, nprobe=2).toPandas()
+    for _, grp in pdf.groupby("query_id"):
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert grp["segment_id"].str.split("_").str[1].is_unique
+    assert (pdf["segment_id"].str.split("_").str[-1].astype(int) <= 20200301).all()
+
+    with pytest.raises(ValueError, match="not both"):
+        match_pipeline(queries, refs_df, index_table=index)
+    with pytest.raises(ValueError, match="auto"):
+        match_pipeline(queries, None, index_table=index, strategy="join")
+    with pytest.raises(ValueError, match="refs is required"):
+        match_pipeline(queries, None)
+    wrong = SnapshotTable(str(tmp_path / "wrong_ivf"))
+    build_ivf_index(
+        refs_df.select(F.col("segment_id").alias("vec_id"),
+                       F.col("features").alias("embedding")),
+        wrong, n_lists=2,
+    )
+    with pytest.raises(ValueError, match="segment_id"):
+        match_pipeline(queries, None, index_table=wrong)

@@ -191,3 +191,37 @@ def test_matcher_sink_rejects_two_modes(spark, tmp_path, refs_and_queries):
         matcher_sink(results, refs=refs, dtw_refs=refs)
     with pytest.raises(ValueError, match="exactly one"):
         matcher_sink(results)
+
+
+def test_stream_matcher_index_e2_equals_batch(spark, tmp_path, refs_and_queries):
+    """e2_filters=True over a persisted IVF index: streamed results equal
+    a batch match_pipeline(index_table=...) run over the union of the
+    micro-batches — the full E2 filter chain, not the raw probe."""
+    from timeseriesvectordbpattermatcher_spark.operators.similarity import (
+        build_ivf_index,
+    )
+
+    refs, qsegs = refs_and_queries
+    index = SnapshotTable(str(tmp_path / "seg_ivf"))
+    build_ivf_index(
+        refs, index, n_lists=4, seed=37,
+        ref_id="segment_id", ref_vec="features",
+    )
+    inbox = _stream_queries(spark, tmp_path, qsegs)
+    results = SnapshotTable(str(tmp_path / "matches_e2"))
+    _run_stream(
+        spark, inbox, str(tmp_path / "ckpt_e2"),
+        matcher_sink(results, index_table=index, nprobe=4, e2_filters=True),
+        qsegs.schema,
+    )
+    got = sorted(
+        map(tuple, read_matches(spark, results)
+            .select("query_id", "rank", "segment_id").collect())
+    )
+    want = sorted(
+        map(tuple, match_pipeline(qsegs, None, index_table=index, nprobe=4)
+            .select("query_id", "rank", "segment_id").collect())
+    )
+    assert got == want and len(got) > 0
+    with pytest.raises(ValueError, match="e2_filters"):
+        matcher_sink(results, refs=refs, e2_filters=True)

@@ -327,12 +327,14 @@ def choose_strategy(
 
 def match_pipeline(
     queries: DataFrame,
-    refs: DataFrame,
+    refs: DataFrame | None,
     k: int = TOP_K,
     display_k: int = DISPLAY_K,
     query_start_col: str = "query_start",
     strategy: str = "auto",
     store_dir: str | None = None,
+    index_table=None,
+    nprobe: int = 4,
 ) -> DataFrame:
     """Full reference query path E2 (SURVEY.md §3): top-k search -> dedupe per
     series -> historical-only -> re-rank -> head ``display_k`` per query.
@@ -355,7 +357,49 @@ def match_pipeline(
       when the ref matrix no longer fits one executor.
     - ``ivf``   — coarse-quantizer (k-means lists) approximate top-k,
       partition-prunable on list_id.
+
+    ``index_table`` (a SnapshotTable written by
+    ``similarity.build_ivf_index`` over (segment_id, features)) routes the
+    top-k through the PERSISTED index instead of any per-call strategy:
+    each batch of queries scans only its ``nprobe`` lists' data files
+    through the snapshot manifest — the serving shape when the same ref
+    corpus is probed thousands of times. The E2 filters downstream are
+    identical, so index vs per-call strategies differ only by the IVF
+    recall profile (pinned in tests). Pass ``refs=None`` with it;
+    ``strategy`` must stay ``'auto'`` (anything else contradicts the
+    explicit index and raises).
     """
+    if index_table is not None:
+        if refs is not None:
+            raise ValueError("pass either refs or index_table, not both")
+        if strategy != "auto":
+            raise ValueError(
+                "strategy is chosen by the persisted index; leave it 'auto' "
+                f"when index_table is given (got {strategy!r})"
+            )
+        snap = index_table.current_snapshot()
+        meta = (snap.meta or {}) if snap else {}
+        if meta.get("ivf_ref_id") != "segment_id" or meta.get("ivf_ref_vec") != "features":
+            raise ValueError(
+                "index_table must hold an IVF index built over "
+                "(segment_id, features) — run similarity.build_ivf_index "
+                f"on the segment corpus (meta: {sorted(meta)[:6]})"
+            )
+        from .similarity import ivf_probe_index
+
+        matches = ivf_probe_index(
+            queries, index_table, k=k, nprobe=nprobe,
+            query_id="query_id", query_vec="q_features",
+        )
+        matches = matches.join(
+            queries.select("query_id", query_start_col), "query_id", "left"
+        )
+        matches = keep_first_per_series(matches)
+        matches = historical_only(matches, F.col(query_start_col))
+        matches = rerank(matches.drop(query_start_col))
+        return matches.filter(F.col("rank") <= display_k)
+    if refs is None:
+        raise ValueError("refs is required when no index_table is given")
     if strategy == "auto":
         stats = refs.agg(
             F.count(F.lit(1)).alias("n"), F.max(F.size("features")).alias("dim")

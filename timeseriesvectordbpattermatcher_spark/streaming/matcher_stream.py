@@ -29,6 +29,7 @@ def matcher_sink(
     k: int | None = None,
     strategy: str = "auto",
     nprobe: int = 4,
+    e2_filters: bool = False,
     dtw_band: int = 8,
     dtw_znorm: bool = True,
     run_prefix: str = "match",
@@ -47,8 +48,14 @@ def matcher_sink(
       batch must carry (query_id, q_features, query_start).
     - ``index_table``: a SnapshotTable holding a persisted IVF index —
       each batch probes only its ``nprobe`` lists' files (raw cosine
-      top-k, no E2 filters; the batch carries (query_id, <query_vec>)).
-      A rebuild of the index between batches is picked up atomically.
+      top-k; the batch carries (query_id, <query_vec>)). A rebuild of
+      the index between batches is picked up atomically. With
+      ``e2_filters=True`` the probe instead routes through the full E2
+      ``match_pipeline(index_table=...)`` (keep-first -> historical-only
+      -> re-rank -> display head); the batch must then carry
+      (query_id, q_features, query_start) and the index must be built
+      over (segment_id, features) — streamed results equal a batch
+      ``match_pipeline`` run over the union of batches (parity-pinned).
     - ``dtw_refs``: a static reference-segment DataFrame matched by
       banded DTW (operators/dtw.py — exact elastic top-k with LB_Keogh
       pruning, ``dtw_band``/``dtw_znorm``); extra kwargs flow to
@@ -63,6 +70,9 @@ def matcher_sink(
     n_modes = sum(x is not None for x in (refs, index_table, dtw_refs))
     if n_modes != 1:
         raise ValueError("pass exactly one of refs / index_table / dtw_refs")
+    if e2_filters and index_table is None:
+        raise ValueError("e2_filters=True requires index_table (the refs "
+                         "path already runs the full E2 pipeline)")
 
     def _last(table) -> int:
         snap = table.current_snapshot()
@@ -93,6 +103,15 @@ def matcher_sink(
                 batch_df, dtw_refs, k=k or 20, band=dtw_band,
                 znorm=dtw_znorm, query_id=query_id, query_vec=query_vec,
                 **pipeline_kw,
+            )
+        elif e2_filters:
+            from ..operators.matcher import match_pipeline
+
+            kw = dict(pipeline_kw)
+            if k is not None:
+                kw["k"] = k
+            out = match_pipeline(
+                batch_df, None, index_table=index_table, nprobe=nprobe, **kw
             )
         else:
             from ..operators.similarity import ivf_probe_index
