@@ -121,15 +121,31 @@ def build_sf1(spark) -> None:
         out.repartition(4).write.mode("overwrite").parquet(emb_out)
 
 
+_GC_SPARK = None  # set by main(); lets _drain_shuffles find the session
+
+
+def _drain_shuffles() -> None:
+    """Force a driver GC so ContextCleaner releases the dead shuffles of
+    finished queries. One session runs ~1000 jobs here; without this the
+    accumulated shuffle files outlive their jobs until a natural full GC
+    — which a large heap may never trigger — and the run dies on
+    transient disk (observed: ENOSPC at the tail of the r5 window, ~59 GB
+    real headroom). Timed sections call it OUTSIDE the timed region."""
+    if _GC_SPARK is not None:
+        _GC_SPARK.sparkContext._jvm.System.gc()
+
+
 def _best_of(fn, k: int = 2, warmup: bool = True) -> float:
     if warmup:
         fn()
     best = None
     for _ in range(k):
+        _drain_shuffles()
         t0 = time.time()
         fn()
         dt = time.time() - t0
         best = dt if best is None or dt < best else best
+    _drain_shuffles()
     return round(best, 3)
 
 
@@ -164,6 +180,8 @@ def main() -> None:
     )
 
     spark = get_spark(app_name="sf1_bench")
+    global _GC_SPARK
+    _GC_SPARK = spark
     build_sf1(spark)
 
     qs = entrymod.queries()
@@ -209,6 +227,7 @@ def main() -> None:
     n_small, n_big = decon_run(SF01), decon_run(SF1_DIR)
     t_small = _best_of(lambda: decon_run(SF01), k=args.runs, warmup=False)
     t_big = _best_of(lambda: decon_run(SF1_DIR), k=args.runs, warmup=False)
+    print("[sf1-done] decontaminate", flush=True)
     result["queries"]["decontaminate"] = {
         "sf0.1_sec": t_small,
         "sf1_sec": t_big,
@@ -237,6 +256,7 @@ def main() -> None:
     n_small, n_big = para_run(SF01), para_run(SF1_DIR)
     t_small = _best_of(lambda: para_run(SF01), k=args.runs, warmup=False)
     t_big = _best_of(lambda: para_run(SF1_DIR), k=args.runs, warmup=False)
+    print("[sf1-done] paragraph_dedup", flush=True)
     result["queries"]["paragraph_dedup"] = {
         "sf0.1_sec": t_small,
         "sf1_sec": t_big,
@@ -268,6 +288,7 @@ def main() -> None:
     n_small, n_big = ppl_run(SF01), ppl_run(SF1_DIR)
     t_small = _best_of(lambda: ppl_run(SF01), k=args.runs, warmup=False)
     t_big = _best_of(lambda: ppl_run(SF1_DIR), k=args.runs, warmup=False)
+    print("[sf1-done] lm_perplexity", flush=True)
     result["queries"]["lm_perplexity"] = {
         "sf0.1_sec": t_small,
         "sf1_sec": t_big,
@@ -314,6 +335,7 @@ def main() -> None:
     t0 = time.time()
     cusum_run(args.rows, chunked=False)
     t_single_big = round(time.time() - t0, 3)
+    print("[sf1-done] cusum_changepoints", flush=True)
     result["queries"]["cusum_changepoints"] = {
         "rows_in_small": 2_000_000,
         "rows_in_big": args.rows,
@@ -432,6 +454,7 @@ def main() -> None:
 
     t_small = _best_of(lambda: matcher_run(6), k=args.runs)
     t_big = _best_of(lambda: matcher_run(60), k=args.runs)
+    print("[sf1-done] matcher_pipeline", flush=True)
     result["queries"]["matcher_pipeline"] = {
         "sf0.1_sec": t_small,
         "sf1_sec": t_big,
@@ -457,14 +480,17 @@ def main() -> None:
         total = once()
         best = None
         for _ in range(args.runs):
+            _drain_shuffles()  # 20M-row runs spill ~20G each; see _drain_shuffles
             t0 = time.time()
             once()
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
+        _drain_shuffles()
         return round(best, 3), int(total)
 
     t2m, tok2m = cascade_timing(2_000_000)
     tbig, tokbig = cascade_timing(args.rows)
+    print("[sf1-done] cascade", flush=True)
     result["cascade"] = {
         "rows_small": 2_000_000,
         "rows_big": args.rows,
@@ -500,6 +526,7 @@ def main() -> None:
 
     th_small = hist_timing(2_000_000)
     th_big = hist_timing(args.rows)
+    print("[sf1-done] hist_quantiles_1d", flush=True)
     result["queries"]["hist_quantiles_1d"] = {
         "rows_small": 2_000_000,
         "rows_big": args.rows,
@@ -538,6 +565,7 @@ def main() -> None:
 
     ttw_small = tw_timing(2_000_000)
     ttw_big = tw_timing(args.rows)
+    print("[sf1-done] tw_plane_1d", flush=True)
     result["queries"]["tw_plane_1d"] = {
         "rows_small": 2_000_000,
         "rows_big": args.rows,
@@ -562,6 +590,7 @@ def main() -> None:
 
     td_small = distinct_timing(2_000_000)
     td_big = distinct_timing(args.rows)
+    print("[sf1-done] distinct_plane_1d", flush=True)
     result["queries"]["distinct_plane_1d"] = {
         "rows_small": 2_000_000,
         "rows_big": args.rows,
@@ -607,6 +636,7 @@ def main() -> None:
 
     ts_small = state_timing(2_000_000)
     ts_big = state_timing(args.rows)
+    print("[sf1-done] state_plane_1d", flush=True)
     result["queries"]["state_plane_1d"] = {
         "rows_small": 2_000_000,
         "rows_big": args.rows,
@@ -634,6 +664,7 @@ def main() -> None:
 
     thb_small = heartbeat_timing(2_000_000)
     thb_big = heartbeat_timing(args.rows)
+    print("[sf1-done] heartbeat_plane_1d", flush=True)
     result["queries"]["heartbeat_plane_1d"] = {
         "rows_small": 2_000_000,
         "rows_big": args.rows,
@@ -664,6 +695,7 @@ def main() -> None:
 
     tdd_small = dds_timing(2_000_000)
     tdd_big = dds_timing(args.rows)
+    print("[sf1-done] dds_plane_1d", flush=True)
     result["queries"]["dds_plane_1d"] = {
         "rows_small": 2_000_000,
         "rows_big": args.rows,
@@ -677,8 +709,7 @@ def main() -> None:
     # into depth cells before map-side combine) + two cascade merges + a
     # 16-token point-estimate read off the 1d tier
     from timeseriesvectordbpattermatcher_spark.operators.cms import (
-        cms_bucket,
-        cms_cascade,
+        cms_all_tiers,
         cms_estimate,
     )
 
@@ -687,7 +718,15 @@ def main() -> None:
         seqs = derive_event_ts(spark.read.parquet(corpus))
 
         def once():
-            day = cms_cascade(cms_cascade(cms_bucket(seqs), "1h"), "1d")
+            # fused build (operators/cms.cms_all_tiers): at 20M rows the
+            # minute tier is ~3.5M buckets x ~5k cells — sequential
+            # build+cascade ships those entries through two exchanges and
+            # needs more transient disk than this box HAS (3 runs died
+            # ENOSPC at ~52G); the fused kernel streams every tier's
+            # sketches through the Arrow boundary once with zero
+            # entry-level exchange, which is also the shipping shape
+            # bench.py times at sf0.1
+            day = cms_all_tiers(seqs).filter(F.col("tier") == "1d")
             probes = [
                 cms_estimate("cms", t).alias(f"e{t}") for t in range(0, 160, 10)
             ]
@@ -699,6 +738,7 @@ def main() -> None:
 
     tcm_small = cms_timing(2_000_000)
     tcm_big = cms_timing(args.rows)
+    print("[sf1-done] cms_plane_1d", flush=True)
     result["queries"]["cms_plane_1d"] = {
         "rows_small": 2_000_000,
         "rows_big": args.rows,
@@ -734,6 +774,7 @@ def main() -> None:
 
     thh_small = topk_timing(2_000_000)
     thh_big = topk_timing(args.rows)
+    print("[sf1-done] topk_plane_1d", flush=True)
     result["queries"]["topk_plane_1d"] = {
         "rows_small": 2_000_000,
         "rows_big": args.rows,
